@@ -1,0 +1,385 @@
+"""Iterative crawl driver: BFS generations as streaming Dataset pipelines.
+
+Each generation runs one pipeline (SURVEY.md §3.1 "Ray translation"):
+
+    read frontier → canonicalize+depth gate → robots filter
+      → seen pre-filter (contains, no insert — the reference checks Visited
+        *before* the rate limiter, engine/crawler.go:85-90, so already-seen
+        rows must not consume politeness budget)
+      → groupby(host) admission shuffle (within-iteration dedup + budget)
+      → [admitted] mark-before-fetch (check_and_add) → simulated fetch
+        (actor pool) → outcome split → extract (actor pool)
+      → route: items sink ∪ golden-text sink ∪ next frontier
+        (deferred ∪ retries ∪ children)
+
+State: the SeenSet actor pool (sharded cuckoo/exact). Everything else flows
+through the object store as Arrow blocks; per-iteration materializations are
+of the *frontier-sized* stream only — the pages corpus is never globally
+read or shuffled.
+
+Checkpointing (the reference has none — engine/crawler.go:14-22): after
+iteration *i*, ``iter_{i}/`` holds the next frontier (Parquet), seen-shard
+dumps (npz), items/order/text outputs and a ``manifest.json`` with counts +
+input signature; ``complete`` is written last, so resume = scan for the
+newest complete manifest, restore shards, continue from its frontier. A
+killed run never refetches checkpointed generations.
+
+Failure semantics (engine/crawler.go:95-120,179-194): missing page or banned
+body → unmark seen + requeue with attempt+1 (max_attempts total tries);
+short body → dropped but stays visited.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from crawler_ray.rules import SYNTH_TASK, TaskSpec
+from crawler_ray.sources.pages import Corpus
+from crawler_ray.stages.extract import (
+    EXTRACT_SCHEMA,
+    Extractor,
+    canonicalize_fn,
+    items_to_columns,
+)
+from crawler_ray.stages.fetch import SimulatedFetcher, split_fetch_outcome
+from crawler_ray.stages.politeness import PolitenessConfig, admit_fn, robots_filter_fn
+from crawler_ray.stages.seen import SeenSet, seen_filter_fn
+
+FRONTIER_COLS = ["url", "host", "key", "h64", "depth", "priority", "seq", "attempt", "rule", "carry"]
+_FRONTIER_TYPES = {
+    "url": pa.string(),
+    "host": pa.string(),
+    "key": pa.string(),
+    "h64": pa.uint64(),
+    "depth": pa.int32(),
+    "priority": pa.int32(),
+    "seq": pa.binary(),
+    "attempt": pa.int32(),
+    "rule": pa.string(),
+    "carry": pa.string(),
+}
+FRONTIER_SCHEMA = pa.schema([(c, _FRONTIER_TYPES[c]) for c in FRONTIER_COLS])
+
+
+def _cast_frontier(batch: pa.Table) -> pa.Table:
+    """Normalize any branch (pandas round-trips widen ints) to the canonical
+    frontier schema so unions line up."""
+    arrays = [batch.column(c).cast(_FRONTIER_TYPES[c]) for c in FRONTIER_COLS]
+    return pa.Table.from_arrays(arrays, schema=FRONTIER_SCHEMA)
+
+
+def _keep(col: str, value) -> "callable":
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column(col), value))
+
+    return fn
+
+
+def seed_frontier_table(seeds_path: str) -> pa.Table:
+    seeds = pq.read_table(seeds_path)
+    n = seeds.num_rows
+    seq = pa.array(
+        [int(s).to_bytes(4, "big") for s in seeds.column("seq").to_pylist()],
+        type=pa.binary(),
+    )
+    return pa.Table.from_arrays(
+        [
+            seeds.column("url").cast(pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([0] * n, pa.uint64()),
+            seeds.column("depth").cast(pa.int32()),
+            seeds.column("priority").cast(pa.int32()),
+            seq,
+            pa.array([0] * n, pa.int32()),
+            seeds.column("rule").cast(pa.string()),
+            pa.array(["{}"] * n, pa.string()),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    iterations: int
+    stats: list[dict] = field(default_factory=list)
+
+    def _gather(self, sub: str) -> list[str]:
+        """Parquet files under iter_*/<sub>/ (files, not dirs — Ray's parquet
+        reader wants concrete paths when given a list)."""
+        out = []
+        for d in sorted(os.listdir(self.out_dir)):
+            p = os.path.join(self.out_dir, d, sub)
+            if d.startswith("iter_") and os.path.isdir(p):
+                out.extend(
+                    os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+                )
+        return out
+
+    def items_dataset(self, rule: str) -> "ray.data.Dataset | None":
+        paths = self._gather(os.path.join("items", f"rule={rule}"))
+        return ray.data.read_parquet(paths) if paths else None
+
+    def order_dataset(self) -> "ray.data.Dataset | None":
+        paths = self._gather("order")
+        return ray.data.read_parquet(paths) if paths else None
+
+    def text_dataset(self) -> "ray.data.Dataset | None":
+        paths = self._gather("text")
+        return ray.data.read_parquet(paths) if paths else None
+
+
+def _latest_complete_iter(out_dir: str) -> int | None:
+    best = None
+    if not os.path.isdir(out_dir):
+        return None
+    for d in os.listdir(out_dir):
+        if not d.startswith("iter_"):
+            continue
+        mpath = os.path.join(out_dir, d, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                m = json.load(fh)
+            if m.get("complete"):
+                i = int(m["iteration"])
+                best = i if best is None or i > best else best
+    return best
+
+
+def run_crawl(
+    corpus: Corpus,
+    task: TaskSpec = SYNTH_TASK,
+    out_dir: str = "/tmp/crawler_ray_out",
+    *,
+    num_seen_shards: int = 4,
+    exact_seen: bool = True,
+    seen_mode: str = "cuckoo",
+    max_iterations: int = 64,
+    fetch_concurrency: int | tuple = (1, 4),
+    extract_concurrency: int | tuple = (1, 4),
+    batch_size: int = 1024,
+    resume: bool = False,
+) -> CrawlResult:
+    cfg = PolitenessConfig.from_json(corpus.politeness)
+    cfg = PolitenessConfig(
+        default_budget=cfg.default_budget,
+        host_budget=cfg.host_budget,
+        disallow=cfg.disallow,
+        default_disallow=cfg.default_disallow,
+        max_depth=min(cfg.max_depth, task.max_depth),
+        max_attempts=cfg.max_attempts,
+    )
+    seen = SeenSet(num_shards=num_seen_shards, mode=seen_mode, exact=exact_seen)
+
+    start_iter = 0
+    frontier_tbl: pa.Table | None = None
+    frontier_path: str | None = None
+    if resume:
+        last = _latest_complete_iter(out_dir)
+        if last is not None:
+            ck = os.path.join(out_dir, f"iter_{last:04d}")
+            states = []
+            for s in range(num_seen_shards):
+                with np.load(os.path.join(ck, "seen", f"shard_{s}.npz"), allow_pickle=True) as z:
+                    states.append(json.loads(str(z["meta"])) | {k: z[k] for k in z.files if k != "meta"})
+            seen.restore([_unpack_shard_state(st) for st in states])
+            frontier_path = os.path.join(ck, "next_frontier")
+            start_iter = last + 1
+    if frontier_path is None:
+        frontier_tbl = seed_frontier_table(corpus.seeds)
+
+    os.makedirs(out_dir, exist_ok=True)
+    stats: list[dict] = []
+    result = CrawlResult(out_dir=out_dir, iterations=start_iter)
+
+    for it in range(start_iter, max_iterations):
+        ckdir = os.path.join(out_dir, f"iter_{it:04d}")
+        os.makedirs(ckdir, exist_ok=True)
+
+        if frontier_path is not None:
+            # an empty final frontier leaves no parquet files behind —
+            # treat that as crawl-complete (also the resume-after-complete path)
+            files = (
+                [f for f in os.listdir(frontier_path) if f.endswith(".parquet")]
+                if os.path.isdir(frontier_path)
+                else []
+            )
+            if not files:
+                break
+            fr = ray.data.read_parquet(frontier_path)
+        else:
+            fr = ray.data.from_arrow(frontier_tbl)
+        fr = fr.map_batches(canonicalize_fn(cfg.max_depth), batch_format="pyarrow")
+        fr = fr.map_batches(robots_filter_fn(cfg), batch_format="pyarrow")
+        fr = fr.map_batches(seen_filter_fn(seen, mark=False), batch_format="pyarrow")
+        # admission shuffle: one groupby(host) per generation
+        fr = fr.groupby("host").map_groups(admit_fn(cfg), batch_format="pandas")
+        frontier_mat = fr.materialize()
+
+        deferred = frontier_mat.map_batches(_keep("admitted", False), batch_format="pyarrow").map_batches(
+            _cast_frontier, batch_format="pyarrow"
+        )
+        admitted = frontier_mat.map_batches(_keep("admitted", True), batch_format="pyarrow").map_batches(
+            _cast_frontier, batch_format="pyarrow"
+        )
+        admitted = admitted.map_batches(seen_filter_fn(seen, mark=True), batch_format="pyarrow")
+        admitted = admitted.map_batches(
+            SimulatedFetcher,
+            fn_constructor_args=(corpus.pages,),
+            concurrency=fetch_concurrency,
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+        fetched_mat = admitted.map_batches(split_fetch_outcome, batch_format="pyarrow").materialize()
+
+        n_sched = fetched_mat.count()
+        if n_sched:
+            order = fetched_mat.map_batches(
+                lambda t, _it=it: pa.table(
+                    {
+                        "iteration": pa.array([_it] * t.num_rows, pa.int32()),
+                        "url": t.column("url"),
+                        "priority": t.column("priority"),
+                        "seq": t.column("seq"),
+                        "attempt": t.column("attempt"),
+                        "outcome": t.column("outcome"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            order.write_parquet(os.path.join(ckdir, "order"))
+
+        ok = fetched_mat.map_batches(_keep("outcome", "ok"), batch_format="pyarrow")
+        failures = fetched_mat.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("outcome"), value_set=pa.array(["missing", "banned"]))),
+            batch_format="pyarrow",
+        )
+
+        ex_mat = (
+            ok.map_batches(
+                Extractor,
+                fn_constructor_args=(task,),
+                concurrency=extract_concurrency,
+                batch_size=batch_size,
+                batch_format="pyarrow",
+            ).materialize()
+        )
+
+        # items sink, per rule (dynamic schema from ItemFields — W2)
+        n_items = 0
+        for rule_name, spec in task.rules.items():
+            if not spec.item_fields:
+                continue
+            sel = ex_mat.map_batches(_keep("kind", "item"), batch_format="pyarrow").map_batches(
+                _keep("rule", rule_name), batch_format="pyarrow"
+            )
+            if sel.count() == 0:
+                continue
+            typed = sel.map_batches(items_to_columns(task, rule_name), batch_format="pyarrow")
+            typed.write_parquet(os.path.join(ckdir, "items", f"rule={rule_name}"))
+            n_items += sel.count()
+
+        texts = ex_mat.map_batches(_keep("kind", "text"), batch_format="pyarrow")
+        if texts.count():
+            texts.select_columns(["url", "rule", "payload"]).write_parquet(os.path.join(ckdir, "text"))
+
+        children = ex_mat.map_batches(_keep("kind", "frontier"), batch_format="pyarrow").map_batches(
+            _cast_frontier, batch_format="pyarrow"
+        )
+
+        # failure path: unmark + requeue (attempt+1 < max_attempts)
+        n_failed = failures.count()
+        if n_failed:
+            fail_keys = np.concatenate(
+                [
+                    b.column("h64").to_numpy(zero_copy_only=False).astype(np.uint64)
+                    for b in failures.select_columns(["h64"]).iter_batches(batch_format="pyarrow", batch_size=65536)
+                ]
+            )
+            seen.remove(fail_keys)
+        retries = failures.map_batches(
+            lambda t: _cast_frontier(
+                t.set_column(
+                    t.schema.get_field_index("attempt"),
+                    "attempt",
+                    pc.add(t.column("attempt"), 1),
+                )
+            ).filter(pc.less(pc.add(t.column("attempt"), 1), cfg.max_attempts)),
+            batch_format="pyarrow",
+        )
+
+        nxt = deferred.union(retries).union(children)
+        next_path = os.path.join(ckdir, "next_frontier")
+        nxt.write_parquet(next_path)
+        n_next = sum(
+            pq.read_metadata(os.path.join(next_path, f)).num_rows
+            for f in os.listdir(next_path)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(next_path) else 0
+
+        # seen-shard checkpoint
+        seendir = os.path.join(ckdir, "seen")
+        os.makedirs(seendir, exist_ok=True)
+        for s, st in enumerate(seen.dump()):
+            _save_shard_state(os.path.join(seendir, f"shard_{s}.npz"), st)
+
+        iter_stats = {
+            "iteration": it,
+            "scheduled": n_sched,
+            "failed": n_failed,
+            "items": n_items,
+            "next_frontier": n_next,
+            "seen": seen.count(),
+            "input_sig": f"{corpus.root}:{corpus.n_docs}",
+            "complete": True,
+        }
+        with open(os.path.join(ckdir, "manifest.json"), "w") as fh:
+            json.dump(iter_stats, fh)
+        stats.append(iter_stats)
+        result.iterations = it + 1
+
+        frontier_path = next_path
+        frontier_tbl = None
+        if n_next == 0:
+            break
+
+    result.stats = stats
+    return result
+
+
+def _save_shard_state(path: str, st: dict) -> None:
+    arrays = {}
+    meta = {"mode": st["mode"], "filter_kind": st["filter"]["kind"]}
+    for k, v in st["filter"].items():
+        if isinstance(v, np.ndarray):
+            arrays[f"filter_{k}"] = v
+        elif k != "kind":
+            meta[f"filter_{k}"] = v
+    if "exact" in st:
+        arrays["exact"] = st["exact"]
+    if "failed_exact" in st:
+        arrays["failed_exact"] = st["failed_exact"]
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+def _unpack_shard_state(raw: dict) -> dict:
+    meta = raw
+    st: dict = {"mode": meta["mode"], "filter": {"kind": meta["filter_kind"]}}
+    for k, v in meta.items():
+        if k.startswith("filter_") and k != "filter_kind":
+            st["filter"][k[len("filter_"):]] = v
+    if "exact" in meta:
+        st["exact"] = meta["exact"]
+    if "failed_exact" in meta:
+        st["failed_exact"] = meta["failed_exact"]
+    return st

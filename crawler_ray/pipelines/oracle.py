@@ -1,0 +1,188 @@
+"""Single-process oracle: the reference's scheduler semantics, row at a time.
+
+A deliberately boring reimplementation of the Go engine's worker loop
+(``engine/crawler.go:77-134``) plus this engine's *defined* deterministic
+total order (priority desc, seq lexicographic asc — SURVEY.md §7.4) and
+per-iteration politeness windows. No Ray, no batching, no shuffles: dicts,
+sets and lists, so tests compare the distributed engine against an
+independently-structured model:
+
+- priority-then-FIFO pull order  (engine/schedule.go:45-75)
+- visited check before budget, mark-before-fetch (engine/crawler.go:85-90)
+- fetch failure / ban → unmark + requeue once (engine/crawler.go:99-111,179-194)
+- short body → dropped, stays visited (engine/crawler.go:113-120)
+- depth gate (collect/request.go:34-40), robots + per-host budget windows
+
+Shares only rules.py (the rule *specification*) with the engine; the
+conformance suite pins those regexes against the reference's golden HTML
+separately.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from crawler_ray.rules import SYNTH_TASK, TaskSpec, compile_task
+from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES, Corpus
+from crawler_ray.stages.politeness import PolitenessConfig
+
+
+def _host(url: str) -> str:
+    rest = url.split("://", 1)[1] if "://" in url else url
+    return rest.split("/", 1)[0]
+
+
+def _canon(url: str) -> str:
+    url = url.split("#", 1)[0]
+    return url[:-1] if url.endswith("?") else url
+
+
+def _h64(url: str) -> int:
+    return int.from_bytes(hashlib.md5(url.encode() + b"GET").digest()[:8], "big")
+
+
+@dataclass
+class OracleResult:
+    order: list[tuple] = field(default_factory=list)  # (iteration, url, priority, seq, attempt, outcome)
+    items: list[dict] = field(default_factory=list)
+    texts: dict[str, str] = field(default_factory=dict)  # url → extracted text
+    seen: set[int] = field(default_factory=set)  # final h64 seen set
+    iterations: int = 0
+
+
+def run_oracle(
+    corpus: Corpus,
+    task: TaskSpec = SYNTH_TASK,
+    max_iterations: int = 64,
+) -> OracleResult:
+    cfg = PolitenessConfig.from_json(corpus.politeness)
+    max_depth = min(cfg.max_depth, task.max_depth)
+    rules = compile_task(task)
+
+    pages = pq.read_table(corpus.pages)
+    page_map = {
+        u: (h, t)
+        for u, h, t in zip(
+            pages.column("url").to_pylist(),
+            pages.column("html").to_pylist(),
+            pages.column("warc_ts").to_pylist(),
+        )
+    }
+
+    seeds = pq.read_table(corpus.seeds)
+    frontier: list[dict] = [
+        {
+            "url": r["url"],
+            "depth": r["depth"],
+            "priority": r["priority"],
+            "seq": int(r["seq"]).to_bytes(4, "big"),
+            "attempt": 0,
+            "rule": r["rule"],
+            "carry": {},
+        }
+        for r in seeds.to_pylist()
+    ]
+
+    res = OracleResult()
+    seen: set[int] = set()
+    failed_once: set[int] = set()
+
+    for it in range(max_iterations):
+        if not frontier:
+            break
+        res.iterations = it + 1
+        # canonicalize + depth + robots + cross-iteration seen
+        rows = []
+        for r in frontier:
+            url = _canon(r["url"])
+            if r["depth"] > max_depth:
+                continue
+            host = _host(url)
+            path = url.split(host, 1)[1]
+            if any(path.startswith(p) for p in cfg.disallowed_prefixes(host)):
+                continue
+            if _h64(url) in seen:
+                continue
+            rows.append({**r, "url": url, "host": host})
+        # per-host: order, dedup within iteration, admit budget
+        by_host: dict[str, list[dict]] = {}
+        for r in rows:
+            by_host.setdefault(r["host"], []).append(r)
+        admitted: list[dict] = []
+        deferred: list[dict] = []
+        for host, group in by_host.items():
+            group.sort(key=lambda r: (-r["priority"], r["seq"]))
+            kept, keys = [], set()
+            for r in group:
+                k = _h64(r["url"])
+                if k in keys:
+                    continue
+                keys.add(k)
+                kept.append(r)
+            budget = cfg.budget(host)
+            admitted.extend(kept[:budget])
+            deferred.extend(kept[budget:])
+
+        children: list[dict] = []
+        for r in admitted:
+            k = _h64(r["url"])
+            seen.add(k)  # mark-before-fetch
+            page = page_map.get(r["url"])
+            html = page[0].decode("utf-8", errors="replace") if page else None
+            if html is None:
+                outcome = "missing"
+            elif BAN_STRING in html:
+                outcome = "banned"
+            elif len(page[0]) < MIN_BODY_BYTES:
+                outcome = "short"
+            else:
+                outcome = "ok"
+            res.order.append((it, r["url"], r["priority"], r["seq"], r["attempt"], outcome))
+            if outcome in ("missing", "banned"):
+                seen.discard(k)  # unmark-on-failure
+                if r["attempt"] + 1 < cfg.max_attempts:
+                    children.append({**r, "attempt": r["attempt"] + 1})
+                continue
+            if outcome == "short":
+                continue
+            rule = rules.get(r["rule"])
+            if rule is None:
+                continue
+            kids, item = rule.extract(r["url"], html, r["carry"])
+            spec = rule.spec
+            for idx, (child_url, child_carry) in enumerate(kids):
+                children.append(
+                    {
+                        "url": child_url,
+                        "depth": r["depth"] + 1,
+                        "priority": spec.child_priority,
+                        "seq": r["seq"] + idx.to_bytes(4, "big"),
+                        "attempt": 0,
+                        "rule": spec.next_rule or "",
+                        "carry": child_carry,
+                    }
+                )
+            if item is not None:
+                res.items.append(
+                    {
+                        "rule": r["rule"],
+                        "url": r["url"],
+                        "ts": page[1],
+                        "payload": json.dumps(item, ensure_ascii=False, sort_keys=True),
+                    }
+                )
+            if spec.kind == "link_extract":
+                res.texts[r["url"]] = "\n".join(u for u, _ in kids)
+            elif spec.kind == "predicate_extract":
+                res.texts[r["url"]] = r["url"] if item is not None else ""
+            else:
+                res.texts[r["url"]] = json.dumps(item, ensure_ascii=False, sort_keys=True)
+
+        frontier = deferred + children
+
+    res.seen = seen
+    return res

@@ -1,0 +1,256 @@
+"""Deterministic synthesis of the Common-Crawl-style ``pages`` input table.
+
+Schema is exactly the BASELINE.json ``input_hint`` shape::
+
+    url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string
+
+The corpus mirrors the reference's three-page rule chain
+(tag → list → detail, ``parse/doubangroup/dobuan_book.go``) at configurable
+scale, seeded from the row count of ``{sf_dir}/documents.parquet`` so tests,
+correctness runs and bench all scale with the driver's sf tables without any
+external data:
+
+- one **detail** page per document (intro text drawn from the document's own
+  ``text`` column);
+- one **list** page per ``FANOUT`` details, linking them with carried titles
+  (exercises TmpData carry, R4);
+- one **tag** page per ``FANOUT`` lists (the seed generation, R3);
+- a deterministic fraction of pages embed the reference's anti-bot ban string
+  (``engine/crawler.go:107``) or are shorter than the 6000-byte garbage
+  threshold (``engine/crawler.go:113``) to exercise those filters;
+- a deterministic fraction of linked detail URLs do **not exist** in the
+  pages table — a simulated fetch failure driving the
+  unmark-on-failure + single-retry path (``engine/crawler.go:179-194``);
+- some list pages link into ``/private/`` paths disallowed by the synthetic
+  robots config, exercising the politeness gate.
+
+``text`` is the **golden extraction** for the page — written by the
+generator from what it embedded, independently of the rule engine — so the
+byte-identical invariant compares two independent derivations.
+
+At 100 TB this generator is a test fixture only; real runs read existing
+WARC-derived Parquet. Generation here is a driver-side loop (≤ ~60k pages at
+sf0.1) cached under /tmp keyed by (sf_dir, generator version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GEN_VERSION = 4
+FANOUT = 8
+NUM_HOSTS = 64
+EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+BAN_STRING = "你访问豆瓣的方式有点像机器人程序"  # engine/crawler.go:107
+MIN_BODY_BYTES = 6000  # engine/crawler.go:113-120
+
+# deterministic multiplicative hash (Knuth) for host assignment
+_KNUTH = 2654435761
+
+
+def _host_for(i: int) -> str:
+    # ~30% of detail pages land on one mega-host (skew on purpose, FIXTURES.md §1)
+    if i % 10 < 3:
+        return "host00.example.com"
+    return f"host{1 + (i * _KNUTH) % (NUM_HOSTS - 1):02d}.example.com"
+
+
+@dataclass(frozen=True)
+class Corpus:
+    """Paths of one synthesized corpus."""
+
+    root: str
+    pages: str  # parquet dir
+    seeds: str  # parquet file
+    politeness: str  # json file
+    n_docs: int
+
+
+def _detail_exists(i: int) -> bool:
+    """Detail pages with i % 29 == 0 are linked but absent → fetch failure."""
+    return i % 29 != 0
+
+
+def _detail_fields(i: int, intro: str) -> dict[str, object]:
+    return {
+        "title": f"title-{i:06d}",
+        "author": f"Author {i % 97}",
+        "pages": 50 + (i % 400),
+        "publisher": f"Pub {i % 13}",
+        "score": f"9.{i % 10}",
+        "price": f"{10 + i % 90}.00",
+        "intro": intro,
+    }
+
+
+def _detail_html(i: int, f: dict[str, object]) -> str:
+    return (
+        f"<html><body><h1>{f['title']}</h1>"
+        f'<span class="pl"> author</span>:\n  <a href="/a/{i}">{f["author"]}</a><br/>'
+        f'<span class="pl">publisher:</span> <a href="/p/{i}">{f["publisher"]}</a><br/>'
+        f'<span class="pl">pages:</span> {f["pages"]}<br/>'
+        f'<span class="pl">price:</span>{f["price"]}<br/>'
+        f'<strong class="score">{f["score"]}</strong>'
+        f'<div class="intro"><span>x</span><p>{f["intro"]}</p></div>'
+        f"</body></html>"
+    )
+
+
+def _clean_text(s: str, limit: int = 60) -> str:
+    out = s.replace("<", " ").replace(">", " ").replace("\n", " ")
+    return out[:limit].strip()
+
+
+def synth_corpus(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> Corpus:
+    """Synthesize (or reuse cached) corpus for one sf directory."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(docs_path).num_rows
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_v{GEN_VERSION}_{n_docs}"
+    root = os.path.join(cache_root, tag)
+    corpus = Corpus(
+        root=root,
+        pages=os.path.join(root, "pages"),
+        seeds=os.path.join(root, "seeds.parquet"),
+        politeness=os.path.join(root, "politeness.json"),
+        n_docs=n_docs,
+    )
+    done_marker = os.path.join(root, "_DONE")
+    if os.path.exists(done_marker):
+        return corpus
+    os.makedirs(corpus.pages, exist_ok=True)
+
+    doc_text = pq.read_table(docs_path, columns=["text"]).column("text").to_pylist()
+
+    urls: list[str] = []
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+
+    def add_page(url: str, html: str, text: str, i: int, pad: bool = True) -> None:
+        body = html
+        if i % 37 == 0:  # ban-page fraction
+            body = body.replace("<body>", f"<body>{BAN_STRING}")
+        if pad and i % 41 != 0:  # short-page fraction stays < 6000 bytes
+            deficit = MIN_BODY_BYTES - len(body.encode())
+            if deficit > 0:
+                body += "<!--" + "x" * deficit + "-->"
+        urls.append(url)
+        htmls.append(body.encode())
+        texts.append(text)
+        langs.append("zh" if i % 3 == 0 else "en")
+
+    # detail pages -------------------------------------------------------
+    for i in range(n_docs):
+        if not _detail_exists(i):
+            continue
+        host = _host_for(i)
+        url = f"https://{host}/detail/{i}"
+        f = _detail_fields(i, _clean_text(doc_text[i]))
+        ban = i % 37 == 0
+        short = i % 41 == 0
+        # golden extraction: ban/short pages are filtered before extract
+        if ban or short:
+            golden = ""
+        else:
+            golden = json.dumps(f, ensure_ascii=False, sort_keys=True)
+        add_page(url, _detail_html(i, f), golden, i)
+
+    # list pages ---------------------------------------------------------
+    n_lists = (n_docs + FANOUT - 1) // FANOUT
+    for j in range(n_lists):
+        host = _host_for(j * 7)
+        url = f"https://{host}/list/{j}"
+        links = []
+        golden_links = []
+        for i in range(j * FANOUT, min((j + 1) * FANOUT, n_docs)):
+            durl = f"https://{_host_for(i)}/detail/{i}"
+            links.append(f'<a class="item" href="{durl}" title="title-{i:06d}">d{i}</a>')
+            golden_links.append(durl)
+        if j % 11 == 0:  # robots-disallowed link fraction
+            durl = f"https://{host}/private/{j}"
+            links.append(f'<a class="item" href="{durl}" title="private-{j}">p</a>')
+            golden_links.append(durl)
+        html = "<html><body><ul>" + "".join(links) + "</ul></body></html>"
+        ban = j % 37 == 0
+        short = j % 41 == 0
+        golden = "" if (ban or short) else "\n".join(golden_links)
+        add_page(url, html, golden, j)
+
+    # tag pages (seeds) --------------------------------------------------
+    n_tags = (n_lists + FANOUT - 1) // FANOUT
+    seed_urls: list[str] = []
+    for k in range(n_tags):
+        host = _host_for(k * 13 + 1)
+        url = f"https://{host}/tag/{k}"
+        links = []
+        golden_links = []
+        for j in range(k * FANOUT, min((k + 1) * FANOUT, n_lists)):
+            lurl = f"https://{_host_for(j * 7)}/list/{j}"
+            links.append(f'<a href="{lurl}" class="tag">t{j}</a>')
+            golden_links.append(lurl)
+        html = "<html><body>" + "".join(links) + "</body></html>"
+        # seeds are never ban/short: i chosen so neither fraction triggers
+        add_page(url, html, "\n".join(golden_links), k * 37 * 41 + 1)
+        seed_urls.append(url)
+
+    ts = pa.array(
+        np.arange(len(urls), dtype=np.int64) + EPOCH_US // 1, type=pa.timestamp("us")
+    )
+    pages = pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": ts,
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+    # Sorted by url: the fetch stage's row-group stats index (stages/fetch.py)
+    # binary-searches Parquet min/max url stats, which requires a globally
+    # sorted layout. Multiple row groups so reads split into parallel blocks.
+    pages = pages.sort_by("url")
+    pq.write_table(
+        pages,
+        os.path.join(corpus.pages, "part-0.parquet"),
+        row_group_size=max(256, len(urls) // 32),
+    )
+
+    seeds = pa.table(
+        {
+            "url": pa.array(seed_urls, type=pa.string()),
+            "priority": pa.array([1] * len(seed_urls), type=pa.int32()),
+            "rule": pa.array(["tag"] * len(seed_urls), type=pa.string()),
+            "depth": pa.array([0] * len(seed_urls), type=pa.int32()),
+            "seq": pa.array(range(len(seed_urls)), type=pa.int64()),
+        }
+    )
+    pq.write_table(seeds, corpus.seeds)
+
+    # Budgets scale with corpus size (budget ≈ rate × window; a bigger corpus
+    # models a longer virtual window) so the iteration count stays roughly
+    # constant across sf while per-iteration work scales — politeness deferral
+    # is still exercised because list pages emit children in bursts.
+    default_budget = max(6, n_docs // 100)
+    politeness = {
+        "default": {"max_per_iter": default_budget, "disallow": ["/private"]},
+        "hosts": {
+            "host00.example.com": {
+                "max_per_iter": default_budget * 4,
+                "disallow": ["/private"],
+            }
+        },
+        "max_depth": 5,
+        "max_attempts": 2,  # initial try + one retry (engine/crawler.go:186-193)
+    }
+    with open(corpus.politeness, "w") as fh:
+        json.dump(politeness, fh)
+
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
+    return corpus

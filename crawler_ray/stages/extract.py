@@ -1,0 +1,167 @@
+"""Extract stage: the generic rule-engine operator, plus canonicalize.
+
+One actor-pool ``map_batches`` stage interprets *all* rules (SURVEY.md R1–R10
+→ rules.py): regexes are compiled once per actor in ``__init__``; per batch
+the stage decodes bodies and dispatches rows by their ``rule`` column
+(``engine/crawler.go:122-126``). Output is a **union table** with a ``kind``
+discriminator — Ray Data stages have one output, so frontier rows, item rows
+and golden-text rows travel in one stream and the driver routes them with
+vectorized filters on the materialized result:
+
+- ``kind='frontier'``: child requests at depth+1 (ParseResult.Requests)
+- ``kind='item'``: JSON payloads in declared ItemFields order
+  (ParseResult.Items + Output envelope ``collect/rule.go:41-52``; wall-clock
+  Time replaced by the page's ``warc_ts``)
+- ``kind='text'``: the per-url extracted text (the byte-identical invariant
+  column: link rules → newline-joined child urls, predicate rules → matched
+  url or '', field rules → payload JSON with sorted keys)
+
+The child ``seq`` is the parent's seq plus a 4-byte big-endian match index —
+a length-prefixed total order ``(priority desc, seq lexicographic asc)`` that
+reproduces the reference's priority-then-FIFO ordering deterministically
+under any parallelism (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from crawler_ray.functions.url import canonicalize, host_of, url_hash64, urlseen_key
+from crawler_ray.rules import BUILTIN_TASKS, CompiledRule, TaskSpec, compile_task
+
+FRONTIER_FIELDS = [
+    ("kind", pa.string()),
+    ("url", pa.string()),
+    ("host", pa.string()),
+    ("key", pa.string()),
+    ("h64", pa.uint64()),
+    ("depth", pa.int32()),
+    ("priority", pa.int32()),
+    ("seq", pa.binary()),
+    ("attempt", pa.int32()),
+    ("rule", pa.string()),
+    ("carry", pa.string()),
+    ("ts", pa.timestamp("us")),
+    ("payload", pa.string()),
+]
+EXTRACT_SCHEMA = pa.schema(FRONTIER_FIELDS)
+
+
+def canonicalize_fn(max_depth: int):
+    """Stateless map_batches task: canonical url + host + seen-key + shard
+    hash, and the depth gate (``collect/request.go:34-40``). Fully
+    vectorized except the md5 loop (hashlib is C-bound)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        batch = batch.filter(pc.less_equal(batch.column("depth"), max_depth))
+        if batch.num_rows == 0:
+            return batch
+        urls = canonicalize(batch.column("url").combine_chunks())
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols["url"] = urls
+        cols["host"] = host_of(urls)
+        cols["key"] = urlseen_key(urls)
+        cols["h64"] = url_hash64(urls)
+        return pa.table(cols)
+
+    return fn
+
+
+class Extractor:
+    """Actor-pool stage; rules compiled once per actor."""
+
+    def __init__(self, task: TaskSpec | str):
+        if isinstance(task, str):
+            task = BUILTIN_TASKS[task]
+        self.task = task
+        self.rules: dict[str, CompiledRule] = compile_task(task)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {name: [] for name, _ in FRONTIER_FIELDS}
+
+        def emit(kind, url, depth=0, priority=0, seq=b"", attempt=0, rule="",
+                 carry="{}", ts=None, payload=None):
+            out["kind"].append(kind)
+            out["url"].append(url)
+            out["host"].append("")
+            out["key"].append("")
+            out["h64"].append(0)
+            out["depth"].append(depth)
+            out["priority"].append(priority)
+            out["seq"].append(seq)
+            out["attempt"].append(attempt)
+            out["rule"].append(rule)
+            out["carry"].append(carry)
+            out["ts"].append(ts)
+            out["payload"].append(payload)
+
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        rules = batch.column("rule").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        seqs = batch.column("seq").to_pylist()
+        carries = batch.column("carry").to_pylist()
+        if "warc_ts" in batch.column_names:
+            tss = batch.column("warc_ts").to_pylist()
+        else:
+            tss = [None] * len(urls)
+
+        for i in range(len(urls)):
+            rule = self.rules.get(rules[i])
+            if rule is None:
+                continue  # unknown rule name: row dropped, as a missing Trunk entry would nil-deref in the reference — we drop instead
+            body = htmls[i].decode("utf-8", errors="replace")
+            carry = json.loads(carries[i]) if carries[i] else {}
+            children, item = rule.extract(urls[i], body, carry)
+            spec = rule.spec
+            for idx, (child_url, child_carry) in enumerate(children):
+                emit(
+                    "frontier",
+                    child_url,
+                    depth=depths[i] + 1,
+                    priority=spec.child_priority,
+                    seq=seqs[i] + idx.to_bytes(4, "big"),
+                    rule=spec.next_rule or "",
+                    carry=json.dumps(child_carry, ensure_ascii=False, sort_keys=True),
+                )
+            if item is not None:
+                payload = json.dumps(item, ensure_ascii=False, sort_keys=True)
+                emit("item", urls[i], rule=rules[i], ts=tss[i], payload=payload)
+            # golden-text row (byte-identical invariant)
+            if spec.kind == "link_extract":
+                text = "\n".join(u for u, _ in children)
+            elif spec.kind == "predicate_extract":
+                text = urls[i] if item is not None else ""
+            else:
+                text = json.dumps(item, ensure_ascii=False, sort_keys=True)
+            emit("text", urls[i], rule=rules[i], ts=tss[i], payload=text)
+
+        arrays = [
+            pa.array(out[name], type=typ) for name, typ in FRONTIER_FIELDS
+        ]
+        return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
+
+
+def items_to_columns(task: TaskSpec, rule_name: str):
+    """map_batches fn: decode item JSON payloads into typed columns for the
+    Parquet items sink (schema = ItemFields + url + ts, matching the
+    reference's dynamic DDL W2 ``collector/sqlstorage/sqlstorage.go:68-88``
+    with MEDIUMTEXT→string and the declared int fields typed int64)."""
+    spec = task.rules[rule_name]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = [json.loads(p) for p in batch.column("payload").to_pylist()]
+        cols: dict[str, pa.Array] = {}
+        for fname in spec.item_fields:
+            typ = pa.int64() if fname in spec.int_fields else pa.string()
+            cols[fname] = pa.array([p.get(fname, "") for p in payloads], type=typ)
+        cols["url"] = batch.column("url")
+        cols["ts"] = batch.column("ts")
+        return pa.table(cols)
+
+    return fn

@@ -1,0 +1,128 @@
+"""Simulated fetch: frontier URL → (html, warc_ts) lookup against the pages
+table.
+
+The reference fetches live over HTTP per request (``collect/collect.go:33-91``)
+with a test-injection path that substitutes a stored body
+(``collect/request.go:25-26``, ``engine/crawler.go:95-97``). In this engine the
+stored-body path is the *primary* fetch: pages live in Parquet
+(``input_hint`` shape) and "fetching" a URL means probing that table.
+
+Scale design — why this is an index probe, not a Dataset-join:
+a crawl generation touches a small, unpredictable subset of a (100 TB) pages
+corpus; re-shuffling the whole corpus per generation for a hash join would
+move everything to fetch almost nothing. Instead the pages Parquet is laid
+out **sorted by url** (a one-time layout cost, done by the corpus generator),
+so each fetch actor only keeps the per-row-group ``[url_min, url_max]``
+ranges from Parquet footers — O(#row-groups) memory, ~KB per GB of corpus —
+and reads just the row groups its batch needs, with a small LRU over
+decompressed groups. That is exactly how a WARC-backed refetch store works,
+and it's embarrassingly parallel: any number of actors, no shuffle. (A
+``Dataset.join`` fetch would be the right call if most of the corpus were
+touched per generation; ``pipelines/relational.py`` exercises real joins.)
+
+Fetch outcome semantics (``engine/crawler.go:95-120``):
+- URL absent from the pages table → fetch failure (html = null) → the driver
+  unmarks the seen-set entry and requeues once;
+- present → html + warc_ts attached (charset transcode F3 is a no-op here:
+  the corpus is UTF-8 by construction, as post-transcode bodies are).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+class SimulatedFetcher:
+    """Actor-pool ``map_batches`` stage: stateful setup once per actor."""
+
+    def __init__(self, pages_dir: str, lru_groups: int = 64):
+        # Build the row-group stats index once per actor (__init__, not per
+        # batch): (path, row_group, url_min, url_max) sorted by url_min.
+        index: list[tuple[str, int, str, str]] = []
+        for name in sorted(os.listdir(pages_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(pages_dir, name)
+            md = pq.read_metadata(path)
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # url is the first column
+                stats = col.statistics
+                index.append((path, rg, stats.min, stats.max))
+        index.sort(key=lambda e: e[2])
+        self.index = index
+        self.mins = [e[2] for e in index]
+        self.files: dict[str, pq.ParquetFile] = {}
+        self.lru: OrderedDict[tuple[str, int], dict[str, tuple[bytes, int]]] = OrderedDict()
+        self.lru_groups = lru_groups
+
+    def _group_lookup(self, path: str, rg: int) -> dict[str, tuple[bytes, int]]:
+        lru_key = (path, rg)
+        hit = self.lru.get(lru_key)
+        if hit is not None:
+            self.lru.move_to_end(lru_key)
+            return hit
+        pf = self.files.get(path)
+        if pf is None:
+            pf = self.files[path] = pq.ParquetFile(path)
+        tbl = pf.read_row_group(rg, columns=["url", "html", "warc_ts"])
+        lookup = dict(
+            zip(
+                tbl.column("url").to_pylist(),
+                zip(
+                    tbl.column("html").to_pylist(),
+                    tbl.column("warc_ts").cast(pa.int64()).to_pylist(),
+                ),
+            )
+        )
+        self.lru[lru_key] = lookup
+        while len(self.lru) > self.lru_groups:
+            self.lru.popitem(last=False)
+        return lookup
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import bisect
+
+        urls = batch.column("url").to_pylist()
+        htmls: list[bytes | None] = [None] * len(urls)
+        tss: list[int | None] = [None] * len(urls)
+        for i, u in enumerate(urls):
+            pos = bisect.bisect_right(self.mins, u) - 1
+            if pos < 0:
+                continue
+            path, rg, _, url_max = self.index[pos]
+            if u > url_max:
+                continue
+            entry = self._group_lookup(path, rg).get(u)
+            if entry is not None:
+                htmls[i], tss[i] = entry
+        return batch.append_column(
+            "html", pa.array(htmls, type=pa.binary())
+        ).append_column("warc_ts", pa.array(tss, type=pa.int64()).cast(pa.timestamp("us")))
+
+
+def split_fetch_outcome(batch: pa.Table) -> pa.Table:
+    """Tag rows with fetch outcome for downstream routing (vectorized):
+    ``outcome`` ∈ {ok, missing, banned, short}.
+
+    - missing → failure path (requeue once, unmark) — engine/crawler.go:99-104
+    - banned  → failure path too (SetFailure)       — engine/crawler.go:106-111
+    - short   → dropped, stays marked visited       — engine/crawler.go:113-120
+    """
+    from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES
+
+    html = batch.column("html")
+    missing = pc.is_null(html)
+    html_str = pc.cast(pc.fill_null(html, b""), pa.string())
+    banned = pc.match_substring(html_str, BAN_STRING)
+    short = pc.less(pc.binary_length(pc.fill_null(html, b"")), MIN_BODY_BYTES)
+    outcome = pc.if_else(
+        missing,
+        pa.scalar("missing"),
+        pc.if_else(banned, pa.scalar("banned"), pc.if_else(short, pa.scalar("short"), pa.scalar("ok"))),
+    )
+    return batch.append_column("outcome", outcome)

@@ -1,0 +1,124 @@
+"""Politeness gate: robots rules + per-host crawl budget.
+
+The reference rate-limits per *task* with composed token buckets and random
+jitter sleeps (``limiter/limiter.go:16-45``, ``collect/request.go:47-56``) and
+has no per-host fairness at all (SURVEY.md §4). Re-expressed for an
+iterative-batch engine with a deterministic **virtual clock**:
+
+- each crawl iteration represents one politeness window; a host's token
+  bucket refills to ``max_per_iter`` tokens per window (equivalent to
+  ``rate_per_s × window_seconds`` — the reference's composed-min rate maps to
+  this budget);
+- admission within a host follows the engine's defined total order
+  ``(priority desc, seq asc)`` — the batch equivalent of the reference's
+  priority-then-FIFO queue (``engine/schedule.go:45-75``);
+- rows over budget are **deferred**, not dropped: they re-enter the next
+  iteration's frontier with their original ``seq`` (so ordering is stable);
+- robots ``disallow`` prefixes drop rows outright before budgeting.
+
+Implemented as one ``groupby(host)`` shuffle per iteration (same host must be
+decided by one group — a correctness requirement, SURVEY.md §7.3) whose
+``map_groups`` fn also collapses within-iteration duplicate URLs (keep first
+in order) — the batch analogue of the reference's sequential visited-check
+inside one scheduler (``engine/crawler.go:85-90``). No wall-clock sleeps
+anywhere, so runs are reproducible; jitter (``collect/request.go:51-53``) is
+load-shaping noise with no data-semantic, dropped by design.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass(frozen=True)
+class PolitenessConfig:
+    default_budget: int = 6
+    host_budget: dict[str, int] = field(default_factory=dict)
+    disallow: dict[str, tuple[str, ...]] = field(default_factory=dict)  # host → prefixes
+    default_disallow: tuple[str, ...] = ()
+    max_depth: int = 5
+    max_attempts: int = 2
+
+    @classmethod
+    def from_json(cls, path: str) -> "PolitenessConfig":
+        with open(path) as fh:
+            cfg = json.load(fh)
+        dflt = cfg.get("default", {})
+        hosts = cfg.get("hosts", {})
+        return cls(
+            default_budget=int(dflt.get("max_per_iter", 6)),
+            host_budget={h: int(v["max_per_iter"]) for h, v in hosts.items() if "max_per_iter" in v},
+            disallow={h: tuple(v.get("disallow", ())) for h, v in hosts.items()},
+            default_disallow=tuple(dflt.get("disallow", ())),
+            max_depth=int(cfg.get("max_depth", 5)),
+            max_attempts=int(cfg.get("max_attempts", 2)),
+        )
+
+    def budget(self, host: str) -> int:
+        return self.host_budget.get(host, self.default_budget)
+
+    def disallowed_prefixes(self, host: str) -> tuple[str, ...]:
+        return self.disallow.get(host, self.default_disallow)
+
+
+def robots_filter_fn(config: PolitenessConfig):
+    """map_batches task fn dropping robots-disallowed URLs (vectorized:
+    one ``starts_with`` kernel per distinct disallow prefix — prefix sets are
+    tiny; the synthetic robots cache is baked into the config the same way a
+    real robots fetcher would warm it once per host)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        urls = batch.column("url")
+        hosts = batch.column("host")
+        drop = pa.array([False] * batch.num_rows)
+        # distinct prefixes across the config are few; apply each combined
+        # with its host scope
+        prefixes: dict[str, set[str | None]] = {}
+        for p in config.default_disallow:
+            prefixes.setdefault(p, set()).add(None)  # None = any host
+        for h, ps in config.disallow.items():
+            for p in ps:
+                prefixes.setdefault(p, set()).add(h)
+        for prefix, scope in prefixes.items():
+            # path starts with prefix ⇔ url starts with "https://{host}{prefix}"
+            path_hit = pc.match_substring_regex(
+                urls, r"^[a-z][a-z0-9+.-]*://[^/]*" + _re_escape(prefix)
+            )
+            if None in scope:
+                drop = pc.or_(drop, path_hit)
+            else:
+                host_hit = pc.is_in(hosts, value_set=pa.array(sorted(s for s in scope)))
+                drop = pc.or_(drop, pc.and_(path_hit, host_hit))
+        return batch.filter(pc.invert(drop))
+
+    return fn
+
+
+def _re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+def admit_fn(config: PolitenessConfig):
+    """``groupby('host').map_groups`` fn: dedup-within-iteration then admit
+    the top-``budget`` rows in ``(priority desc, seq asc)`` order; the rest
+    get ``admitted = False`` and defer to the next iteration."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", "seq"], ascending=[False, True], kind="mergesort")
+        g = g.drop_duplicates(subset="key", keep="first")
+        budget = config.budget(g["host"].iloc[0]) if len(g) else 0
+        g = g.assign(admitted=False)
+        if budget > 0:
+            g.iloc[: budget, g.columns.get_loc("admitted")] = True
+        return g
+
+    return fn
