@@ -1,44 +1,77 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline on sf0.001; ``queries()`` maps
+every implemented operator/pipeline (SURVEY.md §2 + the training-data ops) to
+a callable over ``sf_dir``; ``oracle_sql()`` holds the DuckDB twin for each
+SQL-expressible query (crawl pipelines and sketch-based ops are rows-only —
+their semantics are pinned by the pytest oracle suite instead).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl (canonicalize → seen → politeness → fetch →
+    extract → items) on the sf0.001-derived synthetic corpus."""
+    from crawler_ray.pipelines.crawl import run_crawl
+    from crawler_ray.sources.pages import synth_corpus
+
+    corpus = synth_corpus("/root/testdata/sf0.001")
+    out = tempfile.mkdtemp(prefix="crawl_entry_")
+    res = run_crawl(corpus, out_dir=out, max_iterations=30)
+    items = res.items_dataset("detail")
+    assert items is not None
+    return items
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawler_ray.pipelines import crawl_queries, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(relational.QUERIES)
+    out.update(crawl_queries.QUERIES)
+    try:
+        from crawler_ray.pipelines import ann, dedup, text
+
+        out.update(text.QUERIES)
+        out.update(dedup.QUERIES)
+        out.update(ann.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from crawler_ray.pipelines import multimodal
+
+        out.update(multimodal.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_ray.pipelines import crawl_queries, relational
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE_SQL)
+    out.update(crawl_queries.ORACLE_SQL)
+    try:
+        from crawler_ray.pipelines import ann, dedup, text
+
+        out.update(text.ORACLE_SQL)
+        out.update(dedup.ORACLE_SQL)
+        out.update(ann.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from crawler_ray.pipelines import multimodal
+
+        out.update(multimodal.ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

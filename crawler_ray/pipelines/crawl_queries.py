@@ -1,0 +1,146 @@
+"""Crawl-family ``queries()`` entries (rows-only driver checks).
+
+These run the full frontier engine over the sf-derived synthetic corpus; the
+semantics are pinned exactly by the pytest oracle suite
+(tests/test_crawl_engine.py) — a SQL oracle cannot express the iterative
+stateful pipeline, so the driver records rows-only here by design.
+
+The crawl runs once per (sf_dir, process) and is cached; the order/text/items
+queries all read the same checkpointed run.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from crawler_ray.pipelines.crawl import CrawlResult, run_crawl
+from crawler_ray.rules import SYNTH_TASK
+from crawler_ray.sources.pages import synth_corpus
+from crawler_ray.stages.extract import Extractor
+
+_CACHE: dict[str, CrawlResult] = {}
+
+
+def _crawl(sf_dir: str) -> CrawlResult:
+    res = _CACHE.get(sf_dir)
+    if res is None:
+        corpus = synth_corpus(sf_dir)
+        out = tempfile.mkdtemp(prefix="crawl_q_")
+        res = run_crawl(corpus, out_dir=out, max_iterations=40)
+        _CACHE[sf_dir] = res
+    return res
+
+
+def crawl_items(sf_dir: str) -> rd.Dataset:
+    """Flagship output: extracted detail items (ItemFields + url + ts)."""
+    ds = _crawl(sf_dir).items_dataset("detail")
+    assert ds is not None
+    return ds
+
+
+def crawl_order(sf_dir: str) -> rd.Dataset:
+    """The crawl schedule: (iteration, url, priority, seq hex, attempt, outcome)."""
+    ds = _crawl(sf_dir).order_dataset()
+    assert ds is not None
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "iteration": t["iteration"],
+                "url": t["url"],
+                "priority": t["priority"],
+                "seq_hex": pa.array([b.hex() for b in t["seq"].to_pylist()], pa.string()),
+                "attempt": t["attempt"],
+                "outcome": t["outcome"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def crawl_text(sf_dir: str) -> rd.Dataset:
+    """Byte-identical extracted text per crawled url."""
+    ds = _crawl(sf_dir).text_dataset()
+    assert ds is not None
+    return ds
+
+
+def frontier_host_stats(sf_dir: str) -> rd.Dataset:
+    """groupby(host) over the crawl schedule: fetches + failures per host."""
+    from ray.data.aggregate import Count, Sum
+
+    order = _crawl(sf_dir).order_dataset()
+    assert order is not None
+    from crawler_ray.functions.url import host_of
+
+    ds = order.map_batches(
+        lambda t: pa.table(
+            {
+                "host": host_of(t["url"].combine_chunks()),
+                "failed": pc.cast(
+                    pc.is_in(t["outcome"], value_set=pa.array(["missing", "banned"])), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("host").aggregate(
+        Count(alias_name="n_fetches"), Sum("failed", alias_name="n_failed")
+    )
+
+
+def link_graph(sf_dir: str) -> rd.Dataset:
+    """Pure full-corpus extract (no frontier): every (src, dst) link edge —
+    the batch rule engine applied to the whole pages table in one streaming
+    pass (rule inferred from url shape, dispatched per row)."""
+    corpus = synth_corpus(sf_dir)
+    pages = rd.read_parquet(corpus.pages, columns=["url", "html", "warc_ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rule = pc.replace_substring_regex(
+            t["url"], pattern=r"^https://[^/]*/(tag|list|detail)/.*$", replacement=r"\1"
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": t["url"],
+                "html": t["html"],
+                "warc_ts": t["warc_ts"],
+                "rule": rule,
+                "depth": pa.array([0] * n, pa.int32()),
+                "seq": pa.array([b""] * n, pa.binary()),
+                "carry": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+
+    ds = pages.map_batches(prep, batch_format="pyarrow")
+    ex = ds.map_batches(
+        Extractor, fn_constructor_args=(SYNTH_TASK,), concurrency=(1, 8), batch_format="pyarrow"
+    )
+    def edges_fn(t: pa.Table) -> pa.Table:
+        # text rows hold src url + newline-joined extracted link targets
+        f = t.filter(
+            pc.and_(pc.equal(t["kind"], "text"), pc.is_in(t["rule"], value_set=pa.array(["tag", "list"])))
+        )
+        src, dst = [], []
+        for u, payload in zip(f["url"].to_pylist(), f["payload"].to_pylist()):
+            for link in payload.split("\n") if payload else []:
+                src.append(u)
+                dst.append(link)
+        return pa.table({"src_url": pa.array(src, pa.string()), "dst_url": pa.array(dst, pa.string())})
+
+    return ex.map_batches(edges_fn, batch_format="pyarrow")
+
+
+QUERIES = {
+    "crawl_items": crawl_items,
+    "crawl_order": crawl_order,
+    "crawl_text": crawl_text,
+    "frontier_host_stats": frontier_host_stats,
+    "link_graph": link_graph,
+}
+
+ORACLE_SQL: dict[str, str] = {}

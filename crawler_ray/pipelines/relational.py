@@ -1,0 +1,554 @@
+"""Relational operator suite over the sf tables — Ray-Data-native.
+
+These queries exist to exercise every relational operator category the engine
+claims (SURVEY.md §2.8: joins, aggregations, sorts/top-k, set ops, windows,
+scalar functions) with DuckDB-checkable semantics. Each function takes
+``sf_dir`` and returns a Dataset / pyarrow Table; the matching ANSI-SQL
+oracle lives in ``ORACLE_SQL`` with **identical output column names**.
+
+Scale patterns demonstrated (and the choices a 100 TB run would keep):
+
+- **prune at the read**: every ``read_parquet`` passes ``columns=[...]``;
+- **partial aggregation**: per-batch Arrow ``Table.group_by`` combiners run
+  inside ``map_batches`` *before* the global ``groupby`` shuffle, so the
+  all-to-all exchange moves pre-reduced rows, not raw lineitems;
+- **broadcast the small side**: dimension tables (nation, part, filtered
+  customer keys) ship once via ``ray.put`` and resolve inside ``map_batches``
+  — no shuffle join for a lookup; the one genuinely large⋈large join
+  (orders ⋈ lineitem-aggregate) uses ``Dataset.join`` (hash shuffle);
+- **integer-scaled money**: all float aggregates are emitted as
+  ``round(x*100)``-cents BIGINTs so results hash identically across engines
+  regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+def _partial_groupby(keys: list[str], aggs: list[tuple[str, str, str]]):
+    """Per-batch combiner: arrow group_by inside map_batches.
+
+    aggs: (input_col, arrow_agg, out_name). Emits partials to be re-reduced
+    by the global groupby — the shuffle sees one row per (batch × key).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        gb = batch.group_by(keys).aggregate([(c, a) for c, a, _ in aggs])
+        cols = {k: gb.column(k) for k in keys}
+        for c, a, out in aggs:
+            cols[out] = gb.column(f"{c}_{a}")
+        return pa.table(cols)
+
+    return fn
+
+
+def _global_sum(ds: rd.Dataset, keys: list[str], cols: list[str]) -> rd.Dataset:
+    from ray.data.aggregate import Sum
+
+    return ds.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in cols])
+
+
+# --------------------------------------------------------------------- Q1
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: filter → partial agg combiner → small groupby shuffle."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(1.0, t["l_tax"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": t["l_quantity"],
+                "base": t["l_extendedprice"],
+                "disc_price": disc_price,
+                "charge": charge,
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(
+        _partial_groupby(
+            ["l_returnflag", "l_linestatus"],
+            [("qty", "sum", "qty"), ("base", "sum", "base"), ("disc_price", "sum", "disc_price"),
+             ("charge", "sum", "charge"), ("n", "sum", "n")],
+        ),
+        batch_format="pyarrow",
+    )
+    out = _global_sum(ds, ["l_returnflag", "l_linestatus"], ["qty", "base", "disc_price", "charge", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.cast(t["qty"], pa.int64()),
+                "sum_base_price_c": _cents(t["base"]),
+                "sum_disc_price_c": _cents(t["disc_price"]),
+                "sum_charge_c": _cents(t["charge"]),
+                "count_order": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- Q6
+def q6_revenue_filter(sf_dir: str) -> pa.Table:
+    """Pushdown filter + scalar aggregate (no shuffle at all)."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            ),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], 0.05), pc.less_equal(t["l_discount"], 0.07)),
+                pc.less(t["l_quantity"], 24.0),
+            ),
+        )
+        t = t.filter(m)
+        r = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table({"part_rev": pa.array([r.as_py() or 0.0], pa.float64())})
+
+    partials = ds.map_batches(rev, batch_format="pyarrow")
+    total = sum(
+        pc.sum(b["part_rev"]).as_py() or 0.0
+        for b in partials.iter_batches(batch_format="pyarrow")
+    )
+    return pa.table({"revenue_c": pa.array([round(total * 100)], pa.int64())})
+
+
+# --------------------------------------------------------------------- Q3
+def q3_top_orders(sf_dir: str) -> rd.Dataset:
+    """Broadcast-filtered two-hop join + partial agg + top-k.
+
+    customer(BUILDING) keys and the filtered orders map ship once via
+    ``ray.put``; lineitem streams against them — no shuffle until the small
+    per-order aggregate."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    ckeys = set()
+    for b in building.iter_batches(batch_format="pyarrow"):
+        ckeys.update(b["c_custkey"].to_pylist())
+    ckeys_ref = ray.put(np.array(sorted(ckeys), dtype=np.int64))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(t: pa.Table, ref=ckeys_ref) -> pa.Table:
+        keys = ray.get(ref)
+        m = pc.is_in(t["o_custkey"], value_set=pa.array(keys))
+        return t.filter(m)
+
+    sel = orders.map_batches(filt_orders, batch_format="pyarrow")
+    odate: dict[int, str] = {}
+    for b in sel.iter_batches(batch_format="pyarrow"):
+        for k, d in zip(b["o_orderkey"].to_pylist(), pc.strftime(b["o_orderdate"], format="%Y-%m-%d").to_pylist()):
+            odate[k] = d
+    okeys_ref = ray.put(np.array(sorted(odate), dtype=np.int64))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(t: pa.Table, ref=okeys_ref) -> pa.Table:
+        keys = ray.get(ref)
+        t = t.filter(pc.is_in(t["l_orderkey"], value_set=pa.array(keys)))
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "rev": pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            }
+        )
+
+    ds = li.map_batches(li_prep, batch_format="pyarrow")
+    ds = ds.map_batches(_partial_groupby(["o_orderkey"], [("rev", "sum", "rev")]), batch_format="pyarrow")
+    agg = _global_sum(ds, ["o_orderkey"], ["rev"])
+
+    def finish(t: pa.Table, dates=odate) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "revenue_c": _cents(t["rev"]),
+                "o_orderdate_s": pa.array([dates[k] for k in t["o_orderkey"].to_pylist()], pa.string()),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["revenue_c", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# ------------------------------------------------------------- join (hash)
+def nation_order_revenue(sf_dir: str) -> rd.Dataset:
+    """Large⋈large via ``Dataset.join`` (hash shuffle) + broadcast dim."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    ds = joined.map_batches(
+        lambda t: pa.table({"c_nationkey": t["c_nationkey"], "price": t["o_totalprice"],
+                            "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        _partial_groupby(["c_nationkey"], [("price", "sum", "price"), ("n", "sum", "n")]),
+        batch_format="pyarrow",
+    )
+    agg = _global_sum(ds, ["c_nationkey"], ["price", "n"])
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation.n_nationkey, nation.n_name))
+    names_ref = ray.put(names)
+
+    def finish(t: pa.Table, ref=names_ref) -> pa.Table:
+        nm = ray.get(ref)
+        return pa.table(
+            {
+                "n_name": pa.array([nm[k] for k in t["c_nationkey"].to_pylist()], pa.string()),
+                "revenue_c": _cents(t["price"]),
+                "n_orders": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- anti join
+def orders_without_lineitems(sf_dir: str) -> rd.Dataset:
+    """Anti-join: distinct the probe side (shuffle), broadcast it, stream the
+    other side against it. (At 100 TB with a huge distinct set this becomes a
+    hash-partitioned anti join on o_orderkey.)"""
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    okeys = li.unique("l_orderkey")
+    okeys_ref = ray.put(np.array(sorted(okeys), dtype=np.int64))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def anti(t: pa.Table, ref=okeys_ref) -> pa.Table:
+        keys = ray.get(ref)
+        return t.filter(pc.invert(pc.is_in(t["o_orderkey"], value_set=pa.array(keys))))
+
+    return orders.map_batches(anti, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- semi join
+def parts_sold(sf_dir: str) -> rd.Dataset:
+    """Semi-join via distinct (shuffle) + broadcast dim lookup."""
+    sold = _read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    sold_ref = ray.put(np.array(sorted(sold), dtype=np.int64))
+
+    def semi(t: pa.Table, ref=sold_ref) -> pa.Table:
+        keys = ray.get(ref)
+        return t.filter(pc.is_in(t["p_partkey"], value_set=pa.array(keys)))
+
+    return part.map_batches(semi, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ top-k
+def top_parts_by_revenue(sf_dir: str) -> rd.Dataset:
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_partkey": t["l_partkey"],
+             "rev": pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))}
+        )
+
+    ds = li.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(_partial_groupby(["l_partkey"], [("rev", "sum", "rev")]), batch_format="pyarrow")
+    agg = _global_sum(ds, ["l_partkey"], ["rev"])
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    names = dict(zip(part.p_partkey, part.p_name))
+    names_ref = ray.put(names)
+
+    def finish(t: pa.Table, ref=names_ref) -> pa.Table:
+        nm = ray.get(ref)
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "p_name": pa.array([nm[k] for k in t["l_partkey"].to_pylist()], pa.string()),
+                "revenue_c": _cents(t["rev"]),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["revenue_c", "p_partkey"], descending=[True, False]).limit(15)
+
+
+# ----------------------------------------------------------------- set ops
+def distinct_segments(sf_dir: str) -> pa.Table:
+    vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+
+
+def active_nations(sf_dir: str) -> pa.Table:
+    """Union + distinct + broadcast dim."""
+    c = _read(sf_dir, "customer", ["c_nationkey"]).rename_columns({"c_nationkey": "nk"})
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).rename_columns({"s_nationkey": "nk"})
+    keys = sorted(c.union(s).unique("nk"))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation.n_nationkey, nation.n_name))
+    return pa.table(
+        {
+            "n_nationkey": pa.array(keys, pa.int32()),
+            "n_name": pa.array([names[k] for k in keys], pa.string()),
+        }
+    )
+
+
+# ----------------------------------------------------------------- window
+def customer_running_total(sf_dir: str) -> rd.Dataset:
+    """Per-key ordered window (running sum) via groupby().map_groups —
+    integer cents cumsum so the result is order-exact."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        cents = (g["o_totalprice"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"], "o_custkey": g["o_custkey"], "running_c": cents.cumsum()}
+        )
+
+    return orders.groupby("o_custkey").map_groups(win, batch_format="pandas")
+
+
+def user_sessions(sf_dir: str) -> rd.Dataset:
+    """Sessionization: 30-min-gap splits per user (stateful window op)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds()
+        n = int(1 + (gaps > 1800).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": np.array([n], dtype=np.int64)})
+
+    return ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def events_daily(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-day event-time window per type (partial agg + groupby)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_s": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    ds = ev.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(
+        _partial_groupby(["window_s", "event_type"], [("value", "sum", "value"), ("n", "sum", "n")]),
+        batch_format="pyarrow",
+    )
+    agg = _global_sum(ds, ["window_s", "event_type"], ["value", "n"])
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "window_s": t["window_s"],
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "sum_value_c": _cents(t["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_events_by_value(sf_dir: str) -> rd.Dataset:
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    out = ev.sort(["value", "event_id"], descending=[True, False]).limit(50)
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"], "value_c": _cents(t["value"])}),
+        batch_format="pyarrow",
+    )
+
+
+def events_props_sum(sf_dir: str) -> rd.Dataset:
+    """Scalar-function stage: regex field extraction from a JSON column,
+    vectorized with pyarrow.compute.extract_regex."""
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": pc.fill_null(k, 0)})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(_partial_groupby(["event_type"], [("k", "sum", "k")]), batch_format="pyarrow")
+    agg = _global_sum(ds, ["event_type"], ["k"])
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "sum_k": pc.cast(t["k"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def brand_size_stats(sf_dir: str) -> rd.Dataset:
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    part = _read(sf_dir, "part", ["p_brand", "p_size"])
+    agg = part.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Min("p_size", alias_name="min_size"),
+        Max("p_size", alias_name="max_size"),
+        Sum("p_size", alias_name="sum_size"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "n_parts": pc.cast(t["n_parts"], pa.int64()),
+                "min_size": pc.cast(t["min_size"], pa.int64()),
+                "max_size": pc.cast(t["max_size"], pa.int64()),
+                "sum_size": pc.cast(t["sum_size"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q6_revenue_filter": q6_revenue_filter,
+    "q3_top_orders": q3_top_orders,
+    "nation_order_revenue": nation_order_revenue,
+    "orders_without_lineitems": orders_without_lineitems,
+    "parts_sold": parts_sold,
+    "top_parts_by_revenue": top_parts_by_revenue,
+    "distinct_segments": distinct_segments,
+    "active_nations": active_nations,
+    "customer_running_total": customer_running_total,
+    "user_sessions": user_sessions,
+    "events_daily": events_daily,
+    "top_events_by_value": top_events_by_value,
+    "events_props_sum": events_props_sum,
+    "brand_size_stats": brand_size_stats,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               CAST(ROUND(SUM(l_extendedprice)*100) AS BIGINT) AS sum_base_price_c,
+               CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS sum_disc_price_c,
+               CAST(ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax))*100) AS BIGINT) AS sum_charge_c,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q6_revenue_filter": """
+        SELECT CAST(ROUND(SUM(l_extendedprice*l_discount)*100) AS BIGINT) AS revenue_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "q3_top_orders": """
+        SELECT o.o_orderkey,
+               CAST(ROUND(SUM(l.l_extendedprice*(1-l.l_discount))*100) AS BIGINT) AS revenue_c,
+               STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o_orderdate_s
+        ORDER BY revenue_c DESC, o.o_orderkey LIMIT 10
+    """,
+    "nation_order_revenue": """
+        SELECT n.n_name,
+               CAST(ROUND(SUM(o.o_totalprice)*100) AS BIGINT) AS revenue_c,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "orders_without_lineitems": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+    "parts_sold": """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+    "top_parts_by_revenue": """
+        SELECT l.l_partkey AS p_partkey, ANY_VALUE(p.p_name) AS p_name,
+               CAST(ROUND(SUM(l.l_extendedprice*(1-l.l_discount))*100) AS BIGINT) AS revenue_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY l.l_partkey
+        ORDER BY revenue_c DESC, p_partkey LIMIT 15
+    """,
+    "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+    "active_nations": """
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_nationkey IN (
+            SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+    """,
+    "customer_running_total": """
+        SELECT o_orderkey, o_custkey,
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c
+        FROM orders
+    """,
+    "user_sessions": """
+        SELECT user_id, CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events)
+        GROUP BY user_id
+    """,
+    "events_daily": """
+        SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS window_s, event_type,
+               COUNT(*) AS n, CAST(ROUND(SUM(value)*100) AS BIGINT) AS sum_value_c
+        FROM events GROUP BY window_s, event_type
+    """,
+    "top_events_by_value": """
+        SELECT event_id, CAST(ROUND(value*100) AS BIGINT) AS value_c
+        FROM events ORDER BY value DESC, event_id LIMIT 50
+    """,
+    "events_props_sum": """
+        SELECT event_type,
+               SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+        FROM events GROUP BY event_type
+    """,
+    "brand_size_stats": """
+        SELECT p_brand, COUNT(*) AS n_parts,
+               CAST(MIN(p_size) AS BIGINT) AS min_size,
+               CAST(MAX(p_size) AS BIGINT) AS max_size,
+               CAST(SUM(p_size) AS BIGINT) AS sum_size
+        FROM part GROUP BY p_brand
+    """,
+}
