@@ -1,0 +1,157 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Media (image/audio/video) travels as a ``binary`` column with typed
+metadata columns, exactly like the pages ``html`` column — the Ray-side
+plumbing (schema, actor-pool decode stage, small batch sizes for large
+payloads, per-frame flat_map) is real and tested; the *codec* itself is
+stubbed because no image/audio libraries exist in this container:
+
+- ``MediaDecoder`` tries ``PIL`` at actor init (once per actor); absent, it
+  falls back to a deterministic fake decoder that parses our self-describing
+  fake header. A real deployment swaps the decode body only.
+- ``frame_sample`` shows the 1→N explode (video → sampled frames) as a
+  batch transform.
+
+The synthetic media table is derived deterministically from the documents
+table (seeded by doc_id), cached next to the pages corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+MEDIA_MAGIC = b"FAKEMEDIA1"
+
+
+def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
+    """Deterministic media table: doc_id, media_type, media (binary with a
+    self-describing header), declared_w, declared_h."""
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tag = f"media_{os.path.basename(os.path.normpath(sf_dir))}_{n}_v1"
+    path = os.path.join(cache_root, tag + ".parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(cache_root, exist_ok=True)
+    ids, types, blobs, ws, hs = [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(1000 + i)
+        kind = ("image", "audio", "video")[i % 3]
+        w, h = int(16 + (i % 32) * 8), int(16 + (i % 24) * 8)
+        nframes = 1 if kind == "image" else (8 if kind == "video" else 0)
+        payload = rng.integers(0, 256, size=256 + (i % 512), dtype=np.uint8).tobytes()
+        header = (
+            MEDIA_MAGIC
+            + kind.encode().ljust(8, b"\0")
+            + w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + nframes.to_bytes(4, "big")
+        )
+        ids.append(i)
+        types.append(kind)
+        blobs.append(header + payload)
+        ws.append(w)
+        hs.append(h)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "media": pa.array(blobs, pa.binary()),
+            "declared_w": pa.array(ws, pa.int32()),
+            "declared_h": pa.array(hs, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return path
+
+
+class MediaDecoder:
+    """Actor-pool decode stage: real-codec probe once per actor in
+    ``__init__``; per-batch decode in ``__call__`` (small batches — payloads
+    are large; batch_size is the memory knob here)."""
+
+    def __init__(self):
+        try:  # pragma: no cover - PIL absent in this container
+            import PIL.Image  # noqa: F401
+
+            self.backend = "pil"
+        except ImportError:
+            self.backend = "fake"
+
+    def _decode(self, blob: bytes) -> tuple[str, int, int, int, int]:
+        if self.backend == "pil":  # pragma: no cover
+            raise NotImplementedError(
+                "real decode path requires the image/audio libs absent from "
+                "this container; swap this body for PIL/librosa decode"
+            )
+        if not blob.startswith(MEDIA_MAGIC):
+            return ("invalid", 0, 0, 0, 0)
+        kind = blob[10:18].rstrip(b"\0").decode()
+        w = int.from_bytes(blob[18:22], "big")
+        h = int.from_bytes(blob[22:26], "big")
+        nframes = int.from_bytes(blob[26:30], "big")
+        body = np.frombuffer(blob[30:], dtype=np.uint8)
+        return (kind, w, h, nframes, int(body.mean() * 1000) if len(body) else 0)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        kinds, ws, hs, nf, mb = [], [], [], [], []
+        for blob in t["media"].to_pylist():
+            k, w, h, n, m = self._decode(blob)
+            kinds.append(k)
+            ws.append(w)
+            hs.append(h)
+            nf.append(n)
+            mb.append(m)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media_type": t["media_type"],
+                "decoded_type": pa.array(kinds, pa.string()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "n_frames": pa.array(nf, pa.int32()),
+                "mean_byte_m": pa.array(mb, pa.int64()),
+                "n_bytes": pa.array([len(b) for b in t["media"].to_pylist()], pa.int64()),
+            }
+        )
+
+
+def media_features(sf_dir: str) -> rd.Dataset:
+    """Decode + feature-extract over the media table (actor pool, small
+    batches because payloads are heavy)."""
+    path = synth_media(sf_dir)
+    ds = rd.read_parquet(path)
+    return ds.map_batches(MediaDecoder, concurrency=(1, 4), batch_size=128, batch_format="pyarrow")
+
+
+def frame_sample(sf_dir: str) -> rd.Dataset:
+    """Video rows explode into sampled frame rows (every 2nd frame) — the
+    1→N media transform shape."""
+    feats = media_features(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, frames = [], []
+        for did, kind, n in zip(
+            t["doc_id"].to_pylist(), t["decoded_type"].to_pylist(), t["n_frames"].to_pylist()
+        ):
+            if kind == "video":
+                for f in range(0, n, 2):
+                    ids.append(did)
+                    frames.append(f)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "frame_idx": pa.array(frames, pa.int32())}
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+QUERIES = {
+    "media_features": media_features,
+    "media_frame_sample": frame_sample,
+}
+
+ORACLE_SQL: dict[str, str] = {}

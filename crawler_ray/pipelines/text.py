@@ -1,0 +1,221 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline staples (language-ID, quality scoring, token
+counting, fingerprinting), each a vectorized ``map_batches`` stage over
+Arrow string columns — `pyarrow.compute` regex kernels where a kernel
+exists, compiled-`re` row loops (C-bound) only where per-row sets are
+needed. Outputs are integers/strings only, so the DuckDB oracles hash
+identically.
+
+The winnowing fingerprinter (rows-only) is the scale path for local
+near-dup detection (Schleimer et al., "Winnowing: Local Algorithms for
+Document Fingerprinting", SIGMOD 2003).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+_WS_RE = re.compile(r"\s+")
+
+# language marker sets — deliberately tiny n-gram/stopword heuristics; the
+# point is a deterministic, SQL-reproducible classifier, not accuracy
+_MARKERS = {
+    "en": r"\b(the|and|of|to)\b",
+    "de": r"\b(der|die|das|und)\b",
+    "fr": r"\b(le|la|les|et)\b",
+    "es": r"\b(el|los|las|y)\b",
+}
+_CJK_PY = r"[一-鿿]"
+_CJK_SQL = r"[\x{4e00}-\x{9fff}]"
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    """Token counting: whitespace words + a BPE-ish alnum-token regex, all
+    pyarrow.compute kernels (no Python loop)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars2": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "n_tokens": pc.cast(pc.count_substring_regex(t["text"], pattern=r"[A-Za-z0-9]+"), pa.int64()),
+                "n_words": pc.cast(pc.count_substring_regex(t["text"], pattern=r"[^ ]+"), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(sf_dir: str) -> rd.Dataset:
+    """Quality heuristics: length, token count, distinct-token ratio (the
+    repetition signal) → integer score components + keep flag."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = np.empty(len(texts), np.int64)
+        n_distinct = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            toks = _TOKEN_RE.findall(s)
+            n_tok[i] = len(toks)
+            n_distinct[i] = len(set(toks))
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
+        distinct_pct = np.where(n_tok > 0, (100 * n_distinct) // np.maximum(n_tok, 1), 0)
+        keep = (n_chars >= 100) & (n_tok >= 20) & (distinct_pct >= 30)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "distinct_pct": pa.array(distinct_pct.astype(np.int64)),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """Language-ID: marker-token counts + CJK-char count, fixed-priority
+    argmax — fully vectorized with count_substring_regex kernels."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        c = {
+            k: pc.count_substring_regex(txt, pattern=p).to_numpy().astype(np.int64)
+            for k, p in _MARKERS.items()
+        }
+        c_zh = pc.count_substring_regex(txt, pattern=_CJK_PY).to_numpy().astype(np.int64)
+        pred = np.full(t.num_rows, "unk", dtype=object)
+        # fixed priority: zh > en >= de >= fr >= es (ties break toward the
+        # earlier entry; mirrored exactly in the SQL CASE chain)
+        m_en, m_de, m_fr, m_es = c["en"], c["de"], c["fr"], c["es"]
+        pred[(m_es > 0)] = "es"
+        pred[(m_fr > 0) & (m_fr >= m_es)] = "fr"
+        pred[(m_de > 0) & (m_de >= m_fr) & (m_de >= m_es)] = "de"
+        pred[(m_en > 0) & (m_en >= m_de) & (m_en >= m_fr) & (m_en >= m_es)] = "en"
+        pred[c_zh > 0] = "zh"
+        return pa.table({"doc_id": t["doc_id"], "pred_lang": pa.array(pred, pa.string())})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(_WS_RE.sub(" ", s.lower()).strip().encode()).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fps, pa.string())})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _winnow(tokens: list[str], k: int = 5, w: int = 4) -> list[int]:
+    """Winnowing: k-gram rolling hashes, per-window rightmost-minimum."""
+    if len(tokens) < k:
+        return []
+    hashes = [
+        int.from_bytes(hashlib.md5(" ".join(tokens[i : i + k]).encode()).digest()[:8], "big")
+        for i in range(len(tokens) - k + 1)
+    ]
+    out: list[int] = []
+    last = -1
+    for i in range(max(1, len(hashes) - w + 1)):
+        win = hashes[i : i + w]
+        j = i + max(range(len(win)), key=lambda x: (win[x] <= min(win), x))
+        if j != last:
+            out.append(hashes[j - i + i])
+            last = j
+    return out
+
+
+def winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowed k-gram fingerprints per doc (rows-only: algorithmic op)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_fp, min_fp = [], []
+        for s in t["text"].to_pylist():
+            fps = _winnow(_TOKEN_RE.findall(s.lower()))
+            n_fp.append(len(fps))
+            min_fp.append(f"{min(fps):016x}" if fps else "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fingerprints": pa.array(n_fp, pa.int64()),
+                "min_fp": pa.array(min_fp, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+QUERIES = {
+    "token_stats": token_stats,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "winnow_fingerprints": winnow_fingerprints,
+}
+
+ORACLE_SQL = {
+    "token_stats": """
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars2,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^ ]+')) AS BIGINT) AS n_words
+        FROM documents
+    """,
+    "quality_score": """
+        WITH s AS (
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+') AS toks
+            FROM documents)
+        SELECT doc_id,
+               CAST(LEN(toks) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN LEN(toks) > 0
+                    THEN (100 * LEN(LIST_DISTINCT(toks))) // GREATEST(LEN(toks), 1)
+                    ELSE 0 END AS BIGINT) AS distinct_pct,
+               CAST(CASE WHEN n_chars >= 100 AND LEN(toks) >= 20
+                         AND (CASE WHEN LEN(toks) > 0
+                              THEN (100 * LEN(LIST_DISTINCT(toks))) // GREATEST(LEN(toks), 1)
+                              ELSE 0 END) >= 30
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM s
+    """,
+    "lang_id": r"""
+        WITH c AS (
+            SELECT doc_id,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(the|and|of|to)\b')) AS m_en,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|das|und)\b')) AS m_de,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|les|et)\b')) AS m_fr,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(el|los|las|y)\b')) AS m_es,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[\x{4e00}-\x{9fff}]')) AS m_zh
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN m_zh > 0 THEN 'zh'
+                    WHEN m_en > 0 AND m_en >= m_de AND m_en >= m_fr AND m_en >= m_es THEN 'en'
+                    WHEN m_de > 0 AND m_de >= m_fr AND m_de >= m_es THEN 'de'
+                    WHEN m_fr > 0 AND m_fr >= m_es THEN 'fr'
+                    WHEN m_es > 0 THEN 'es'
+                    ELSE 'unk' END AS pred_lang
+        FROM c
+    """,
+    "doc_fingerprint": r"""
+        SELECT doc_id,
+               MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+}

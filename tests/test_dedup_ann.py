@@ -1,0 +1,140 @@
+"""Training-data ops: dedup family, ANN, text analysis, multimodal plumbing.
+
+The SQL-oracled queries are driver-checked; these tests pin the rows-only
+operators (MinHash-LSH, SimHash, LSH-ANN, winnowing, media decode) against
+independent brute-force computations on sf0.001.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _brute_jaccard_pairs(docs: dict[int, str], thr_pct: int) -> dict[tuple[int, int], int]:
+    from crawler_ray.pipelines.dedup import _shingles
+
+    sh = {i: _shingles(s) for i, s in docs.items()}
+    ids = sorted(docs)
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sh[ids[i]], sh[ids[j]]
+            u = len(a | b)
+            pct = (100 * len(a & b)) // u if u else 0
+            if pct >= thr_pct:
+                out[(ids[i], ids[j])] = pct
+    return out
+
+
+def test_minhash_lsh_precision_and_recall(ray_session, docs):
+    from crawler_ray.pipelines.dedup import minhash_lsh_dups
+
+    got = minhash_lsh_dups(SF).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in zip(got.a_id, got.b_id, got.jacc_pct)}
+    truth = _brute_jaccard_pairs(docs, 50)
+    # verification stage ⇒ exact precision: every reported pair is a true pair
+    for pair, pct in got_pairs.items():
+        assert truth.get(pair) == pct, pair
+    # recall is probabilistic in bands; with 32×4 at j≥0.5 it should be high
+    assert len(truth) > 0, "corpus should contain near-dups"
+    recall = len(set(got_pairs) & set(truth)) / len(truth)
+    assert recall >= 0.8, (recall, len(truth))
+
+
+def test_simhash_pairs_verified(ray_session, docs):
+    from crawler_ray.pipelines.dedup import _simhash64, simhash_dups
+
+    got = simhash_dups(SF).to_pandas()
+    tok = re.compile(r"[^ ]+")
+    for a, b, h in zip(got.a_id, got.b_id, got.hamming):
+        ha = _simhash64(tok.findall(docs[a].lower()))
+        hb = _simhash64(tok.findall(docs[b].lower()))
+        assert bin(ha ^ hb).count("1") == h <= 3
+    # pairs are unique
+    assert len(got) == len(set(zip(got.a_id, got.b_id)))
+
+
+def test_ann_lsh_recall_and_exactness(ray_session):
+    from crawler_ray.pipelines.ann import ann_bruteforce_topk, ann_lsh_topk
+
+    bf = ann_bruteforce_topk(SF).to_pandas()
+    ls = ann_lsh_topk(SF).to_pandas()
+    bset = set(zip(bf.query_id, bf.vec_id))
+    lset = set(zip(ls.query_id, ls.vec_id))
+    assert len(bf) == 80  # 8 queries × top-10
+    recall = len(bset & lset) / len(bset)
+    assert recall >= 0.4, recall  # measured 0.54 with 12×6-bit tables
+    # LSH scores are exact cosines: any overlapping (q,v) agrees with brute force
+    bf_scores = {(q, v): c for q, v, c in zip(bf.query_id, bf.vec_id, bf.cos_e6)}
+    for q, v, c in zip(ls.query_id, ls.vec_id, ls.cos_e6):
+        if (q, v) in bf_scores:
+            assert bf_scores[(q, v)] == c
+
+
+def test_winnowing_deterministic_and_local(ray_session):
+    from crawler_ray.pipelines.text import _winnow
+
+    toks = "the quick brown fox jumps over the lazy dog again and again".split()
+    fp1 = _winnow(toks)
+    fp2 = _winnow(list(toks))
+    assert fp1 == fp2 and len(fp1) > 0
+    # local sensitivity: an edit far from a region leaves that region's
+    # fingerprints present
+    edited = toks[:1] + ["XX"] + toks[1:]
+    assert set(_winnow(edited)) & set(fp1)
+
+
+def test_media_decode_roundtrip(ray_session):
+    from crawler_ray.pipelines.multimodal import media_features
+
+    df = media_features(SF).to_pandas()
+    assert len(df) == 500
+    ok = df[df.decoded_type != "invalid"]
+    assert (ok.width == ok.declared_w).all() if "declared_w" in ok else True
+    assert set(df.decoded_type) == {"image", "audio", "video"}
+    assert (df[df.decoded_type == "video"].n_frames == 8).all()
+    assert (df.n_bytes > 0).all()
+
+
+def test_media_frame_sample(ray_session):
+    from crawler_ray.pipelines.multimodal import frame_sample, media_features
+
+    feats = media_features(SF).to_pandas()
+    n_videos = (feats.decoded_type == "video").sum()
+    frames = frame_sample(SF).to_pandas()
+    assert len(frames) == n_videos * 4  # 8 frames, every 2nd
+    assert set(frames.frame_idx) == {0, 2, 4, 6}
+
+
+def test_exact_dedup_on_constructed_dups(ray_session, tmp_path):
+    """dedup_exact semantics on a corpus that actually has duplicates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import dedup_exact
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": pa.array(texts)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = dedup_exact(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert list(out.doc_id) == [0, 1, 3]
+    assert list(out.dup_count) == [3, 2, 1]
+    assert list(out.fingerprint) == [
+        hashlib.md5(b"aaa").hexdigest(),
+        hashlib.md5(b"bbb").hexdigest(),
+        hashlib.md5(b"ccc").hexdigest(),
+    ]
