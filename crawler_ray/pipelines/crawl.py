@@ -45,12 +45,11 @@ import ray.data
 from crawler_ray.rules import SYNTH_TASK, TaskSpec
 from crawler_ray.sources.pages import Corpus
 from crawler_ray.stages.extract import (
-    EXTRACT_SCHEMA,
-    Extractor,
     canonicalize_fn,
     items_to_columns,
+    make_extract_fn,
 )
-from crawler_ray.stages.fetch import SimulatedFetcher, split_fetch_outcome
+from crawler_ray.stages.fetch import make_fetch_fn, split_fetch_outcome
 from crawler_ray.stages.politeness import PolitenessConfig, admit_fn, robots_filter_fn
 from crawler_ray.stages.seen import SeenSet, seen_filter_fn
 
@@ -139,6 +138,17 @@ class CrawlResult:
         return ray.data.read_parquet(paths) if paths else None
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from Parquet footers (no re-execution)."""
+    if not os.path.isdir(path):
+        return 0
+    return sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def _latest_complete_iter(out_dir: str) -> int | None:
     best = None
     if not os.path.isdir(out_dir):
@@ -162,6 +172,7 @@ def run_crawl(
     out_dir: str = "/tmp/crawler_ray_out",
     *,
     num_seen_shards: int = 4,
+    seen_capacity: int | None = None,
     exact_seen: bool = True,
     seen_mode: str = "cuckoo",
     max_iterations: int = 64,
@@ -179,7 +190,16 @@ def run_crawl(
         max_depth=min(cfg.max_depth, task.max_depth),
         max_attempts=cfg.max_attempts,
     )
-    seen = SeenSet(num_shards=num_seen_shards, mode=seen_mode, exact=exact_seen)
+    if seen_capacity is None:
+        # size shards to ~4× the page count (cuckoo wants ≤95% load); at
+        # 10^10 URLs this is the knob that picks the shard count instead
+        seen_capacity = max(1 << 14, (corpus.n_docs * 8) // num_seen_shards)
+    seen = SeenSet(
+        num_shards=num_seen_shards,
+        capacity_per_shard=seen_capacity,
+        mode=seen_mode,
+        exact=exact_seen,
+    )
 
     start_iter = 0
     frontier_tbl: pa.Table | None = None
@@ -233,16 +253,16 @@ def run_crawl(
             _cast_frontier, batch_format="pyarrow"
         )
         admitted = admitted.map_batches(seen_filter_fn(seen, mark=True), batch_format="pyarrow")
+        # fetch + extract run as cached task fns (setup once per worker
+        # *process*, which outlives per-iteration executions — see
+        # make_fetch_fn); Ray fuses the consecutive map_batches into one
+        # task per block, so the whole admitted path is a single stage.
         admitted = admitted.map_batches(
-            SimulatedFetcher,
-            fn_constructor_args=(corpus.pages,),
-            concurrency=fetch_concurrency,
-            batch_size=batch_size,
-            batch_format="pyarrow",
+            make_fetch_fn(corpus.pages), batch_size=batch_size, batch_format="pyarrow"
         )
         fetched_mat = admitted.map_batches(split_fetch_outcome, batch_format="pyarrow").materialize()
+        n_sched = fetched_mat.count()  # metadata-cheap on materialized data
 
-        n_sched = fetched_mat.count()
         if n_sched:
             order = fetched_mat.map_batches(
                 lambda t, _it=it: pa.table(
@@ -260,53 +280,45 @@ def run_crawl(
             order.write_parquet(os.path.join(ckdir, "order"))
 
         ok = fetched_mat.map_batches(_keep("outcome", "ok"), batch_format="pyarrow")
-        failures = fetched_mat.map_batches(
-            lambda t: t.filter(pc.is_in(t.column("outcome"), value_set=pa.array(["missing", "banned"]))),
-            batch_format="pyarrow",
-        )
 
-        ex_mat = (
-            ok.map_batches(
-                Extractor,
-                fn_constructor_args=(task,),
-                concurrency=extract_concurrency,
-                batch_size=batch_size,
-                batch_format="pyarrow",
-            ).materialize()
-        )
+        ex_mat = ok.map_batches(
+            make_extract_fn(task), batch_size=batch_size, batch_format="pyarrow"
+        ).materialize()
 
-        # items sink, per rule (dynamic schema from ItemFields — W2)
+        # items sink, per rule (dynamic schema from ItemFields — W2);
+        # row counts come from the written Parquet footers, not re-executions
         n_items = 0
+        items_all = ex_mat.map_batches(_keep("kind", "item"), batch_format="pyarrow")
         for rule_name, spec in task.rules.items():
             if not spec.item_fields:
                 continue
-            sel = ex_mat.map_batches(_keep("kind", "item"), batch_format="pyarrow").map_batches(
-                _keep("rule", rule_name), batch_format="pyarrow"
-            )
-            if sel.count() == 0:
-                continue
+            sel = items_all.map_batches(_keep("rule", rule_name), batch_format="pyarrow")
             typed = sel.map_batches(items_to_columns(task, rule_name), batch_format="pyarrow")
-            typed.write_parquet(os.path.join(ckdir, "items", f"rule={rule_name}"))
-            n_items += sel.count()
+            rule_dir = os.path.join(ckdir, "items", f"rule={rule_name}")
+            typed.write_parquet(rule_dir)
+            n_items += _parquet_rows(rule_dir)
 
-        texts = ex_mat.map_batches(_keep("kind", "text"), batch_format="pyarrow")
-        if texts.count():
-            texts.select_columns(["url", "rule", "payload"]).write_parquet(os.path.join(ckdir, "text"))
+        ex_mat.map_batches(_keep("kind", "text"), batch_format="pyarrow").select_columns(
+            ["url", "rule", "payload"]
+        ).write_parquet(os.path.join(ckdir, "text"))
 
         children = ex_mat.map_batches(_keep("kind", "frontier"), batch_format="pyarrow").map_batches(
             _cast_frontier, batch_format="pyarrow"
         )
 
-        # failure path: unmark + requeue (attempt+1 < max_attempts)
-        n_failed = failures.count()
+        # failure path: unmark + requeue (attempt+1 < max_attempts); one
+        # streaming pass collects the (small) failed key set for the shards
+        failures = fetched_mat.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("outcome"), value_set=pa.array(["missing", "banned"]))),
+            batch_format="pyarrow",
+        )
+        fail_parts = [
+            b.column("h64").to_numpy(zero_copy_only=False).astype(np.uint64)
+            for b in failures.select_columns(["h64"]).iter_batches(batch_format="pyarrow", batch_size=65536)
+        ]
+        n_failed = int(sum(len(p) for p in fail_parts))
         if n_failed:
-            fail_keys = np.concatenate(
-                [
-                    b.column("h64").to_numpy(zero_copy_only=False).astype(np.uint64)
-                    for b in failures.select_columns(["h64"]).iter_batches(batch_format="pyarrow", batch_size=65536)
-                ]
-            )
-            seen.remove(fail_keys)
+            seen.remove(np.concatenate(fail_parts))
         retries = failures.map_batches(
             lambda t: _cast_frontier(
                 t.set_column(
@@ -321,11 +333,7 @@ def run_crawl(
         nxt = deferred.union(retries).union(children)
         next_path = os.path.join(ckdir, "next_frontier")
         nxt.write_parquet(next_path)
-        n_next = sum(
-            pq.read_metadata(os.path.join(next_path, f)).num_rows
-            for f in os.listdir(next_path)
-            if f.endswith(".parquet")
-        ) if os.path.isdir(next_path) else 0
+        n_next = _parquet_rows(next_path)
 
         # seen-shard checkpoint
         seendir = os.path.join(ckdir, "seen")
@@ -369,7 +377,9 @@ def _save_shard_state(path: str, st: dict) -> None:
         arrays["exact"] = st["exact"]
     if "failed_exact" in st:
         arrays["failed_exact"] = st["failed_exact"]
-    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+    # uncompressed: dump speed matters more than bytes (the cuckoo table is
+    # mostly zeros; at scale one would delta-dump per shard instead)
+    np.savez(path, meta=json.dumps(meta), **arrays)
 
 
 def _unpack_shard_state(raw: dict) -> dict:

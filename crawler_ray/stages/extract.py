@@ -147,6 +147,23 @@ class Extractor:
         return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
 
 
+_EXTRACTOR_CACHE: dict[str, Extractor] = {}
+
+
+def make_extract_fn(task: TaskSpec):
+    """Task-fn variant with a per-worker-process Extractor cache (regexes
+    compile once per worker) — see make_fetch_fn for why the iterative
+    driver prefers cached tasks over per-execution actor pools."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ex = _EXTRACTOR_CACHE.get(task.name)
+        if ex is None:
+            ex = _EXTRACTOR_CACHE[task.name] = Extractor(task)
+        return ex(batch)
+
+    return fn
+
+
 def items_to_columns(task: TaskSpec, rule_name: str):
     """map_batches fn: decode item JSON payloads into typed columns for the
     Parquet items sink (schema = ItemFields + url + ts, matching the

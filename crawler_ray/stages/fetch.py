@@ -105,6 +105,26 @@ class SimulatedFetcher:
         ).append_column("warc_ts", pa.array(tss, type=pa.int64()).cast(pa.timestamp("us")))
 
 
+_FETCHER_CACHE: dict[str, "SimulatedFetcher"] = {}
+
+
+def make_fetch_fn(pages_dir: str):
+    """Task-fn variant for the *iterative* driver: Ray Data actor pools are
+    per-execution, so a per-generation ``map_batches(SimulatedFetcher, ...)``
+    would rebuild the index every iteration. Ray worker *processes* persist
+    across executions, so a module-level cache gives the same
+    setup-once-per-worker property with zero per-iteration spin-up. The
+    class form stays the right choice for one-shot pipelines."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        f = _FETCHER_CACHE.get(pages_dir)
+        if f is None:
+            f = _FETCHER_CACHE[pages_dir] = SimulatedFetcher(pages_dir)
+        return f(batch)
+
+    return fn
+
+
 def split_fetch_outcome(batch: pa.Table) -> pa.Table:
     """Tag rows with fetch outcome for downstream routing (vectorized):
     ``outcome`` ∈ {ok, missing, banned, short}.
