@@ -47,9 +47,8 @@ from crawler_ray.sources.pages import Corpus
 from crawler_ray.stages.extract import (
     canonicalize_fn,
     items_to_columns,
-    make_extract_fn,
+    make_fetch_extract_fn,
 )
-from crawler_ray.stages.fetch import make_fetch_fn, split_fetch_outcome
 from crawler_ray.stages.politeness import PolitenessConfig, admit_fn, robots_filter_fn
 from crawler_ray.stages.seen import SeenSet, seen_filter_fn
 
@@ -178,7 +177,7 @@ def run_crawl(
     max_iterations: int = 64,
     fetch_concurrency: int | tuple = (1, 4),
     extract_concurrency: int | tuple = (1, 4),
-    batch_size: int = 1024,
+    batch_size: int = 4096,
     resume: bool = False,
 ) -> CrawlResult:
     cfg = PolitenessConfig.from_json(corpus.politeness)
@@ -222,9 +221,20 @@ def run_crawl(
     stats: list[dict] = []
     result = CrawlResult(out_dir=out_dir, iterations=start_iter)
 
+    import time
+
+    timing = os.environ.get("CRAWLER_RAY_TIMING") == "1"
+
+    def _tick(label: str, t0: float) -> float:
+        t1 = time.time()
+        if timing:
+            print(f"[crawl-timing] {label:28s} {t1 - t0:6.2f}s", flush=True)
+        return t1
+
     for it in range(start_iter, max_iterations):
         ckdir = os.path.join(out_dir, f"iter_{it:04d}")
         os.makedirs(ckdir, exist_ok=True)
+        t0 = time.time()
 
         if frontier_path is not None:
             # an empty final frontier leaves no parquet files behind —
@@ -245,6 +255,7 @@ def run_crawl(
         # admission shuffle: one groupby(host) per generation
         fr = fr.groupby("host").map_groups(admit_fn(cfg), batch_format="pandas")
         frontier_mat = fr.materialize()
+        t0 = _tick(f"it{it} admission", t0)
 
         deferred = frontier_mat.map_batches(_keep("admitted", False), batch_format="pyarrow").map_batches(
             _cast_frontier, batch_format="pyarrow"
@@ -253,37 +264,42 @@ def run_crawl(
             _cast_frontier, batch_format="pyarrow"
         )
         admitted = admitted.map_batches(seen_filter_fn(seen, mark=True), batch_format="pyarrow")
-        # fetch + extract run as cached task fns (setup once per worker
-        # *process*, which outlives per-iteration executions — see
-        # make_fetch_fn); Ray fuses the consecutive map_batches into one
-        # task per block, so the whole admitted path is a single stage.
-        admitted = admitted.map_batches(
-            make_fetch_fn(corpus.pages), batch_size=batch_size, batch_format="pyarrow"
-        )
-        fetched_mat = admitted.map_batches(split_fetch_outcome, batch_format="pyarrow").materialize()
-        n_sched = fetched_mat.count()  # metadata-cheap on materialized data
-
-        if n_sched:
-            order = fetched_mat.map_batches(
-                lambda t, _it=it: pa.table(
-                    {
-                        "iteration": pa.array([_it] * t.num_rows, pa.int32()),
-                        "url": t.column("url"),
-                        "priority": t.column("priority"),
-                        "seq": t.column("seq"),
-                        "attempt": t.column("attempt"),
-                        "outcome": t.column("outcome"),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            order.write_parquet(os.path.join(ckdir, "order"))
-
-        ok = fetched_mat.map_batches(_keep("outcome", "ok"), batch_format="pyarrow")
-
-        ex_mat = ok.map_batches(
-            make_extract_fn(task), batch_size=batch_size, batch_format="pyarrow"
+        # Align the fetch probe with the pages layout: admission blocks are
+        # in (priority, seq) order, so without this sort every fetch batch
+        # sprays across the host's whole row-group range and thrashes the
+        # per-worker group cache (measured 8× slowdown on the mega-host
+        # block). A range exchange keyed like the storage (url) makes each
+        # row group decompress ~once per iteration and splits hot hosts
+        # across workers — the same trick a 256-node run needs.
+        admitted = admitted.sort("url")
+        # Fused fetch→classify→extract (FetchExtract): one map stage per
+        # generation, cached per worker process; raw html never enters the
+        # object store — only derived rows (order/failed/frontier/item/text)
+        # are materialized.
+        ex_mat = admitted.map_batches(
+            make_fetch_extract_fn(corpus.pages, task),
+            batch_size=batch_size,
+            batch_format="pyarrow",
         ).materialize()
+        t0 = _tick(f"it{it} mark+fetch+extract", t0)
+
+        order = ex_mat.map_batches(_keep("kind", "order"), batch_format="pyarrow").map_batches(
+            lambda t, _it=it: pa.table(
+                {
+                    "iteration": pa.array([_it] * t.num_rows, pa.int32()),
+                    "url": t.column("url"),
+                    "priority": t.column("priority"),
+                    "seq": t.column("seq"),
+                    "attempt": t.column("attempt"),
+                    "outcome": t.column("outcome"),
+                    "h64": t.column("h64"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        order.write_parquet(os.path.join(ckdir, "order"))
+        n_sched = _parquet_rows(os.path.join(ckdir, "order"))
+        t0 = _tick(f"it{it} order write n={n_sched}", t0)
 
         # items sink, per rule (dynamic schema from ItemFields — W2);
         # row counts come from the written Parquet footers, not re-executions
@@ -297,10 +313,12 @@ def run_crawl(
             rule_dir = os.path.join(ckdir, "items", f"rule={rule_name}")
             typed.write_parquet(rule_dir)
             n_items += _parquet_rows(rule_dir)
+        t0 = _tick(f"it{it} items write", t0)
 
         ex_mat.map_batches(_keep("kind", "text"), batch_format="pyarrow").select_columns(
             ["url", "rule", "payload"]
         ).write_parquet(os.path.join(ckdir, "text"))
+        t0 = _tick(f"it{it} text write", t0)
 
         children = ex_mat.map_batches(_keep("kind", "frontier"), batch_format="pyarrow").map_batches(
             _cast_frontier, batch_format="pyarrow"
@@ -308,10 +326,7 @@ def run_crawl(
 
         # failure path: unmark + requeue (attempt+1 < max_attempts); one
         # streaming pass collects the (small) failed key set for the shards
-        failures = fetched_mat.map_batches(
-            lambda t: t.filter(pc.is_in(t.column("outcome"), value_set=pa.array(["missing", "banned"]))),
-            batch_format="pyarrow",
-        )
+        failures = ex_mat.map_batches(_keep("kind", "failed"), batch_format="pyarrow")
         fail_parts = [
             b.column("h64").to_numpy(zero_copy_only=False).astype(np.uint64)
             for b in failures.select_columns(["h64"]).iter_batches(batch_format="pyarrow", batch_size=65536)
@@ -330,16 +345,19 @@ def run_crawl(
             batch_format="pyarrow",
         )
 
+        t0 = _tick(f"it{it} failures n={n_failed}", t0)
         nxt = deferred.union(retries).union(children)
         next_path = os.path.join(ckdir, "next_frontier")
         nxt.write_parquet(next_path)
         n_next = _parquet_rows(next_path)
+        t0 = _tick(f"it{it} frontier write n={n_next}", t0)
 
         # seen-shard checkpoint
         seendir = os.path.join(ckdir, "seen")
         os.makedirs(seendir, exist_ok=True)
         for s, st in enumerate(seen.dump()):
             _save_shard_state(os.path.join(seendir, f"shard_{s}.npz"), st)
+        t0 = _tick(f"it{it} seen dump", t0)
 
         iter_stats = {
             "iteration": it,

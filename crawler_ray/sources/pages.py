@@ -107,11 +107,24 @@ def _clean_text(s: str, limit: int = 60) -> str:
     return out[:limit].strip()
 
 
-def synth_corpus(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> Corpus:
-    """Synthesize (or reuse cached) corpus for one sf directory."""
+def synth_corpus(
+    sf_dir: str,
+    cache_root: str = "/tmp/crawler_ray_cache",
+    multiplier: int = 1,
+    budget_divisor: int = 100,
+) -> Corpus:
+    """Synthesize (or reuse cached) corpus for one sf directory.
+
+    ``multiplier`` replicates the document set to scale the page count
+    (bench corpora); ``budget_divisor`` sets per-host politeness budget =
+    n_docs // divisor (smaller divisor ⇒ fewer, heavier crawl generations).
+    """
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    n_docs = pq.read_metadata(docs_path).num_rows
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_v{GEN_VERSION}_{n_docs}"
+    n_docs = pq.read_metadata(docs_path).num_rows * multiplier
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_v{GEN_VERSION}_{n_docs}"
+        f"_b{budget_divisor}"
+    )
     root = os.path.join(cache_root, tag)
     corpus = Corpus(
         root=root,
@@ -126,100 +139,108 @@ def synth_corpus(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> Cor
     os.makedirs(corpus.pages, exist_ok=True)
 
     doc_text = pq.read_table(docs_path, columns=["text"]).column("text").to_pylist()
+    n_base = len(doc_text)
 
-    urls: list[str] = []
-    htmls: list[bytes] = []
-    texts: list[str] = []
-    langs: list[str] = []
+    # Two-phase generation keeps memory bounded at any multiplier: phase 1
+    # builds lightweight (url, kind, id, page_index) descriptors and sorts
+    # them by url (the fetch stage's row-group stats index needs a globally
+    # url-sorted layout); phase 2 renders html/text in sorted order,
+    # streaming one row group at a time into the Parquet writer.
+    descriptors: list[tuple[str, str, int, int]] = []  # (url, kind, id, page_idx)
+    page_idx = 0
 
-    def add_page(url: str, html: str, text: str, i: int, pad: bool = True) -> None:
-        body = html
-        if i % 37 == 0:  # ban-page fraction
-            body = body.replace("<body>", f"<body>{BAN_STRING}")
-        if pad and i % 41 != 0:  # short-page fraction stays < 6000 bytes
-            deficit = MIN_BODY_BYTES - len(body.encode())
-            if deficit > 0:
-                body += "<!--" + "x" * deficit + "-->"
-        urls.append(url)
-        htmls.append(body.encode())
-        texts.append(text)
-        langs.append("zh" if i % 3 == 0 else "en")
+    def add_desc(url: str, kind: str, ident: int) -> None:
+        nonlocal page_idx
+        descriptors.append((url, kind, ident, page_idx))
+        page_idx += 1
 
-    # detail pages -------------------------------------------------------
     for i in range(n_docs):
-        if not _detail_exists(i):
-            continue
-        host = _host_for(i)
-        url = f"https://{host}/detail/{i}"
-        f = _detail_fields(i, _clean_text(doc_text[i]))
-        ban = i % 37 == 0
-        short = i % 41 == 0
-        # golden extraction: ban/short pages are filtered before extract
-        if ban or short:
-            golden = ""
-        else:
-            golden = json.dumps(f, ensure_ascii=False, sort_keys=True)
-        add_page(url, _detail_html(i, f), golden, i)
-
-    # list pages ---------------------------------------------------------
+        if _detail_exists(i):
+            add_desc(f"https://{_host_for(i)}/detail/{i}", "detail", i)
     n_lists = (n_docs + FANOUT - 1) // FANOUT
     for j in range(n_lists):
-        host = _host_for(j * 7)
-        url = f"https://{host}/list/{j}"
-        links = []
-        golden_links = []
-        for i in range(j * FANOUT, min((j + 1) * FANOUT, n_docs)):
-            durl = f"https://{_host_for(i)}/detail/{i}"
-            links.append(f'<a class="item" href="{durl}" title="title-{i:06d}">d{i}</a>')
-            golden_links.append(durl)
-        if j % 11 == 0:  # robots-disallowed link fraction
-            durl = f"https://{host}/private/{j}"
-            links.append(f'<a class="item" href="{durl}" title="private-{j}">p</a>')
-            golden_links.append(durl)
-        html = "<html><body><ul>" + "".join(links) + "</ul></body></html>"
-        ban = j % 37 == 0
-        short = j % 41 == 0
-        golden = "" if (ban or short) else "\n".join(golden_links)
-        add_page(url, html, golden, j)
-
-    # tag pages (seeds) --------------------------------------------------
+        add_desc(f"https://{_host_for(j * 7)}/list/{j}", "list", j)
     n_tags = (n_lists + FANOUT - 1) // FANOUT
     seed_urls: list[str] = []
     for k in range(n_tags):
-        host = _host_for(k * 13 + 1)
-        url = f"https://{host}/tag/{k}"
-        links = []
-        golden_links = []
+        url = f"https://{_host_for(k * 13 + 1)}/tag/{k}"
+        add_desc(url, "tag", k)
+        seed_urls.append(url)
+
+    def render(kind: str, ident: int) -> tuple[str, str, int]:
+        """→ (html, golden_text, filter_index) for one page."""
+        if kind == "detail":
+            i = ident
+            f = _detail_fields(i, _clean_text(doc_text[i % n_base]))
+            golden = (
+                "" if (i % 37 == 0 or i % 41 == 0)
+                else json.dumps(f, ensure_ascii=False, sort_keys=True)
+            )
+            return _detail_html(i, f), golden, i
+        if kind == "list":
+            j = ident
+            links, golden_links = [], []
+            for i in range(j * FANOUT, min((j + 1) * FANOUT, n_docs)):
+                durl = f"https://{_host_for(i)}/detail/{i}"
+                links.append(f'<a class="item" href="{durl}" title="title-{i:06d}">d{i}</a>')
+                golden_links.append(durl)
+            if j % 11 == 0:  # robots-disallowed link fraction
+                durl = f"https://{_host_for(j * 7)}/private/{j}"
+                links.append(f'<a class="item" href="{durl}" title="private-{j}">p</a>')
+                golden_links.append(durl)
+            html = "<html><body><ul>" + "".join(links) + "</ul></body></html>"
+            golden = "" if (j % 37 == 0 or j % 41 == 0) else "\n".join(golden_links)
+            return html, golden, j
+        k = ident
+        links, golden_links = [], []
         for j in range(k * FANOUT, min((k + 1) * FANOUT, n_lists)):
             lurl = f"https://{_host_for(j * 7)}/list/{j}"
             links.append(f'<a href="{lurl}" class="tag">t{j}</a>')
             golden_links.append(lurl)
         html = "<html><body>" + "".join(links) + "</body></html>"
-        # seeds are never ban/short: i chosen so neither fraction triggers
-        add_page(url, html, "\n".join(golden_links), k * 37 * 41 + 1)
-        seed_urls.append(url)
+        # seeds are never ban/short: index chosen so neither fraction triggers
+        return html, "\n".join(golden_links), k * 37 * 41 + 1
 
-    ts = pa.array(
-        np.arange(len(urls), dtype=np.int64) + EPOCH_US // 1, type=pa.timestamp("us")
+    descriptors.sort(key=lambda d: d[0])
+    row_group_size = max(256, min(1024, len(descriptors) // 32))
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
     )
-    pages = pa.table(
-        {
-            "url": pa.array(urls, type=pa.string()),
-            "warc_ts": ts,
-            "html": pa.array(htmls, type=pa.binary()),
-            "text": pa.array(texts, type=pa.string()),
-            "lang": pa.array(langs, type=pa.string()),
-        }
-    )
-    # Sorted by url: the fetch stage's row-group stats index (stages/fetch.py)
-    # binary-searches Parquet min/max url stats, which requires a globally
-    # sorted layout. Multiple row groups so reads split into parallel blocks.
-    pages = pages.sort_by("url")
-    pq.write_table(
-        pages,
-        os.path.join(corpus.pages, "part-0.parquet"),
-        row_group_size=max(256, len(urls) // 32),
-    )
+    with pq.ParquetWriter(os.path.join(corpus.pages, "part-0.parquet"), out_schema) as writer:
+        for start in range(0, len(descriptors), row_group_size):
+            batch = descriptors[start : start + row_group_size]
+            urls, htmls, texts, langs, tss = [], [], [], [], []
+            for url, kind, ident, pidx in batch:
+                html, golden, fi = render(kind, ident)
+                if fi % 37 == 0:  # ban-page fraction
+                    html = html.replace("<body>", f"<body>{BAN_STRING}")
+                if fi % 41 != 0:  # short-page fraction stays < 6000 bytes
+                    deficit = MIN_BODY_BYTES - len(html.encode())
+                    if deficit > 0:
+                        html += "<!--" + "x" * deficit + "-->"
+                urls.append(url)
+                htmls.append(html.encode())
+                texts.append(golden)
+                langs.append("zh" if fi % 3 == 0 else "en")
+                tss.append(EPOCH_US + pidx)
+            writer.write_table(
+                pa.table(
+                    {
+                        "url": pa.array(urls, pa.string()),
+                        "warc_ts": pa.array(tss, pa.timestamp("us")),
+                        "html": pa.array(htmls, pa.binary()),
+                        "text": pa.array(texts, pa.string()),
+                        "lang": pa.array(langs, pa.string()),
+                    }
+                ),
+                row_group_size=row_group_size,
+            )
 
     seeds = pa.table(
         {
@@ -236,7 +257,7 @@ def synth_corpus(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> Cor
     # models a longer virtual window) so the iteration count stays roughly
     # constant across sf while per-iteration work scales — politeness deferral
     # is still exercised because list pages emit children in bursts.
-    default_budget = max(6, n_docs // 100)
+    default_budget = max(6, n_docs // budget_divisor)
     politeness = {
         "default": {"max_per_iter": default_budget, "disallow": ["/private"]},
         "hosts": {

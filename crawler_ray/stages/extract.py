@@ -46,6 +46,7 @@ FRONTIER_FIELDS = [
     ("carry", pa.string()),
     ("ts", pa.timestamp("us")),
     ("payload", pa.string()),
+    ("outcome", pa.string()),
 ]
 EXTRACT_SCHEMA = pa.schema(FRONTIER_FIELDS)
 
@@ -84,13 +85,13 @@ class Extractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: dict[str, list] = {name: [] for name, _ in FRONTIER_FIELDS}
 
-        def emit(kind, url, depth=0, priority=0, seq=b"", attempt=0, rule="",
-                 carry="{}", ts=None, payload=None):
+        def emit(kind, url, host="", key="", h64=0, depth=0, priority=0, seq=b"",
+                 attempt=0, rule="", carry="{}", ts=None, payload=None, outcome=""):
             out["kind"].append(kind)
             out["url"].append(url)
-            out["host"].append("")
-            out["key"].append("")
-            out["h64"].append(0)
+            out["host"].append(host)
+            out["key"].append(key)
+            out["h64"].append(h64)
             out["depth"].append(depth)
             out["priority"].append(priority)
             out["seq"].append(seq)
@@ -99,6 +100,7 @@ class Extractor:
             out["carry"].append(carry)
             out["ts"].append(ts)
             out["payload"].append(payload)
+            out["outcome"].append(outcome)
 
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
@@ -160,6 +162,126 @@ def make_extract_fn(task: TaskSpec):
         if ex is None:
             ex = _EXTRACTOR_CACHE[task.name] = Extractor(task)
         return ex(batch)
+
+    return fn
+
+
+class FetchExtract:
+    """Fused fetch → outcome-classify → extract stage for the iterative
+    driver: one ``map_batches`` pass per generation, so the raw ``html``
+    bytes never enter the object store — a batch's pages are fetched,
+    classified and parsed inside one task, and only the (small) derived rows
+    flow on. Emits a union table with ``kind`` ∈:
+
+    - ``order``: one row per attempted fetch with its outcome (the crawl
+      schedule record, engine/crawler.go:95-120)
+    - ``failed``: full frontier columns for missing/banned rows (the
+      unmark-and-requeue path, engine/crawler.go:179-194); short bodies get
+      an order row only (dropped but stay visited)
+    - ``frontier`` / ``item`` / ``text``: the extract outputs (ok rows)
+    """
+
+    def __init__(self, pages_dir: str, task: TaskSpec):
+        from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES
+        from crawler_ray.stages.fetch import SimulatedFetcher
+
+        self.fetcher = SimulatedFetcher(pages_dir)
+        self.extractor = Extractor(task)
+        self.ban = BAN_STRING
+        self.min_bytes = MIN_BODY_BYTES
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fetched = self.fetcher(batch)
+        htmls = fetched.column("html").to_pylist()
+        tss = fetched.column("warc_ts").to_pylist()
+        cols = {
+            name: fetched.column(name).to_pylist()
+            for name in ("url", "host", "key", "h64", "depth", "priority", "seq",
+                         "attempt", "rule", "carry")
+        }
+
+        out: dict[str, list] = {name: [] for name, _ in FRONTIER_FIELDS}
+
+        def emit(kind, i, *, rule=None, ts=None, payload=None, outcome="",
+                 url=None, depth=None, priority=None, seq=None, carry=None,
+                 attempt=None):
+            out["kind"].append(kind)
+            out["url"].append(url if url is not None else cols["url"][i])
+            out["host"].append(cols["host"][i])
+            out["key"].append(cols["key"][i])
+            out["h64"].append(cols["h64"][i])
+            out["depth"].append(depth if depth is not None else cols["depth"][i])
+            out["priority"].append(priority if priority is not None else cols["priority"][i])
+            out["seq"].append(seq if seq is not None else cols["seq"][i])
+            out["attempt"].append(attempt if attempt is not None else cols["attempt"][i])
+            out["rule"].append(rule if rule is not None else cols["rule"][i])
+            out["carry"].append(carry if carry is not None else cols["carry"][i])
+            out["ts"].append(ts)
+            out["payload"].append(payload)
+            out["outcome"].append(outcome)
+
+        rules = self.extractor.rules
+        for i in range(len(htmls)):
+            html = htmls[i]
+            if html is None:
+                outcome = "missing"
+            else:
+                body = html.decode("utf-8", errors="replace")
+                if self.ban in body:
+                    outcome = "banned"
+                elif len(html) < self.min_bytes:
+                    outcome = "short"
+                else:
+                    outcome = "ok"
+            emit("order", i, outcome=outcome)
+            if outcome in ("missing", "banned"):
+                emit("failed", i, outcome=outcome)
+                continue
+            if outcome == "short":
+                continue
+            rule = rules.get(cols["rule"][i])
+            if rule is None:
+                continue  # unknown rule: dropped (missing Trunk entry)
+            carry = json.loads(cols["carry"][i]) if cols["carry"][i] else {}
+            children, item = rule.extract(cols["url"][i], body, carry)
+            spec = rule.spec
+            for idx, (child_url, child_carry) in enumerate(children):
+                emit(
+                    "frontier", i,
+                    url=child_url,
+                    depth=cols["depth"][i] + 1,
+                    priority=spec.child_priority,
+                    seq=cols["seq"][i] + idx.to_bytes(4, "big"),
+                    rule=spec.next_rule or "",
+                    carry=json.dumps(child_carry, ensure_ascii=False, sort_keys=True),
+                    attempt=0,  # children start fresh regardless of parent retries
+                )
+            if item is not None:
+                payload = json.dumps(item, ensure_ascii=False, sort_keys=True)
+                emit("item", i, ts=tss[i], payload=payload)
+            if spec.kind == "link_extract":
+                text = "\n".join(u for u, _ in children)
+            elif spec.kind == "predicate_extract":
+                text = cols["url"][i] if item is not None else ""
+            else:
+                text = json.dumps(item, ensure_ascii=False, sort_keys=True)
+            emit("text", i, ts=tss[i], payload=text)
+
+        arrays = [pa.array(out[name], type=typ) for name, typ in FRONTIER_FIELDS]
+        return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
+
+
+_FETCH_EXTRACT_CACHE: dict[tuple[str, str], FetchExtract] = {}
+
+
+def make_fetch_extract_fn(pages_dir: str, task: TaskSpec):
+    """Per-worker-process cached FetchExtract task fn."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fe = _FETCH_EXTRACT_CACHE.get((pages_dir, task.name))
+        if fe is None:
+            fe = _FETCH_EXTRACT_CACHE[(pages_dir, task.name)] = FetchExtract(pages_dir, task)
+        return fe(batch)
 
     return fn
 

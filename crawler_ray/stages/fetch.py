@@ -40,22 +40,42 @@ import pyarrow.parquet as pq
 class SimulatedFetcher:
     """Actor-pool ``map_batches`` stage: stateful setup once per actor."""
 
+    URL_WIDTH = 96  # fixed-width membership index entry (urls here ≤ ~60 B)
+
     def __init__(self, pages_dir: str, lru_groups: int = 64):
-        # Build the row-group stats index once per actor (__init__, not per
-        # batch): (path, row_group, url_min, url_max) sorted by url_min.
-        index: list[tuple[str, int, str, str]] = []
+        import numpy as np
+
+        # Build the probe index once per worker (__init__, not per batch):
+        # the url column read in file order (the layout is globally
+        # url-sorted — sources/pages.py) doubles as both the membership
+        # index (a sorted fixed-width byte array, ~90 MB per million urls;
+        # absent urls — fetch failures, the hot path on retry generations —
+        # are rejected with one vectorized searchsorted instead of
+        # decompressing a row group to prove absence) and the row-group
+        # boundary index (position // offsets ⇒ (file, group) — no
+        # per-group Parquet statistics calls, which cost seconds per
+        # worker at ~1000 groups). At 10^10 urls this becomes a
+        # per-row-group bloom + footer stats.
+        groups: list[tuple[str, int]] = []  # (path, row_group), file order
+        offsets = [0]  # cumulative first-row position per group
+        url_parts = []
         for name in sorted(os.listdir(pages_dir)):
             if not name.endswith(".parquet"):
                 continue
             path = os.path.join(pages_dir, name)
             md = pq.read_metadata(path)
             for rg in range(md.num_row_groups):
-                col = md.row_group(rg).column(0)  # url is the first column
-                stats = col.statistics
-                index.append((path, rg, stats.min, stats.max))
-        index.sort(key=lambda e: e[2])
-        self.index = index
-        self.mins = [e[2] for e in index]
+                groups.append((path, rg))
+                offsets.append(offsets[-1] + md.row_group(rg).num_rows)
+            url_parts.append(
+                pq.read_table(path, columns=["url"]).column("url").to_numpy(zero_copy_only=False)
+            )
+        self.groups = groups
+        self.offsets = np.array(offsets[1:], dtype=np.int64)  # end position per group
+        all_urls = np.asarray(np.concatenate(url_parts), dtype=f"S{self.URL_WIDTH}")
+        if len(all_urls) > 1 and not (all_urls[:-1] <= all_urls[1:]).all():
+            raise ValueError(f"pages layout under {pages_dir} is not url-sorted")
+        self.url_index = all_urls
         self.files: dict[str, pq.ParquetFile] = {}
         self.lru: OrderedDict[tuple[str, int], dict[str, tuple[bytes, int]]] = OrderedDict()
         self.lru_groups = lru_groups
@@ -85,19 +105,21 @@ class SimulatedFetcher:
         return lookup
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import bisect
+        import numpy as np
 
         urls = batch.column("url").to_pylist()
         htmls: list[bytes | None] = [None] * len(urls)
         tss: list[int | None] = [None] * len(urls)
-        for i, u in enumerate(urls):
-            pos = bisect.bisect_right(self.mins, u) - 1
-            if pos < 0:
-                continue
-            path, rg, _, url_max = self.index[pos]
-            if u > url_max:
-                continue
-            entry = self._group_lookup(path, rg).get(u)
+        # vectorized membership probe: misses never touch row groups
+        probe = np.asarray(urls, dtype=f"S{self.URL_WIDTH}")
+        pos = np.searchsorted(self.url_index, probe)
+        pos_c = np.minimum(pos, len(self.url_index) - 1)
+        exists = self.url_index[pos_c] == probe
+        # row position → row group, vectorized
+        gpos = np.searchsorted(self.offsets, pos_c, side="right")
+        for i in np.flatnonzero(exists):
+            path, rg = self.groups[int(gpos[i])]
+            entry = self._group_lookup(path, rg).get(urls[i])
             if entry is not None:
                 htmls[i], tss[i] = entry
         return batch.append_column(

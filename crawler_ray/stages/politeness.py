@@ -110,15 +110,30 @@ def _re_escape(s: str) -> str:
 def admit_fn(config: PolitenessConfig):
     """``groupby('host').map_groups`` fn: dedup-within-iteration then admit
     the top-``budget`` rows in ``(priority desc, seq asc)`` order; the rest
-    get ``admitted = False`` and defer to the next iteration."""
+    get ``admitted = False`` and defer to the next iteration.
+
+    Sorting happens via numpy lexsort over fixed-width seq bytes — a hot
+    host's group can be hundreds of thousands of rows and pandas
+    object-dtype sorts were the serial straggler of the admission shuffle.
+    """
+    import numpy as np
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["priority", "seq"], ascending=[False, True], kind="mergesort")
-        g = g.drop_duplicates(subset="key", keep="first")
-        budget = config.budget(g["host"].iloc[0]) if len(g) else 0
-        g = g.assign(admitted=False)
-        if budget > 0:
-            g.iloc[: budget, g.columns.get_loc("admitted")] = True
-        return g
+        if not len(g):
+            return g.assign(admitted=False)
+        # (priority desc, seq lexicographic asc): seq is variable-length
+        # bytes where shorter prefixes sort first — right-pad with 0x00 to a
+        # common width, which preserves that order
+        seqs = g["seq"].to_numpy()
+        width = max(len(s) for s in seqs)
+        seq_fixed = np.array([s.ljust(width, b"\0") for s in seqs], dtype=f"S{width}")
+        order = np.lexsort((seq_fixed, -g["priority"].to_numpy()))
+        g = g.iloc[order]
+        keep = ~g["key"].duplicated(keep="first").to_numpy()
+        g = g.iloc[keep]
+        budget = config.budget(g["host"].iloc[0])
+        admitted = np.zeros(len(g), dtype=bool)
+        admitted[:budget] = True
+        return g.assign(admitted=admitted)
 
     return fn

@@ -27,8 +27,11 @@ if TYPE_CHECKING:  # pragma: no cover
     pass
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class SeenShard:
+    # num_cpus=0: probe calls are sub-ms bursts; reserving CPU would carve
+    # the budget out of the Data pool (8 shards × 0.25 starved a 2-cpu
+    # session outright) — shards float and never block a map slot.
     """One hash shard of the URL-seen set."""
 
     def __init__(self, capacity: int = 1 << 20, mode: str = "cuckoo", exact: bool = True):
