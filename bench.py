@@ -34,8 +34,13 @@ CPU_LIMIT = int(os.environ.get("GRAFT_CPU_LIMIT", "16"))
 # Scaling runs use N=2 vs 4N=8 workers — both below the bandwidth ceiling,
 # so the measurement reflects the engine, not the VM's shared-memory-bus
 # contention — and a 4x corpus so compute dominates fixed per-iteration cost.
-SCALING_CPUS = (2, 8)
+_pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
+SCALING_CPUS = (int(_pair[0]), int(_pair[1]))
 SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "160"))
+# skew=0 measures engine scaling without the deliberate 30%-mega-host
+# corpus skew (politeness budgets are semantically serial per host, so the
+# skewed corpus carries an Amdahl floor by construction)
+SCALING_SKEW = os.environ.get("GRAFT_SCALING_SKEW", "1") == "1"
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -84,7 +89,8 @@ def bench_crawl(num_cpus: int) -> dict:
 
     # corpus generation is a one-time fixture cost, not part of the measured
     # pipeline (cached across runs)
-    corpus = synth_corpus(SF_DIR, multiplier=CRAWL_MULT, budget_divisor=BUDGET_DIV)
+    skew = os.environ.get("GRAFT_SCALING_SKEW", "1") == "1"
+    corpus = synth_corpus(SF_DIR, multiplier=CRAWL_MULT, budget_divisor=BUDGET_DIV, skew=skew)
     out = f"/tmp/bench_crawl_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -126,6 +132,7 @@ def main() -> None:
                     os.environ,
                     RAY_GRAFT_CPUS=str(cpus),
                     GRAFT_CRAWL_MULT=str(SCALING_MULT),
+                    GRAFT_SCALING_SKEW="1" if SCALING_SKEW else "0",
                 )
                 # taskset pins the whole process tree to exactly `cpus`
                 # cores: ray.init(num_cpus=N) only caps scheduling slots,

@@ -218,6 +218,10 @@ def run_crawl(
         frontier_tbl = seed_frontier_table(corpus.seeds)
 
     os.makedirs(out_dir, exist_ok=True)
+    # idempotent: covers corpora generated before the index existed
+    from crawler_ray.stages.fetch import build_fetch_index
+
+    build_fetch_index(corpus.pages)
     stats: list[dict] = []
     result = CrawlResult(out_dir=out_dir, iterations=start_iter)
 
@@ -346,7 +350,10 @@ def run_crawl(
         )
 
         t0 = _tick(f"it{it} failures n={n_failed}", t0)
-        nxt = deferred.union(retries).union(children)
+        # coalesce before writing: the 3-way union inherits ~3× the block
+        # count of its inputs and would otherwise checkpoint hundreds of
+        # tiny files per generation (slow to write, slower to re-read)
+        nxt = deferred.union(retries).union(children).repartition(8)
         next_path = os.path.join(ckdir, "next_frontier")
         nxt.write_parquet(next_path)
         n_next = _parquet_rows(next_path)

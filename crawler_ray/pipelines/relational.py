@@ -440,6 +440,57 @@ def brand_size_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def customer_top_order(sf_dir: str) -> rd.Dataset:
+    """Per-group argmax: each customer's single largest order
+    (groupby().map_groups with a numpy argmax — the window-rank pattern)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        cents = (g["o_totalprice"] * 100).round().astype("int64")
+        order = np.lexsort((g["o_orderkey"].to_numpy(), -cents.to_numpy()))
+        i = order[0]
+        return pd.DataFrame(
+            {
+                "o_custkey": [g["o_custkey"].iloc[i]],
+                "o_orderkey": [g["o_orderkey"].iloc[i]],
+                "totalprice_c": [cents.iloc[i]],
+            }
+        )
+
+    return orders.groupby("o_custkey").map_groups(top, batch_format="pandas")
+
+
+def brand_median_size(sf_dir: str) -> rd.Dataset:
+    """Discrete quantile per group (median part size by brand)."""
+    part = _read(sf_dir, "part", ["p_brand", "p_size"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = np.sort(g["p_size"].to_numpy())
+        m = sizes[int((len(sizes) - 1) * 0.5)]  # QUANTILE_DISC(0.5) semantics
+        return pd.DataFrame({"p_brand": [g["p_brand"].iloc[0]], "median_size": np.array([m], np.int64)})
+
+    return part.groupby("p_brand").map_groups(med, batch_format="pandas")
+
+
+def bulk_orders(sf_dir: str) -> rd.Dataset:
+    """Aggregate + HAVING: orders whose total quantity exceeds 100 (partial
+    combiner before the groupby, vectorized post-filter)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    ds = li.map_batches(
+        _partial_groupby(["l_orderkey"], [("l_quantity", "sum", "l_quantity")]),
+        batch_format="pyarrow",
+    )
+    agg = _global_sum(ds, ["l_orderkey"], ["l_quantity"])
+    return agg.map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {"o_orderkey": f["l_orderkey"], "sum_qty": pc.cast(f["l_quantity"], pa.int64())}
+            )
+        )(t.filter(pc.greater(t["l_quantity"], 100.0))),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_revenue_filter": q6_revenue_filter,
@@ -456,9 +507,28 @@ QUERIES = {
     "top_events_by_value": top_events_by_value,
     "events_props_sum": events_props_sum,
     "brand_size_stats": brand_size_stats,
+    "customer_top_order": customer_top_order,
+    "brand_median_size": brand_median_size,
+    "bulk_orders": bulk_orders,
 }
 
 ORACLE_SQL = {
+    "customer_top_order": """
+        SELECT o_custkey, o_orderkey,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey) = 1
+    """,
+    "brand_median_size": """
+        SELECT p_brand, CAST(QUANTILE_DISC(p_size, 0.5) AS BIGINT) AS median_size
+        FROM part GROUP BY p_brand
+    """,
+    "bulk_orders": """
+        SELECT l_orderkey AS o_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 100
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,

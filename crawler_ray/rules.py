@@ -257,3 +257,67 @@ SYNTH_TASK = TaskSpec(
 BUILTIN_TASKS: dict[str, TaskSpec] = {
     t.name: t for t in (DOUBAN_BOOK, DOUBAN_GROUP, SYNTH_TASK)
 }
+
+
+# --------------------------------------------------------------------------
+# Rules as data (R10/S4 parity): the reference's extension surface is rules
+# shipped as JS source strings interpreted at runtime
+# (engine/crawler_store.go:33-88, TaskModel collect/task.go:16-22). Both
+# shipped JS rules are parameterized link/predicate extracts, so the
+# serializable form here is a table of RuleSpec rows (FIXTURES.md §3) — a
+# user ships a Parquet/JSON rule table instead of code, and the one generic
+# vectorized extract operator interprets it.
+# --------------------------------------------------------------------------
+
+
+def task_to_rows(task: TaskSpec) -> list[dict]:
+    rows = []
+    for spec in task.rules.values():
+        rows.append(
+            {
+                "task": spec.task,
+                "name": spec.name,
+                "kind": spec.kind,
+                "regex": spec.regex,
+                "url_prefix": spec.url_prefix,
+                "next_rule": spec.next_rule,
+                "per_page_limit": spec.per_page_limit,
+                "carry_field": spec.carry_field,
+                "field_regexes": dict(spec.field_regexes),
+                "int_fields": list(spec.int_fields),
+                "item_fields": list(spec.item_fields),
+                "child_priority": spec.child_priority,
+                "max_depth": task.max_depth,
+                "reload": task.reload,
+            }
+        )
+    return rows
+
+
+def task_from_rows(rows: list[dict]) -> TaskSpec:
+    """Rebuild a TaskSpec from its tabular form (inverse of task_to_rows)."""
+    if not rows:
+        raise ValueError("empty rule table")
+    rules = {}
+    for r in rows:
+        rules[r["name"]] = RuleSpec(
+            task=r["task"],
+            name=r["name"],
+            kind=r["kind"],
+            regex=r.get("regex"),
+            url_prefix=r.get("url_prefix") or "",
+            next_rule=r.get("next_rule"),
+            per_page_limit=r.get("per_page_limit"),
+            carry_field=r.get("carry_field"),
+            field_regexes=dict(r.get("field_regexes") or {}),
+            int_fields=tuple(r.get("int_fields") or ()),
+            item_fields=tuple(r.get("item_fields") or ()),
+            child_priority=int(r.get("child_priority") or 0),
+        )
+    first = rows[0]
+    return TaskSpec(
+        name=first["task"],
+        rules=rules,
+        max_depth=int(first.get("max_depth", 5)),
+        reload=bool(first.get("reload", False)),
+    )

@@ -54,9 +54,14 @@ MIN_BODY_BYTES = 6000  # engine/crawler.go:113-120
 _KNUTH = 2654435761
 
 
+_SKEWED = True  # module-level switch set by synth_corpus
+
+
 def _host_for(i: int) -> str:
-    # ~30% of detail pages land on one mega-host (skew on purpose, FIXTURES.md §1)
-    if i % 10 < 3:
+    # ~30% of detail pages land on one mega-host (skew on purpose,
+    # FIXTURES.md §1); the uniform variant isolates engine scaling from the
+    # semantic serialization a hot host imposes on per-host politeness
+    if _SKEWED and i % 10 < 3:
         return "host00.example.com"
     return f"host{1 + (i * _KNUTH) % (NUM_HOSTS - 1):02d}.example.com"
 
@@ -112,18 +117,22 @@ def synth_corpus(
     cache_root: str = "/tmp/crawler_ray_cache",
     multiplier: int = 1,
     budget_divisor: int = 100,
+    skew: bool = True,
 ) -> Corpus:
     """Synthesize (or reuse cached) corpus for one sf directory.
 
     ``multiplier`` replicates the document set to scale the page count
     (bench corpora); ``budget_divisor`` sets per-host politeness budget =
-    n_docs // divisor (smaller divisor ⇒ fewer, heavier crawl generations).
+    n_docs // divisor (smaller divisor ⇒ fewer, heavier crawl generations);
+    ``skew=False`` drops the 30% mega-host (uniform host distribution).
     """
+    global _SKEWED
+    _SKEWED = skew
     docs_path = os.path.join(sf_dir, "documents.parquet")
     n_docs = pq.read_metadata(docs_path).num_rows * multiplier
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}_v{GEN_VERSION}_{n_docs}"
-        f"_b{budget_divisor}"
+        f"_b{budget_divisor}" + ("" if skew else "_uniform")
     )
     root = os.path.join(cache_root, tag)
     corpus = Corpus(
@@ -271,6 +280,11 @@ def synth_corpus(
     }
     with open(corpus.politeness, "w") as fh:
         json.dump(politeness, fh)
+
+    # persist the fetch probe index (memory-mapped by every fetch worker)
+    from crawler_ray.stages.fetch import build_fetch_index
+
+    build_fetch_index(corpus.pages)
 
     with open(done_marker, "w") as fh:
         fh.write("ok")

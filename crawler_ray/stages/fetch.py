@@ -43,7 +43,25 @@ class SimulatedFetcher:
     URL_WIDTH = 96  # fixed-width membership index entry (urls here ≤ ~60 B)
 
     def __init__(self, pages_dir: str, lru_groups: int = 64):
+        import json
+
         import numpy as np
+
+        # Fast path: a persisted index (written by build_fetch_index, e.g.
+        # at corpus-generation time) is memory-mapped — microseconds to
+        # attach, one physical copy in page cache shared by every worker on
+        # the node, and immune to Ray's idle-worker recycling between
+        # generations (a cold rebuild costs seconds per fresh worker).
+        idx_dir = os.path.join(pages_dir, "_fetch_index")
+        if os.path.exists(os.path.join(idx_dir, "_DONE")):
+            self.url_index = np.load(os.path.join(idx_dir, "urls.npy"), mmap_mode="r")
+            self.offsets = np.load(os.path.join(idx_dir, "offsets.npy"))
+            with open(os.path.join(idx_dir, "groups.json")) as fh:
+                self.groups = [tuple(g) for g in json.load(fh)]
+            self.files = {}
+            self.lru = OrderedDict()
+            self.lru_groups = lru_groups
+            return
 
         # Build the probe index once per worker (__init__, not per batch):
         # the url column read in file order (the layout is globally
@@ -125,6 +143,25 @@ class SimulatedFetcher:
         return batch.append_column(
             "html", pa.array(htmls, type=pa.binary())
         ).append_column("warc_ts", pa.array(tss, type=pa.int64()).cast(pa.timestamp("us")))
+
+
+def build_fetch_index(pages_dir: str) -> None:
+    """Persist the fetch probe index next to the corpus (idempotent)."""
+    import json
+
+    import numpy as np
+
+    idx_dir = os.path.join(pages_dir, "_fetch_index")
+    if os.path.exists(os.path.join(idx_dir, "_DONE")):
+        return
+    os.makedirs(idx_dir, exist_ok=True)
+    f = SimulatedFetcher(pages_dir)  # cold build
+    np.save(os.path.join(idx_dir, "urls.npy"), np.asarray(f.url_index))
+    np.save(os.path.join(idx_dir, "offsets.npy"), f.offsets)
+    with open(os.path.join(idx_dir, "groups.json"), "w") as fh:
+        json.dump(f.groups, fh)
+    with open(os.path.join(idx_dir, "_DONE"), "w") as fh:
+        fh.write("ok")
 
 
 _FETCHER_CACHE: dict[str, "SimulatedFetcher"] = {}
