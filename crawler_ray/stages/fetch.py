@@ -40,8 +40,6 @@ import pyarrow.parquet as pq
 class SimulatedFetcher:
     """Actor-pool ``map_batches`` stage: stateful setup once per actor."""
 
-    URL_WIDTH = 96  # fixed-width membership index entry (urls here ≤ ~60 B)
-
     def __init__(self, pages_dir: str, lru_groups: int = 64):
         import json
 
@@ -90,7 +88,13 @@ class SimulatedFetcher:
             )
         self.groups = groups
         self.offsets = np.array(offsets[1:], dtype=np.int64)  # end position per group
-        all_urls = np.asarray(np.concatenate(url_parts), dtype=f"S{self.URL_WIDTH}")
+        # UTF-8 bytes, not str→S (which would ascii-encode and reject IRIs);
+        # width = longest url in the corpus, so no truncation on the build
+        # side and numpy's null-padded S comparison equals the byte order
+        # Parquet sorted by (urls contain no NUL)
+        byte_urls = [u.encode("utf-8") for part in url_parts for u in part]
+        width = max((len(b) for b in byte_urls), default=1)
+        all_urls = np.array(byte_urls, dtype=f"S{width}")
         if len(all_urls) > 1 and not (all_urls[:-1] <= all_urls[1:]).all():
             raise ValueError(f"pages layout under {pages_dir} is not url-sorted")
         self.url_index = all_urls
@@ -128,8 +132,12 @@ class SimulatedFetcher:
         urls = batch.column("url").to_pylist()
         htmls: list[bytes | None] = [None] * len(urls)
         tss: list[int | None] = [None] * len(urls)
-        # vectorized membership probe: misses never touch row groups
-        probe = np.asarray(urls, dtype=f"S{self.URL_WIDTH}")
+        # vectorized membership probe: misses never touch row groups.
+        # Probe urls longer than the index width truncate silently — a
+        # truncated prefix can only false-positive into one group read,
+        # where the exact .get() still reports the miss.
+        width = self.url_index.dtype.itemsize
+        probe = np.array([u.encode("utf-8")[:width] for u in urls], dtype=f"S{width}")
         pos = np.searchsorted(self.url_index, probe)
         pos_c = np.minimum(pos, len(self.url_index) - 1)
         exists = self.url_index[pos_c] == probe

@@ -1,0 +1,104 @@
+"""End-to-end: the douban-book rule chain through the distributed engine,
+fed by the reference's own golden HTML corpus.
+
+This reproduces the reference's TestBody flow (``collect/request.go:25-26``,
+``engine/crawler.go:95-97``, task wiring ``parse/doubangroup/dobuan_book.go``)
+as a real crawl: the three golden pages become the pages table, the
+index-page url is the seed, and the engine must walk
+tag → book-list → book-detail, carry 书名 across the hop, dedup the repeated
+subject links via the seen-set, and emit exactly the reference's items.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawler_ray.pipelines.crawl import run_crawl
+from crawler_ray.rules import DOUBAN_BOOK
+from crawler_ray.sources.pages import Corpus
+
+REF = "/root/reference/testhtml"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference corpus absent")
+
+TAGS = ["小说", "随笔", "日本文学"]
+SUBJECTS = ["35534519", "36104107", "36710597"]
+TITLES = {"35534519": "素食者", "36104107": "长安的荔枝", "36710597": "食南之徒"}
+
+
+@pytest.fixture(scope="module")
+def douban_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("douban_corpus")
+    pages_dir = root / "pages"
+    pages_dir.mkdir()
+
+    def read(name: str) -> bytes:
+        with open(os.path.join(REF, name), "rb") as fh:
+            return fh.read()
+
+    rows = [("https://book.douban.com", read("index.html"))]
+    rows += [(f"https://book.douban.com/tag/{t}", read("fiction_tag.html")) for t in TAGS]
+    rows += [(f"https://book.douban.com/subject/{s}/", read("book_detail.html")) for s in SUBJECTS]
+    rows.sort(key=lambda r: r[0])  # fetch index requires url-sorted layout
+    tbl = pa.table(
+        {
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "warc_ts": pa.array(range(len(rows)), pa.timestamp("us")),
+            "html": pa.array([b for _, b in rows], pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array(["zh"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(pages_dir / "part-0.parquet"), row_group_size=4)
+
+    seeds = pa.table(
+        {
+            "url": pa.array(["https://book.douban.com"], pa.string()),
+            "priority": pa.array([1], pa.int32()),  # douban seeds use Priority 1
+            "rule": pa.array(["tag"], pa.string()),
+            "depth": pa.array([0], pa.int32()),
+            "seq": pa.array([0], pa.int64()),
+        }
+    )
+    pq.write_table(seeds, str(root / "seeds.parquet"))
+    with open(root / "politeness.json", "w") as fh:
+        json.dump({"default": {"max_per_iter": 100, "disallow": []},
+                   "hosts": {}, "max_depth": 5, "max_attempts": 2}, fh)
+    return Corpus(
+        root=str(root),
+        pages=str(pages_dir),
+        seeds=str(root / "seeds.parquet"),
+        politeness=str(root / "politeness.json"),
+        n_docs=len(rows),
+    )
+
+
+def test_douban_book_chain_end_to_end(ray_session, douban_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("douban_out"))
+    res = run_crawl(douban_corpus, task=DOUBAN_BOOK, out_dir=out, max_iterations=10)
+
+    items = res.items_dataset("book_detail")
+    assert items is not None
+    df = items.to_pandas().sort_values("url").reset_index(drop=True)
+    # one item per distinct subject url — the 3 tag pages all link the same
+    # 3 subjects; the seen-set collapses the 9 candidate fetches to 3
+    assert list(df["url"]) == [f"https://book.douban.com/subject/{s}/" for s in SUBJECTS]
+    # carried 书名 survives the list→detail hop (TmpData semantics)
+    assert list(df["书名"]) == [TITLES[s] for s in SUBJECTS]
+    # detail fields byte-equal the conformance goldens, incl. whitespace
+    assert set(df["作者"]) == {"[韩] 韩江"}
+    assert set(df["页数"]) == {208}
+    assert set(df["得分"]) == {" 8.1 "}
+    assert set(df["价格"]) == {" 48"}
+    assert set(df["出版社"]) == {"四川文艺出版社"}
+
+    # schedule: 1 index + 3 tag pages + 3 subject pages, all ok
+    order = res.order_dataset().to_pandas()
+    assert len(order) == 7
+    assert set(order.outcome) == {"ok"}
+    # priority-1 seed scheduled in generation 0, alone
+    assert (order[order.iteration == 0].url == "https://book.douban.com").all()
