@@ -587,9 +587,9 @@ ORACLE_SQL = {
     """,
     "customer_running_total": """
         SELECT o_orderkey, o_custkey,
-               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
         FROM orders
     """,
     "user_sessions": """
@@ -611,7 +611,7 @@ ORACLE_SQL = {
     """,
     "events_props_sum": """
         SELECT event_type,
-               SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+               CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type
     """,
     "brand_size_stats": """
