@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -51,6 +52,9 @@ from crawler_ray.stages.extract import (
 )
 from crawler_ray.stages.politeness import PolitenessConfig, admit_fn, robots_filter_fn
 from crawler_ray.stages.seen import SeenSet, seen_filter_fn
+
+# full seen-set compaction cadence; iterations in between checkpoint deltas
+SEEN_COMPACT_EVERY = 8
 
 FRONTIER_COLS = ["url", "host", "key", "h64", "depth", "priority", "seq", "attempt", "rule", "carry"]
 _FRONTIER_TYPES = {
@@ -157,12 +161,22 @@ def _latest_complete_iter(out_dir: str) -> int | None:
             continue
         mpath = os.path.join(out_dir, d, "manifest.json")
         if os.path.exists(mpath):
-            with open(mpath) as fh:
-                m = json.load(fh)
+            try:
+                with open(mpath) as fh:
+                    m = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                # truncated manifest from a crash mid-write (pre-atomic-rename
+                # checkpoints); fall back to the previous complete iteration
+                continue
             if m.get("complete"):
                 i = int(m["iteration"])
                 best = i if best is None or i > best else best
     return best
+
+
+def _read_manifest(out_dir: str, it: int) -> dict:
+    with open(os.path.join(out_dir, f"iter_{it:04d}", "manifest.json")) as fh:
+        return json.load(fh)
 
 
 def run_crawl(
@@ -189,6 +203,27 @@ def run_crawl(
         max_depth=min(cfg.max_depth, task.max_depth),
         max_attempts=cfg.max_attempts,
     )
+
+    start_iter = 0
+    frontier_tbl: pa.Table | None = None
+    frontier_path: str | None = None
+    last: int | None = None
+    if resume:
+        last = _latest_complete_iter(out_dir)
+        if last is not None:
+            m = _read_manifest(out_dir, last)
+            # shard layout must match the checkpoint: h64 % num_shards routing
+            # and the shard_*.npz contents were written with the recorded
+            # count — resuming under a different one silently corrupts the
+            # seen set, so the manifest wins over the argument
+            num_seen_shards = int(m.get("num_seen_shards", num_seen_shards))
+            seen_mode = m.get("seen_mode", seen_mode)
+            exact_seen = bool(m.get("exact_seen", exact_seen))
+            frontier_path = os.path.join(out_dir, f"iter_{last:04d}", "next_frontier")
+            start_iter = last + 1
+    if frontier_path is None:
+        frontier_tbl = seed_frontier_table(corpus.seeds)
+
     if seen_capacity is None:
         # size shards to ~4× the page count (cuckoo wants ≤95% load); at
         # 10^10 URLs this is the knob that picks the shard count instead
@@ -199,23 +234,27 @@ def run_crawl(
         mode=seen_mode,
         exact=exact_seen,
     )
-
-    start_iter = 0
-    frontier_tbl: pa.Table | None = None
-    frontier_path: str | None = None
-    if resume:
-        last = _latest_complete_iter(out_dir)
-        if last is not None:
-            ck = os.path.join(out_dir, f"iter_{last:04d}")
-            states = []
+    if resume and last is not None:
+        # restore = newest full dump at j ≤ last, then replay the per-
+        # generation deltas (j, last] in order (checkpoints are incremental —
+        # O(new keys) per generation — with a full compaction every
+        # SEEN_COMPACT_EVERY iterations)
+        j = last
+        while j > 0 and _read_manifest(out_dir, j).get("seen_kind", "full") != "full":
+            j -= 1
+        ck = os.path.join(out_dir, f"iter_{j:04d}")
+        states = []
+        for s in range(num_seen_shards):
+            with np.load(os.path.join(ck, "seen", f"shard_{s}.npz"), allow_pickle=True) as z:
+                states.append(json.loads(str(z["meta"])) | {k: z[k] for k in z.files if k != "meta"})
+        seen.restore([_unpack_shard_state(st) for st in states])
+        for i in range(j + 1, last + 1):
+            seendir = os.path.join(out_dir, f"iter_{i:04d}", "seen")
+            deltas = []
             for s in range(num_seen_shards):
-                with np.load(os.path.join(ck, "seen", f"shard_{s}.npz"), allow_pickle=True) as z:
-                    states.append(json.loads(str(z["meta"])) | {k: z[k] for k in z.files if k != "meta"})
-            seen.restore([_unpack_shard_state(st) for st in states])
-            frontier_path = os.path.join(ck, "next_frontier")
-            start_iter = last + 1
-    if frontier_path is None:
-        frontier_tbl = seed_frontier_table(corpus.seeds)
+                with np.load(os.path.join(seendir, f"delta_{s}.npz")) as z:
+                    deltas.append({"added": z["added"], "removed": z["removed"]})
+            seen.apply_delta(deltas)
 
     os.makedirs(out_dir, exist_ok=True)
     # idempotent: covers corpora generated before the index existed
@@ -237,7 +276,13 @@ def run_crawl(
 
     for it in range(start_iter, max_iterations):
         ckdir = os.path.join(out_dir, f"iter_{it:04d}")
-        os.makedirs(ckdir, exist_ok=True)
+        # a mid-iteration crash leaves partial parquet behind, and Ray's
+        # write_parquet APPENDS uuid-named files rather than overwriting —
+        # re-running an incomplete generation would double every output row
+        # (ADVICE r1, high). The manifest is written last, so an iter dir
+        # without one is by definition incomplete: recreate it.
+        shutil.rmtree(ckdir, ignore_errors=True)
+        os.makedirs(ckdir)
         t0 = time.time()
 
         if frontier_path is not None:
@@ -328,16 +373,26 @@ def run_crawl(
             _cast_frontier, batch_format="pyarrow"
         )
 
-        # failure path: unmark + requeue (attempt+1 < max_attempts); one
-        # streaming pass collects the (small) failed key set for the shards
-        failures = ex_mat.map_batches(_keep("kind", "failed"), batch_format="pyarrow")
-        fail_parts = [
-            b.column("h64").to_numpy(zero_copy_only=False).astype(np.uint64)
-            for b in failures.select_columns(["h64"]).iter_batches(batch_format="pyarrow", batch_size=65536)
-        ]
+        # failure path: unmark + requeue (attempt+1 < max_attempts). The
+        # failed key set comes from the order parquet ALREADY on local disk
+        # (outcome ∈ missing/banned ⟺ kind=failed) — a footer-level column
+        # read, no extra Ray execution pass (the r1 iter_batches collection
+        # was one of the per-generation fixed costs hurting scaling)
+        fail_parts = []
+        odir = os.path.join(ckdir, "order")
+        if os.path.isdir(odir):
+            bad = pa.array(["missing", "banned"])
+            for f in os.listdir(odir):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(odir, f), columns=["h64", "outcome"])
+                    mask = pc.is_in(t.column("outcome"), value_set=bad)
+                    fail_parts.append(
+                        t.column("h64").filter(mask).to_numpy(zero_copy_only=False).astype(np.uint64)
+                    )
         n_failed = int(sum(len(p) for p in fail_parts))
         if n_failed:
             seen.remove(np.concatenate(fail_parts))
+        failures = ex_mat.map_batches(_keep("kind", "failed"), batch_format="pyarrow")
         retries = failures.map_batches(
             lambda t: _cast_frontier(
                 t.set_column(
@@ -359,12 +414,21 @@ def run_crawl(
         n_next = _parquet_rows(next_path)
         t0 = _tick(f"it{it} frontier write n={n_next}", t0)
 
-        # seen-shard checkpoint
+        # seen-shard checkpoint: delta (O(keys touched this generation)) with
+        # a full compaction every SEEN_COMPACT_EVERY iterations — the r1
+        # full-dump-per-generation was O(total seen) I/O each iteration,
+        # quadratic over a long crawl
         seendir = os.path.join(ckdir, "seen")
         os.makedirs(seendir, exist_ok=True)
-        for s, st in enumerate(seen.dump()):
-            _save_shard_state(os.path.join(seendir, f"shard_{s}.npz"), st)
-        t0 = _tick(f"it{it} seen dump", t0)
+        seen_kind = "full" if it % SEEN_COMPACT_EVERY == 0 else "delta"
+        if seen_kind == "full":
+            for s, st in enumerate(seen.dump()):
+                _save_shard_state(os.path.join(seendir, f"shard_{s}.npz"), st)
+        else:
+            for s, d in enumerate(seen.dump_delta()):
+                np.savez(os.path.join(seendir, f"delta_{s}.npz"),
+                         added=d["added"], removed=d["removed"])
+        t0 = _tick(f"it{it} seen dump ({seen_kind})", t0)
 
         iter_stats = {
             "iteration": it,
@@ -373,11 +437,19 @@ def run_crawl(
             "items": n_items,
             "next_frontier": n_next,
             "seen": seen.count(),
+            "seen_kind": seen_kind,
+            "num_seen_shards": num_seen_shards,
+            "seen_mode": seen_mode,
+            "exact_seen": exact_seen,
             "input_sig": f"{corpus.root}:{corpus.n_docs}",
             "complete": True,
         }
-        with open(os.path.join(ckdir, "manifest.json"), "w") as fh:
+        # atomic rename: a crash mid-dump must not leave truncated JSON that
+        # a later resume would trip over (ADVICE r1)
+        mpath = os.path.join(ckdir, "manifest.json")
+        with open(mpath + ".tmp", "w") as fh:
             json.dump(iter_stats, fh)
+        os.replace(mpath + ".tmp", mpath)
         stats.append(iter_stats)
         result.iterations = it + 1
 

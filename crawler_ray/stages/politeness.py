@@ -122,12 +122,16 @@ def admit_fn(config: PolitenessConfig):
         if not len(g):
             return g.assign(admitted=False)
         # (priority desc, seq lexicographic asc): seq is variable-length
-        # bytes where shorter prefixes sort first — right-pad with 0x00 to a
-        # common width, which preserves that order
+        # bytes where shorter prefixes sort first. Right-padding with 0x00
+        # ties a seq with its own zero-extension (b'\x01' vs b'\x01\x00...'),
+        # so original length joins the lexsort as the final tie-break —
+        # together (padded bytes, length) reproduces Python bytes ordering
+        # exactly, prefixes first (ADVICE r1)
         seqs = g["seq"].to_numpy()
-        width = max(len(s) for s in seqs)
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=len(seqs))
+        width = max(1, int(lens.max()))
         seq_fixed = np.array([s.ljust(width, b"\0") for s in seqs], dtype=f"S{width}")
-        order = np.lexsort((seq_fixed, -g["priority"].to_numpy()))
+        order = np.lexsort((lens, seq_fixed, -g["priority"].to_numpy()))
         g = g.iloc[order]
         keep = ~g["key"].duplicated(keep="first").to_numpy()
         g = g.iloc[keep]

@@ -9,22 +9,25 @@ uint64 set on the verification path.
 Probing happens *inside* ``map_batches`` tasks: the stage function partitions
 a batch's keys by shard, issues one ``check_and_add`` / ``contains`` RPC per
 shard concurrently, and reassembles the row mask — one round-trip per
-(batch × shard), not per row. The actors are the only mutable state in the
-engine and serialize to numpy state dicts for checkpointing.
+(batch × shard), not per row. Within a shard every probe/insert is a
+vectorized numpy pass (searchsorted over sorted key runs, gather-compare over
+cuckoo buckets) — the r1 per-row ``int(k) in set`` loops were the
+serialization point at 10^10-URL scale.
+
+Checkpointing: shards track per-generation deltas (keys added / removed since
+the last dump) so the driver persists O(new URLs this generation) per
+checkpoint instead of re-dumping the full set every iteration (which was
+quadratic over a long crawl). ``dump()`` remains for periodic compaction.
+The actors are the only mutable state in the engine.
 """
 
 from __future__ import annotations
-
-from typing import TYPE_CHECKING
 
 import numpy as np
 import pyarrow as pa
 import ray
 
-from crawler_ray.state.filters import BloomFilter, CuckooFilter
-
-if TYPE_CHECKING:  # pragma: no cover
-    pass
+from crawler_ray.state.filters import BloomFilter, CuckooFilter, SortedKeySet
 
 
 @ray.remote(num_cpus=0)
@@ -40,65 +43,77 @@ class SeenShard:
             self.filter = CuckooFilter(capacity)
         else:
             self.filter = BloomFilter(capacity)
-            self.failed_exact: set[int] = set()  # bloom cannot delete
-        self.exact: set[int] | None = set() if exact else None
+            self.failed_exact = SortedKeySet()  # bloom cannot delete
+        self.exact: SortedKeySet | None = SortedKeySet() if exact else None
+        # per-generation delta log for incremental checkpoints; within one
+        # generation adds strictly precede removes for any key (mark-before-
+        # fetch happens in the fetch stage, unmark-on-failure after), so the
+        # net delta is (added - removed, removed - added)
+        self._d_added: list[np.ndarray] = []
+        self._d_removed: list[np.ndarray] = []
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         """Membership probe WITHOUT insert (cross-iteration pre-filter)."""
+        keys = np.asarray(keys, dtype=np.uint64)
         if self.exact is not None:
-            return np.fromiter((int(k) in self.exact for k in keys), bool, len(keys))
-        if self.mode == "bloom":
-            hit = self.filter.contains_many(keys)
-            if self.failed_exact:
-                unfailed = np.fromiter(
-                    (int(k) not in self.failed_exact for k in keys), bool, len(keys)
-                )
-                hit &= unfailed
-            return hit
-        return np.fromiter((self.filter.contains(int(k)) for k in keys), bool, len(keys))
+            return self.exact.contains(keys)
+        hit = self.filter.contains_many(keys)
+        if self.mode == "bloom" and len(self.failed_exact):
+            hit &= ~self.failed_exact.contains(keys)
+        return hit
 
     def check_and_add(self, keys: np.ndarray) -> np.ndarray:
         """Mark-before-fetch (engine/crawler.go:90): returns already-seen mask;
         unseen keys are inserted atomically (the actor is the serialization
         point, replacing the reference's mutex)."""
-        out = np.empty(len(keys), dtype=bool)
-        if self.exact is not None:
-            for i, k in enumerate(keys):
-                k = int(k)
-                seen = k in self.exact
-                out[i] = seen
-                if not seen:
-                    self.exact.add(k)
-                    if self.mode == "cuckoo":
-                        self.filter.add(k)
-                    else:
-                        self.filter.add_many(np.array([k], dtype=np.uint64))
-                        self.failed_exact.discard(k)
-            return out
-        if self.mode == "cuckoo":
-            for i, k in enumerate(keys):
-                k = int(k)
-                seen = self.filter.contains(k)
-                out[i] = seen
-                if not seen:
-                    self.filter.add(k)
-            return out
+        keys = np.asarray(keys, dtype=np.uint64)
         out = self.contains(keys)
-        self.filter.add_many(keys[~out])
-        for k in keys[~out]:
-            self.failed_exact.discard(int(k))
+        # within-batch duplicates: only the first occurrence reads as unseen
+        # (the serial reference would have marked it before the second probe)
+        first = np.zeros(len(keys), dtype=bool)
+        _, first_idx = np.unique(keys, return_index=True)
+        first[first_idx] = True
+        out |= ~first
+        new = keys[~out]
+        if not new.size:
+            return out
+        if self.exact is not None:
+            self.exact.add(new)
+            if self.mode == "cuckoo":
+                ok = self.filter.add_many(new)
+            else:
+                self.filter.add_many(new)
+                self.failed_exact.remove(new)
+                ok = True
+        elif self.mode == "cuckoo":
+            ok = self.filter.add_many(new)
+        else:
+            self.filter.add_many(new)
+            self.failed_exact.remove(new)
+            ok = True
+        if not ok:
+            # a silent False here loses seen keys and allows refetch loops
+            # (ADVICE r1): a full shard is a sizing error the driver must see
+            raise RuntimeError(
+                "cuckoo seen-shard full (capacity exceeded even with stash); "
+                "raise seen_capacity or num_seen_shards"
+            )
+        self._d_added.append(new)
         return out
 
     def remove(self, keys: np.ndarray) -> None:
         """Unmark-on-failure (engine/crawler.go:179-185)."""
-        for k in keys:
-            k = int(k)
-            if self.exact is not None:
-                self.exact.discard(k)
-            if self.mode == "cuckoo":
-                self.filter.remove(k)
-            else:
-                self.failed_exact.add(k)
+        keys = np.unique(np.asarray(keys, dtype=np.uint64))
+        if not keys.size:
+            return
+        if self.exact is not None:
+            self.exact.remove(keys)
+        if self.mode == "cuckoo":
+            for k in keys:
+                self.filter.remove(int(k))
+        else:
+            self.failed_exact.add(keys[~self.failed_exact.contains(keys)])
+        self._d_removed.append(keys)
 
     def count(self) -> int:
         if self.exact is not None:
@@ -108,17 +123,53 @@ class SeenShard:
     def keys_exact(self) -> np.ndarray:
         """Exact key dump (verification path only)."""
         assert self.exact is not None
-        return np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+        return self.exact.to_array()
 
-    def dump(self) -> dict:
+    def dump(self, clear_delta: bool = True) -> dict:
+        """Full state (compaction checkpoints + restore base)."""
         state = {"mode": self.mode, "filter": self.filter.dump()}
         if self.exact is not None:
-            state["exact"] = np.fromiter(self.exact, np.uint64, len(self.exact))
+            state["exact"] = self.exact.to_array()
         if self.mode == "bloom":
-            state["failed_exact"] = np.fromiter(
-                self.failed_exact, np.uint64, len(self.failed_exact)
-            )
+            state["failed_exact"] = self.failed_exact.to_array()
+        if clear_delta:
+            # a full dump subsumes pending deltas; clearing keeps the next
+            # delta relative to THIS checkpoint
+            self._d_added.clear()
+            self._d_removed.clear()
         return state
+
+    def dump_delta(self) -> dict:
+        """Net change since the previous dump/dump_delta, then reset."""
+        added = np.concatenate(self._d_added) if self._d_added else np.empty(0, np.uint64)
+        removed = np.concatenate(self._d_removed) if self._d_removed else np.empty(0, np.uint64)
+        self._d_added.clear()
+        self._d_removed.clear()
+        return {
+            "added": np.setdiff1d(added, removed),
+            "removed": np.setdiff1d(removed, added),
+        }
+
+    def apply_delta(self, delta: dict) -> None:
+        """Replay one checkpointed generation delta (resume path)."""
+        added = np.asarray(delta["added"], dtype=np.uint64)
+        removed = np.asarray(delta["removed"], dtype=np.uint64)
+        if added.size:
+            if self.exact is not None:
+                self.exact.add(added[~self.exact.contains(added)])
+            if self.mode == "cuckoo":
+                self.filter.add_many(added)
+            else:
+                self.filter.add_many(added)
+                self.failed_exact.remove(added)
+        if removed.size:
+            if self.exact is not None:
+                self.exact.remove(removed)
+            if self.mode == "cuckoo":
+                for k in removed:
+                    self.filter.remove(int(k))
+            else:
+                self.failed_exact.add(removed[~self.failed_exact.contains(removed)])
 
     def restore(self, state: dict) -> None:
         self.mode = state["mode"]
@@ -126,9 +177,11 @@ class SeenShard:
             self.filter = CuckooFilter.load(state["filter"])
         else:
             self.filter = BloomFilter.load(state["filter"])
-        self.exact = set(int(k) for k in state["exact"]) if "exact" in state else None
+        self.exact = SortedKeySet(state["exact"]) if "exact" in state else None
         if self.mode == "bloom":
-            self.failed_exact = set(int(k) for k in state.get("failed_exact", []))
+            self.failed_exact = SortedKeySet(state.get("failed_exact"))
+        self._d_added = []
+        self._d_removed = []
 
 
 class SeenSet:
@@ -181,6 +234,13 @@ class SeenSet:
 
     def dump(self) -> list[dict]:
         return ray.get([s.dump.remote() for s in self.shards])
+
+    def dump_delta(self) -> list[dict]:
+        return ray.get([s.dump_delta.remote() for s in self.shards])
+
+    def apply_delta(self, deltas: list[dict]) -> None:
+        assert len(deltas) == self.num_shards
+        ray.get([s.apply_delta.remote(d) for s, d in zip(self.shards, deltas)])
 
     def restore(self, states: list[dict]) -> None:
         assert len(states) == self.num_shards

@@ -30,13 +30,23 @@ def crawl_pair(ray_session, corpus_small, tmp_path_factory):
 
 
 def _final_seen_keys(out_dir: str) -> set[int]:
+    """Reconstruct the final seen set from checkpoints: newest full shard
+    dump, then replay the per-generation deltas after it."""
     iters = sorted(d for d in os.listdir(out_dir) if d.startswith("iter_"))
-    last = os.path.join(out_dir, iters[-1], "seen")
+    full_idx = max(
+        i for i, d in enumerate(iters)
+        if glob.glob(os.path.join(out_dir, d, "seen", "shard_*.npz"))
+    )
     keys: set[int] = set()
-    for path in glob.glob(os.path.join(last, "shard_*.npz")):
+    for path in glob.glob(os.path.join(out_dir, iters[full_idx], "seen", "shard_*.npz")):
         with np.load(path, allow_pickle=True) as z:
             if "exact" in z.files:
                 keys.update(int(k) for k in z["exact"])
+    for d in iters[full_idx + 1:]:
+        for path in glob.glob(os.path.join(out_dir, d, "seen", "delta_*.npz")):
+            with np.load(path) as z:
+                keys.update(int(k) for k in z["added"])
+                keys.difference_update(int(k) for k in z["removed"])
     return keys
 
 
@@ -105,6 +115,47 @@ def test_checkpoint_resume_no_refetch(crawl_pair, corpus_small, tmp_path_factory
     # resume on a completed run is a no-op
     again = run_crawl(corpus_small, out_dir=out, max_iterations=30, resume=True)
     assert again.stats == []
+
+
+def test_resume_after_midgeneration_crash(crawl_pair, corpus_small, tmp_path_factory):
+    """A crash AFTER data writes but BEFORE manifest.json must not double the
+    incomplete generation's outputs on resume: write_parquet appends
+    uuid-named files, so the engine recreates an un-manifested iter dir
+    before re-running it (ADVICE r1, high)."""
+    import shutil
+
+    engine, _ = crawl_pair
+    clean_order = engine.order_dataset().to_pandas()
+
+    out = str(tmp_path_factory.mktemp("midcrash"))
+    run_crawl(corpus_small, out_dir=out, max_iterations=3)
+    # simulate the mid-iteration crash: iter_0003 has partial parquet output
+    # (copied from a complete generation) but no manifest
+    crashed = os.path.join(out, "iter_0003", "order")
+    os.makedirs(crashed)
+    src = glob.glob(os.path.join(out, "iter_0002", "order", "*.parquet"))[0]
+    shutil.copy(src, os.path.join(crashed, "leftover.parquet"))
+
+    resumed = run_crawl(corpus_small, out_dir=out, max_iterations=30, resume=True)
+    assert resumed.iterations == engine.iterations
+    df = resumed.order_dataset().to_pandas()
+    assert len(df) == len(clean_order)
+    eng = set(zip(df.iteration, df.url, df.priority, df.seq, df.attempt, df.outcome))
+    clean = set(zip(clean_order.iteration, clean_order.url, clean_order.priority,
+                    clean_order.seq, clean_order.attempt, clean_order.outcome))
+    assert eng == clean
+
+
+def test_truncated_manifest_falls_back(corpus_small, tmp_path_factory, ray_session):
+    """A crash mid-manifest-write leaves unparseable JSON; resume must fall
+    back to the previous complete generation instead of raising."""
+    out = str(tmp_path_factory.mktemp("truncmanifest"))
+    run_crawl(corpus_small, out_dir=out, max_iterations=3)
+    with open(os.path.join(out, "iter_0002", "manifest.json"), "w") as fh:
+        fh.write('{"iteration": 2, "comp')  # truncated
+    resumed = run_crawl(corpus_small, out_dir=out, max_iterations=4, resume=True)
+    # resumed from iter 1, so iteration 2 was re-run (and 3 ran fresh)
+    assert {s["iteration"] for s in resumed.stats} == {2, 3}
 
 
 def test_item_schema_typed(crawl_pair):

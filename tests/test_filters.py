@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from crawler_ray.state.filters import BloomFilter, CuckooFilter
+from crawler_ray.state.filters import BloomFilter, CuckooFilter, SortedKeySet
 
 
 def test_cuckoo_add_contains_remove():
@@ -38,6 +38,58 @@ def test_cuckoo_dump_load_roundtrip():
     g = CuckooFilter.load(f.dump())
     assert all(g.contains(k * 7919) for k in range(500))
     assert g.size == f.size
+
+
+def test_cuckoo_vectorized_matches_scalar():
+    """contains_many / add_many agree with the scalar path."""
+    rng = np.random.default_rng(19)
+    keys = np.unique(rng.integers(0, 2**63, size=6000, dtype=np.uint64))
+    f_vec = CuckooFilter(capacity=20_000)
+    assert f_vec.add_many(keys)
+    f_scal = CuckooFilter(capacity=20_000)
+    for k in keys:
+        assert f_scal.add(int(k))
+    assert f_vec.contains_many(keys).all()
+    assert f_vec.size == f_scal.size == len(keys)
+    probe = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    got = f_vec.contains_many(probe)
+    want = np.fromiter((f_scal.contains(int(k)) for k in probe), bool, len(probe))
+    assert (got == want).all()
+
+
+def test_cuckoo_stash_no_silent_loss():
+    """Overfilling the table must not silently drop a previously stored key:
+    every key whose add() returned True stays a member (ADVICE r1)."""
+    f = CuckooFilter(capacity=256)
+    rng = np.random.default_rng(23)
+    keys = np.unique(rng.integers(0, 2**63, size=600, dtype=np.uint64))
+    stored = [int(k) for k in keys if f.add(int(k))]
+    assert len(stored) > 256  # pushed well past nominal capacity
+    missing = [k for k in stored if not f.contains(k)]
+    assert missing == []
+    # stash entries survive dump/load and removal works from the stash
+    g = CuckooFilter.load(f.dump())
+    assert all(g.contains(k) for k in stored)
+
+
+def test_sorted_key_set():
+    s = SortedKeySet(merge_n=64)  # tiny merge threshold exercises compaction
+    rng = np.random.default_rng(29)
+    keys = np.unique(rng.integers(0, 2**63, size=1000, dtype=np.uint64))
+    for i in range(0, len(keys), 37):  # uneven batches
+        chunk = keys[i:i + 37]
+        assert not s.contains(chunk).any()
+        s.add(chunk)
+        assert s.contains(chunk).all()
+    assert len(s) == len(keys)
+    assert s.contains(keys).all()
+    other = np.setdiff1d(rng.integers(0, 2**63, size=500, dtype=np.uint64), keys)
+    assert not s.contains(other).any()
+    s.remove(keys[::3])
+    assert not s.contains(keys[::3]).any()
+    kept = np.setdiff1d(keys, keys[::3])
+    assert s.contains(kept).all()
+    assert set(s.to_array()) == set(int(k) for k in kept)
 
 
 def test_bloom_vectorized():

@@ -39,6 +39,21 @@ def test_admit_order_matches_raw_bytes_sort():
     assert list(admitted["key"]) == [r["key"] for r in expected]
 
 
+def test_admit_prefix_sorts_before_zero_extension():
+    """A seq must sort strictly before its own zero-byte extension (Python
+    bytes order), not tie with it under 0x00 padding — the length tie-break
+    closes the r1 latent ordering trap (ADVICE r1)."""
+    rows = [
+        {"host": "h", "key": "ext", "seq": b"\x01" + b"\x00" * 4, "priority": 0, "url": "https://h/e"},
+        {"host": "h", "key": "pre", "seq": b"\x01", "priority": 0, "url": "https://h/p"},
+    ]
+    out = admit_fn(_cfg(budget=1))(pd.DataFrame(rows))
+    assert list(out[out.admitted]["key"]) == ["pre"]
+    expected = sorted(rows, key=lambda r: (-r["priority"], r["seq"]))
+    out_all = admit_fn(_cfg(budget=10))(pd.DataFrame(rows))
+    assert list(out_all["key"]) == [r["key"] for r in expected]
+
+
 def test_admit_dedups_within_iteration_keep_first():
     g = pd.DataFrame(
         {
