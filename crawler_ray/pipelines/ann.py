@@ -120,50 +120,68 @@ def ann_lsh_topk(sf_dir: str, nbits: int = 6, ntables: int = 12) -> pa.Table:
     recall/candidate-fraction trade — on this unclustered gaussian corpus the
     measured candidate fraction is ~20% for recall ~0.5; pytest pins both).
 
-    The corpus pass stays one streaming map_batches (signatures + candidate
-    filter); only candidates are pulled for exact re-ranking."""
+    One streaming map_batches pass does signatures + per-query candidate
+    masking + local exact top-k — the r1 version concat'd all candidates
+    (~20% of the corpus) onto the driver for re-ranking, which at 100 TB is
+    a driver OOM. Now the driver merge sees O(batches × Q × k) rows, the
+    same shape as the brute-force baseline."""
     qids, qmat = _load_queries(sf_dir)
     planes = _hyperplanes(qmat.shape[1], nbits, ntables)
     qbuckets = _buckets_of(qmat, planes)  # (ntables, Q)
-    probe_ref = ray.put({(t, int(b)) for t in range(ntables) for b in qbuckets[t]})
+    qnorm = np.linalg.norm(qmat, axis=1)
+    q_ref = ray.put((qids, qmat, qnorm, qbuckets))
     planes_ref = ray.put(planes)
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    def in_probed(t: pa.Table, pref=probe_ref, plref=planes_ref) -> pa.Table:
-        pset = ray.get(pref)
+    def local_topk(t: pa.Table, qref=q_ref, plref=planes_ref) -> pa.Table:
+        qids, qmat, qnorm, qb = ray.get(qref)
         planes = ray.get(plref)
+        bids = t["vec_id"].to_numpy()
         mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-        bks = _buckets_of(mat, planes)
-        mask = np.zeros(len(mat), dtype=bool)
+        bks = _buckets_of(mat, planes)  # (ntables, n)
+        # candidate mask per query: shares a bucket in ANY table
+        match = np.zeros((len(qids), len(bids)), dtype=bool)
         for tt in range(planes.shape[0]):
-            mask |= np.fromiter(((tt, int(b)) in pset for b in bks[tt]), bool, len(mat))
-        return t.filter(pa.array(mask))
+            match |= bks[tt][None, :] == qb[tt][:, None]
+        match &= bids[None, :] != qids[:, None]  # exclude self
+        cos = (qmat @ mat.T) / np.outer(qnorm, np.linalg.norm(mat, axis=1))
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            sel = np.flatnonzero(match[qi])
+            if not sel.size:
+                continue
+            row = cos[qi, sel]
+            k = min(TOP_K, sel.size)
+            idx = np.argpartition(-row, k - 1)[:k]
+            for j in idx:
+                out_q.append(int(qids[qi]))
+                out_v.append(int(bids[sel[j]]))
+                out_c.append(float(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
 
-    candidates = emb.map_batches(in_probed, batch_format="pyarrow")
-    cand = pa.concat_tables(candidates.iter_batches(batch_format="pyarrow")).combine_chunks()
-    ids = cand["vec_id"].to_numpy()
-    mat = np.vstack(cand["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    qnorm = np.linalg.norm(qmat, axis=1)
-    cbuckets = _buckets_of(mat, planes)  # (ntables, C)
-
+    partial = emb.map_batches(local_topk, batch_format="pyarrow")
+    # global merge: O(batches × Q × k) rows, identical to the brute-force path
+    heaps: dict[int, list] = {}
+    for bt in partial.iter_batches(batch_format="pyarrow"):
+        for q, v, c in zip(bt["query_id"].to_pylist(), bt["vec_id"].to_pylist(), bt["cos"].to_pylist()):
+            heapq.heappush(heaps.setdefault(q, []), (c, -v))
+            if len(heaps[q]) > TOP_K:
+                heapq.heappop(heaps[q])
     out_q, out_r, out_v, out_c = [], [], [], []
-    for qi in range(len(qids)):
-        sel = np.zeros(len(ids), dtype=bool)
-        for tt in range(ntables):
-            sel |= cbuckets[tt] == qbuckets[tt, qi]
-        sel &= ids != qids[qi]
-        if not sel.any():
-            continue
-        cos = (mat[sel] @ qmat[qi]) / (norms[sel] * qnorm[qi])
-        sids = ids[sel]
-        order = np.lexsort((sids, -cos))[:TOP_K]
-        for rank, j in enumerate(order, 1):
-            out_q.append(int(qids[qi]))
+    for q in sorted(heaps):
+        best = sorted(heaps[q], key=lambda t: (-t[0], -t[1]))
+        for rank, (c, negv) in enumerate(best, 1):
+            out_q.append(q)
             out_r.append(rank)
-            out_v.append(int(sids[j]))
-            out_c.append(round(float(cos[j]) * 1e6))
+            out_v.append(-negv)
+            out_c.append(round(c * 1e6))
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),

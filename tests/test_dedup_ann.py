@@ -138,3 +138,46 @@ def test_exact_dedup_on_constructed_dups(ray_session, tmp_path):
         hashlib.md5(b"bbb").hexdigest(),
         hashlib.md5(b"ccc").hexdigest(),
     ]
+
+
+def test_megablock_pair_fanout_bounded(ray_session, tmp_path):
+    """A boilerplate corpus (every doc shares one 100-char prefix / LSH
+    bucket) must not explode into O(n²) pairs: block/bucket caps bound the
+    fan-out (VERDICT r1 item 9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import minhash_lsh_dups, prefix_jaccard_pairs
+
+    n = 600
+    boiler = "the same boilerplate page text repeated " * 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([boiler] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    # one shared block of 600: uncapped would be C(600,2)=179,700 pairs in
+    # one task; the caps bound each block/bucket to C(cap,2)
+    pj = prefix_jaccard_pairs(str(tmp_path), block_cap=32)
+    assert pj.count() == 32 * 31 // 2
+
+    mh = minhash_lsh_dups(str(tmp_path), bucket_cap=16)
+    assert mh.count() == 16 * 15 // 2
+
+
+def test_embedding_dup_pairs_block_grid(ray_session):
+    """The block-pair grid (forced multi-block) agrees with the single-shot
+    brute force: every unordered pair is covered by exactly one grid cell."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import embedding_dup_pairs
+
+    one = embedding_dup_pairs(SF).to_pandas()
+    grid = embedding_dup_pairs(SF, num_blocks=5).to_pandas()
+    key = ["a_id", "b_id", "cos_e6"]
+    a = one.sort_values(key).reset_index(drop=True)
+    b = grid.sort_values(key).reset_index(drop=True)
+    assert len(a) > 0 and a[key].equals(b[key])
