@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from dataclasses import dataclass
 
 _META_RE = re.compile(rb"""<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", re.I)
 
@@ -78,3 +79,31 @@ def user_agent_for(url: str, seed: int = 42) -> str:
     h = int.from_bytes(hashlib.md5(f"{seed}:{url}".encode()).digest()[:8], "big")
     tpl = _UA_TEMPLATES[h % len(_UA_TEMPLATES)]
     return tpl.format(v=90 + (h >> 8) % 30, b=3000 + (h >> 16) % 2000, p=(h >> 32) % 200)
+
+
+@dataclass(frozen=True)
+class FetchSession:
+    """Per-task fetch configuration — the reference's BrowserFetch options
+    (``collect/collect.go:62-91``: proxy, user agent, **cookie**, timeout).
+    A live Fetcher implementation consumes this; the Parquet probe ignores
+    it, but header assembly is parity-tested either way."""
+
+    cookie: str = ""  # collect/collect.go:69-75 (req.Header.Set("Cookie", ...))
+    proxies: tuple[str, ...] = ()
+    ua_seed: int = 42
+    random_ua: bool = True
+    timeout_s: float = 30.0
+
+
+def build_headers(session: FetchSession, url: str, row_index: int) -> dict[str, str]:
+    """Assemble the request headers + proxy the reference's BrowserFetch
+    sets per request (UA always, Cookie when configured; proxy picked
+    round-robin by row index). Deterministic per (session, url, row)."""
+    headers: dict[str, str] = {}
+    if session.random_ua:
+        headers["User-Agent"] = user_agent_for(url, session.ua_seed)
+    if session.cookie:
+        headers["Cookie"] = session.cookie
+    if session.proxies:
+        headers["X-Proxy"] = round_robin_proxy(list(session.proxies))(row_index)
+    return headers

@@ -152,6 +152,27 @@ def _parquet_rows(path: str) -> int:
     )
 
 
+def _iter_host_counts(ckdir: str) -> dict[str, int]:
+    """Per-host scheduled counts of one checkpointed generation, read from
+    the local order parquet (attempted fetches = admissions — the limiter
+    consumes a token whether or not the fetch succeeds)."""
+    from crawler_ray.functions.url import host_of
+
+    odir = os.path.join(ckdir, "order")
+    counts: dict[str, int] = {}
+    if not os.path.isdir(odir):
+        return counts
+    for f in os.listdir(odir):
+        if f.endswith(".parquet"):
+            urls = pq.read_table(os.path.join(odir, f), columns=["url"]).column("url")
+            hosts, n = np.unique(
+                np.asarray(host_of(urls.combine_chunks())), return_counts=True
+            )
+            for h, c in zip(hosts, n):
+                counts[str(h)] = counts.get(str(h), 0) + int(c)
+    return counts
+
+
 def _latest_complete_iter(out_dir: str) -> int | None:
     best = None
     if not os.path.isdir(out_dir):
@@ -194,15 +215,17 @@ def run_crawl(
     batch_size: int = 4096,
     resume: bool = False,
 ) -> CrawlResult:
+    import dataclasses
+
     cfg = PolitenessConfig.from_json(corpus.politeness)
-    cfg = PolitenessConfig(
-        default_budget=cfg.default_budget,
-        host_budget=cfg.host_budget,
-        disallow=cfg.disallow,
-        default_disallow=cfg.default_disallow,
-        max_depth=min(cfg.max_depth, task.max_depth),
-        max_attempts=cfg.max_attempts,
-    )
+    cfg = dataclasses.replace(cfg, max_depth=min(cfg.max_depth, task.max_depth))
+    # trailing-window ledger for the composed sustained budget: host →
+    # admissions per past iteration, kept only for the last (window-1)
+    # generations. Rebuilt from the checkpointed order parquet on resume —
+    # size is O(admissions per window), not O(hosts).
+    track_window = (
+        cfg.sustained_budget is not None or bool(cfg.host_sustained)
+    ) and cfg.sustained_window > 1
 
     start_iter = 0
     frontier_tbl: pa.Table | None = None
@@ -257,6 +280,10 @@ def run_crawl(
             seen.apply_delta(deltas)
 
     os.makedirs(out_dir, exist_ok=True)
+    window: list[dict[str, int]] = []
+    if track_window:
+        for i in range(max(0, start_iter - cfg.sustained_window + 1), start_iter):
+            window.append(_iter_host_counts(os.path.join(out_dir, f"iter_{i:04d}")))
     # idempotent: covers corpora generated before the index existed
     from crawler_ray.stages.fetch import build_fetch_index
 
@@ -300,9 +327,19 @@ def run_crawl(
             fr = ray.data.from_arrow(frontier_tbl)
         fr = fr.map_batches(canonicalize_fn(cfg.max_depth), batch_format="pyarrow")
         fr = fr.map_batches(robots_filter_fn(cfg), batch_format="pyarrow")
-        fr = fr.map_batches(seen_filter_fn(seen, mark=False), batch_format="pyarrow")
+        # Task.Reload bypasses the visited check entirely (the reference
+        # skips HasVisited when Reload is set, engine/crawler.go:85,
+        # collect/option.go:14) — a re-crawlable task must refetch
+        if not task.reload:
+            fr = fr.map_batches(seen_filter_fn(seen, mark=False), batch_format="pyarrow")
         # admission shuffle: one groupby(host) per generation
-        fr = fr.groupby("host").map_groups(admit_fn(cfg), batch_format="pandas")
+        usage: dict[str, int] | None = None
+        if track_window and window:
+            usage = {}
+            for counts in window:
+                for h, n in counts.items():
+                    usage[h] = usage.get(h, 0) + n
+        fr = fr.groupby("host").map_groups(admit_fn(cfg, usage), batch_format="pandas")
         frontier_mat = fr.materialize()
         t0 = _tick(f"it{it} admission", t0)
 
@@ -312,7 +349,8 @@ def run_crawl(
         admitted = frontier_mat.map_batches(_keep("admitted", True), batch_format="pyarrow").map_batches(
             _cast_frontier, batch_format="pyarrow"
         )
-        admitted = admitted.map_batches(seen_filter_fn(seen, mark=True), batch_format="pyarrow")
+        if not task.reload:
+            admitted = admitted.map_batches(seen_filter_fn(seen, mark=True), batch_format="pyarrow")
         # Align the fetch probe with the pages layout: admission blocks are
         # in (priority, seq) order, so without this sort every fetch batch
         # sprays across the host's whole row-group range and thrashes the
@@ -348,6 +386,9 @@ def run_crawl(
         )
         order.write_parquet(os.path.join(ckdir, "order"))
         n_sched = _parquet_rows(os.path.join(ckdir, "order"))
+        if track_window:
+            window.append(_iter_host_counts(ckdir))
+            del window[: -(cfg.sustained_window - 1)]
         t0 = _tick(f"it{it} order write n={n_sched}", t0)
 
         # items sink, per rule (dynamic schema from ItemFields — W2);
@@ -390,7 +431,7 @@ def run_crawl(
                         t.column("h64").filter(mask).to_numpy(zero_copy_only=False).astype(np.uint64)
                     )
         n_failed = int(sum(len(p) for p in fail_parts))
-        if n_failed:
+        if n_failed and not task.reload:  # nothing was marked under reload
             seen.remove(np.concatenate(fail_parts))
         failures = ex_mat.map_batches(_keep("kind", "failed"), batch_format="pyarrow")
         retries = failures.map_batches(

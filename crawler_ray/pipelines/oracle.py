@@ -90,6 +90,11 @@ def run_oracle(
     res = OracleResult()
     seen: set[int] = set()
     failed_once: set[int] = set()
+    # trailing-window ledger for the composed sustained budget
+    window: list[dict[str, int]] = []
+    track_window = (
+        cfg.sustained_budget is not None or bool(cfg.host_sustained)
+    ) and cfg.sustained_window > 1
 
     for it in range(max_iterations):
         if not frontier:
@@ -105,13 +110,18 @@ def run_oracle(
             path = url.split(host, 1)[1]
             if any(path.startswith(p) for p in cfg.disallowed_prefixes(host)):
                 continue
-            if _h64(url) in seen:
+            # Task.Reload bypasses the visited check (engine/crawler.go:85)
+            if not task.reload and _h64(url) in seen:
                 continue
             rows.append({**r, "url": url, "host": host})
         # per-host: order, dedup within iteration, admit budget
         by_host: dict[str, list[dict]] = {}
         for r in rows:
             by_host.setdefault(r["host"], []).append(r)
+        usage: dict[str, int] = {}
+        for counts in window:
+            for h, n in counts.items():
+                usage[h] = usage.get(h, 0) + n
         admitted: list[dict] = []
         deferred: list[dict] = []
         for host, group in by_host.items():
@@ -123,14 +133,21 @@ def run_oracle(
                     continue
                 keys.add(k)
                 kept.append(r)
-            budget = cfg.budget(host)
+            budget = cfg.effective_budget(host, usage.get(host, 0))
             admitted.extend(kept[:budget])
             deferred.extend(kept[budget:])
+        if track_window:
+            it_counts: dict[str, int] = {}
+            for r in admitted:
+                it_counts[r["host"]] = it_counts.get(r["host"], 0) + 1
+            window.append(it_counts)
+            del window[: -(cfg.sustained_window - 1)]
 
         children: list[dict] = []
         for r in admitted:
             k = _h64(r["url"])
-            seen.add(k)  # mark-before-fetch
+            if not task.reload:
+                seen.add(k)  # mark-before-fetch
             page = page_map.get(r["url"])
             html = page[0].decode("utf-8", errors="replace") if page else None
             if html is None:

@@ -38,6 +38,16 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from crawler_ray.functions.web import FetchSession
+
+
+def _default_session():
+    from crawler_ray.functions.web import FetchSession
+
+    return FetchSession()
 
 
 @dataclass(frozen=True)
@@ -66,6 +76,10 @@ class TaskSpec:
     rules: dict[str, RuleSpec]
     max_depth: int = 5  # collect/option.go:33
     reload: bool = False  # dedup bypass (collect/option.go:14)
+    # per-task fetch session (collect/collect.go:62-91: cookie/proxy/UA/
+    # timeout); consumed by live Fetcher implementations, carried through
+    # the rules-as-data round-trip either way
+    fetch: "FetchSession" = field(default_factory=lambda: _default_session())
 
 
 def _atoi(s: str) -> int:
@@ -289,6 +303,9 @@ def task_to_rows(task: TaskSpec) -> list[dict]:
                 "child_priority": spec.child_priority,
                 "max_depth": task.max_depth,
                 "reload": task.reload,
+                "cookie": task.fetch.cookie,
+                "proxies": list(task.fetch.proxies),
+                "ua_seed": task.fetch.ua_seed,
             }
         )
     return rows
@@ -315,9 +332,16 @@ def task_from_rows(rows: list[dict]) -> TaskSpec:
             child_priority=int(r.get("child_priority") or 0),
         )
     first = rows[0]
+    from crawler_ray.functions.web import FetchSession
+
     return TaskSpec(
         name=first["task"],
         rules=rules,
         max_depth=int(first.get("max_depth", 5)),
         reload=bool(first.get("reload", False)),
+        fetch=FetchSession(
+            cookie=first.get("cookie") or "",
+            proxies=tuple(first.get("proxies") or ()),
+            ua_seed=int(first.get("ua_seed", 42)),
+        ),
     )

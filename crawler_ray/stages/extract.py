@@ -73,6 +73,157 @@ def canonicalize_fn(max_depth: int):
     return fn
 
 
+_COL_DEFAULTS = {
+    "host": ("", pa.string()),
+    "key": ("", pa.string()),
+    "h64": (0, pa.uint64()),
+    "depth": (0, pa.int32()),
+    "priority": (0, pa.int32()),
+    "attempt": (0, pa.int32()),
+    "carry": ("{}", pa.string()),
+}
+
+
+def _with_defaults(batch: pa.Table) -> pa.Table:
+    """Fill in any missing frontier columns so the columnar assembly below
+    can treat every input uniformly (the full-corpus Extractor path feeds
+    tables without host/key/h64)."""
+    n = batch.num_rows
+    for name, (val, typ) in _COL_DEFAULTS.items():
+        if name not in batch.column_names:
+            batch = batch.append_column(name, pa.array([val] * n, typ))
+    if "warc_ts" not in batch.column_names:
+        batch = batch.append_column("warc_ts", pa.nulls(n, pa.timestamp("us")))
+    return batch
+
+
+def _empty_extract_table() -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], type=typ) for _, typ in FRONTIER_FIELDS], schema=EXTRACT_SCHEMA
+    )
+
+
+def _rows_like(src: pa.Table, idx, kind: str, *, outcome=None, ts=None,
+               payload=None) -> pa.Table:
+    """Sub-table in EXTRACT_SCHEMA built by columnar ``take`` of the
+    frontier columns — no per-row Python."""
+    sub = src.take(idx) if idx is not None else src
+    n = sub.num_rows
+    arrays = []
+    for name, typ in FRONTIER_FIELDS:
+        if name == "kind":
+            arrays.append(pa.array([kind] * n, typ))
+        elif name == "ts":
+            arrays.append(ts if ts is not None else pa.nulls(n, typ))
+        elif name == "payload":
+            arrays.append(payload if payload is not None else pa.nulls(n, typ))
+        elif name == "outcome":
+            arrays.append(outcome if outcome is not None else pa.array([""] * n, typ))
+        else:
+            arrays.append(sub.column(name).cast(typ).combine_chunks())
+    return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
+
+
+def _extract_parts(rules: dict[str, CompiledRule], ok: pa.Table) -> list[pa.Table]:
+    """Run the rule engine over rows of ``ok`` (url + html + frontier cols).
+
+    The per-row work is only the C-bound regex scan (``rule.extract``); all
+    output assembly is columnar (the r1 version appended 14 Python lists per
+    emitted row — at ~10 emits per page that was the extract stage's real
+    cost, not the regexes). Returns frontier/item/text sub-tables.
+    """
+    import numpy as np
+
+    urls = ok.column("url").to_pylist()
+    bodies = [h.decode("utf-8", errors="replace") for h in ok.column("html").to_pylist()]
+    rules_col = ok.column("rule").to_pylist()
+    carries = ok.column("carry").to_pylist()
+    seqs = ok.column("seq").to_pylist()
+    tss = ok.column("warc_ts")
+
+    child_parent: list[int] = []  # local row index of the parent
+    child_url: list[str] = []
+    child_seq: list[bytes] = []
+    child_carry: list[str] = []
+    child_rule: list[str] = []
+    child_prio: list[int] = []
+    item_local: list[int] = []
+    item_payload: list[str] = []
+    text_local: list[int] = []
+    text_payload: list[str] = []
+    for i in range(len(urls)):
+        rule = rules.get(rules_col[i])
+        if rule is None:
+            continue  # unknown rule: dropped (a missing Trunk entry)
+        carry = json.loads(carries[i]) if carries[i] else {}
+        children, item = rule.extract(urls[i], bodies[i], carry)
+        spec = rule.spec
+        seq_i = seqs[i]
+        for idx, (curl, ccarry) in enumerate(children):
+            child_parent.append(i)
+            child_url.append(curl)
+            child_seq.append(seq_i + idx.to_bytes(4, "big"))
+            child_carry.append(json.dumps(ccarry, ensure_ascii=False, sort_keys=True))
+            child_rule.append(spec.next_rule or "")
+            child_prio.append(spec.child_priority)
+        if item is not None:
+            item_local.append(i)
+            item_payload.append(json.dumps(item, ensure_ascii=False, sort_keys=True))
+        # golden-text row (byte-identical invariant)
+        if spec.kind == "link_extract":
+            text = "\n".join(u for u, _ in children)
+        elif spec.kind == "predicate_extract":
+            text = urls[i] if item is not None else ""
+        else:
+            text = json.dumps(item, ensure_ascii=False, sort_keys=True)
+        text_local.append(i)
+        text_payload.append(text)
+
+    parts: list[pa.Table] = []
+    if child_parent:
+        par = np.asarray(child_parent)
+        nc = len(child_parent)
+        arrays = []
+        for name, typ in FRONTIER_FIELDS:
+            if name == "kind":
+                arrays.append(pa.array(["frontier"] * nc, typ))
+            elif name == "url":
+                arrays.append(pa.array(child_url, typ))
+            elif name == "depth":
+                arrays.append(pc.add(ok.column("depth").take(par), 1).cast(typ))
+            elif name == "priority":
+                arrays.append(pa.array(child_prio, typ))
+            elif name == "seq":
+                arrays.append(pa.array(child_seq, typ))
+            elif name == "attempt":
+                # children start fresh regardless of parent retries
+                arrays.append(pa.array([0] * nc, typ))
+            elif name == "rule":
+                arrays.append(pa.array(child_rule, typ))
+            elif name == "carry":
+                arrays.append(pa.array(child_carry, typ))
+            elif name in ("ts", "payload"):
+                arrays.append(pa.nulls(nc, typ))
+            elif name == "outcome":
+                arrays.append(pa.array([""] * nc, typ))
+            else:  # host/key/h64: parent's values (recomputed by canonicalize)
+                arrays.append(ok.column(name).take(par).cast(typ).combine_chunks())
+        parts.append(pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA))
+    if item_local:
+        idx = np.asarray(item_local)
+        parts.append(
+            _rows_like(ok, idx, "item", ts=tss.take(idx),
+                       payload=pa.array(item_payload, pa.string()))
+        )
+    if text_local:
+        idx = np.asarray(text_local)
+        parts.append(
+            _rows_like(ok, idx, "text", ts=tss.take(idx),
+                       payload=pa.array(text_payload, pa.string()))
+        )
+    return parts
+
+
 class Extractor:
     """Actor-pool stage; rules compiled once per actor."""
 
@@ -83,70 +234,10 @@ class Extractor:
         self.rules: dict[str, CompiledRule] = compile_task(task)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out: dict[str, list] = {name: [] for name, _ in FRONTIER_FIELDS}
-
-        def emit(kind, url, host="", key="", h64=0, depth=0, priority=0, seq=b"",
-                 attempt=0, rule="", carry="{}", ts=None, payload=None, outcome=""):
-            out["kind"].append(kind)
-            out["url"].append(url)
-            out["host"].append(host)
-            out["key"].append(key)
-            out["h64"].append(h64)
-            out["depth"].append(depth)
-            out["priority"].append(priority)
-            out["seq"].append(seq)
-            out["attempt"].append(attempt)
-            out["rule"].append(rule)
-            out["carry"].append(carry)
-            out["ts"].append(ts)
-            out["payload"].append(payload)
-            out["outcome"].append(outcome)
-
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        rules = batch.column("rule").to_pylist()
-        depths = batch.column("depth").to_pylist()
-        seqs = batch.column("seq").to_pylist()
-        carries = batch.column("carry").to_pylist()
-        if "warc_ts" in batch.column_names:
-            tss = batch.column("warc_ts").to_pylist()
-        else:
-            tss = [None] * len(urls)
-
-        for i in range(len(urls)):
-            rule = self.rules.get(rules[i])
-            if rule is None:
-                continue  # unknown rule name: row dropped, as a missing Trunk entry would nil-deref in the reference — we drop instead
-            body = htmls[i].decode("utf-8", errors="replace")
-            carry = json.loads(carries[i]) if carries[i] else {}
-            children, item = rule.extract(urls[i], body, carry)
-            spec = rule.spec
-            for idx, (child_url, child_carry) in enumerate(children):
-                emit(
-                    "frontier",
-                    child_url,
-                    depth=depths[i] + 1,
-                    priority=spec.child_priority,
-                    seq=seqs[i] + idx.to_bytes(4, "big"),
-                    rule=spec.next_rule or "",
-                    carry=json.dumps(child_carry, ensure_ascii=False, sort_keys=True),
-                )
-            if item is not None:
-                payload = json.dumps(item, ensure_ascii=False, sort_keys=True)
-                emit("item", urls[i], rule=rules[i], ts=tss[i], payload=payload)
-            # golden-text row (byte-identical invariant)
-            if spec.kind == "link_extract":
-                text = "\n".join(u for u, _ in children)
-            elif spec.kind == "predicate_extract":
-                text = urls[i] if item is not None else ""
-            else:
-                text = json.dumps(item, ensure_ascii=False, sort_keys=True)
-            emit("text", urls[i], rule=rules[i], ts=tss[i], payload=text)
-
-        arrays = [
-            pa.array(out[name], type=typ) for name, typ in FRONTIER_FIELDS
-        ]
-        return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
+        if batch.num_rows == 0:
+            return _empty_extract_table()
+        parts = _extract_parts(self.rules, _with_defaults(batch))
+        return pa.concat_tables(parts) if parts else _empty_extract_table()
 
 
 _EXTRACTOR_CACHE: dict[str, Extractor] = {}
@@ -191,84 +282,43 @@ class FetchExtract:
         self.min_bytes = MIN_BODY_BYTES
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         fetched = self.fetcher(batch)
-        htmls = fetched.column("html").to_pylist()
-        tss = fetched.column("warc_ts").to_pylist()
-        cols = {
-            name: fetched.column(name).to_pylist()
-            for name in ("url", "host", "key", "h64", "depth", "priority", "seq",
-                         "attempt", "rule", "carry")
-        }
+        html = fetched.column("html")
+        # vectorized outcome classification (engine/crawler.go:95-120)
+        missing = pc.is_null(html)
+        filled = pc.fill_null(html, b"")
+        banned = pc.and_(
+            pc.invert(missing),
+            pc.match_substring(pc.cast(filled, pa.string()), self.ban),
+        )
+        short = pc.and_(
+            pc.invert(pc.or_(missing, banned)),
+            pc.less(pc.binary_length(filled), self.min_bytes),
+        )
+        outcome = pc.if_else(
+            missing, pa.scalar("missing"),
+            pc.if_else(banned, pa.scalar("banned"),
+                       pc.if_else(short, pa.scalar("short"), pa.scalar("ok"))),
+        )
 
-        out: dict[str, list] = {name: [] for name, _ in FRONTIER_FIELDS}
-
-        def emit(kind, i, *, rule=None, ts=None, payload=None, outcome="",
-                 url=None, depth=None, priority=None, seq=None, carry=None,
-                 attempt=None):
-            out["kind"].append(kind)
-            out["url"].append(url if url is not None else cols["url"][i])
-            out["host"].append(cols["host"][i])
-            out["key"].append(cols["key"][i])
-            out["h64"].append(cols["h64"][i])
-            out["depth"].append(depth if depth is not None else cols["depth"][i])
-            out["priority"].append(priority if priority is not None else cols["priority"][i])
-            out["seq"].append(seq if seq is not None else cols["seq"][i])
-            out["attempt"].append(attempt if attempt is not None else cols["attempt"][i])
-            out["rule"].append(rule if rule is not None else cols["rule"][i])
-            out["carry"].append(carry if carry is not None else cols["carry"][i])
-            out["ts"].append(ts)
-            out["payload"].append(payload)
-            out["outcome"].append(outcome)
-
-        rules = self.extractor.rules
-        for i in range(len(htmls)):
-            html = htmls[i]
-            if html is None:
-                outcome = "missing"
-            else:
-                body = html.decode("utf-8", errors="replace")
-                if self.ban in body:
-                    outcome = "banned"
-                elif len(html) < self.min_bytes:
-                    outcome = "short"
-                else:
-                    outcome = "ok"
-            emit("order", i, outcome=outcome)
-            if outcome in ("missing", "banned"):
-                emit("failed", i, outcome=outcome)
-                continue
-            if outcome == "short":
-                continue
-            rule = rules.get(cols["rule"][i])
-            if rule is None:
-                continue  # unknown rule: dropped (missing Trunk entry)
-            carry = json.loads(cols["carry"][i]) if cols["carry"][i] else {}
-            children, item = rule.extract(cols["url"][i], body, carry)
-            spec = rule.spec
-            for idx, (child_url, child_carry) in enumerate(children):
-                emit(
-                    "frontier", i,
-                    url=child_url,
-                    depth=cols["depth"][i] + 1,
-                    priority=spec.child_priority,
-                    seq=cols["seq"][i] + idx.to_bytes(4, "big"),
-                    rule=spec.next_rule or "",
-                    carry=json.dumps(child_carry, ensure_ascii=False, sort_keys=True),
-                    attempt=0,  # children start fresh regardless of parent retries
-                )
-            if item is not None:
-                payload = json.dumps(item, ensure_ascii=False, sort_keys=True)
-                emit("item", i, ts=tss[i], payload=payload)
-            if spec.kind == "link_extract":
-                text = "\n".join(u for u, _ in children)
-            elif spec.kind == "predicate_extract":
-                text = cols["url"][i] if item is not None else ""
-            else:
-                text = json.dumps(item, ensure_ascii=False, sort_keys=True)
-            emit("text", i, ts=tss[i], payload=text)
-
-        arrays = [pa.array(out[name], type=typ) for name, typ in FRONTIER_FIELDS]
-        return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
+        parts: list[pa.Table] = []
+        # order: one row per attempted fetch — pure table ops
+        parts.append(_rows_like(fetched, None, "order", outcome=outcome))
+        failed_idx = np.flatnonzero(
+            np.asarray(pc.or_(missing, banned).combine_chunks())
+        )
+        if failed_idx.size:
+            parts.append(
+                _rows_like(fetched, failed_idx, "failed",
+                           outcome=outcome.take(failed_idx))
+            )
+        # extraction only over ok rows
+        ok_idx = np.flatnonzero(np.asarray(pc.equal(outcome, "ok").combine_chunks()))
+        if ok_idx.size:
+            parts.extend(_extract_parts(self.extractor.rules, fetched.take(ok_idx)))
+        return pa.concat_tables(parts)
 
 
 _FETCH_EXTRACT_CACHE: dict[tuple[str, str], FetchExtract] = {}

@@ -31,10 +31,30 @@ from __future__ import annotations
 
 import os
 from collections import OrderedDict
+from typing import Protocol, runtime_checkable
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+
+@runtime_checkable
+class Fetcher(Protocol):
+    """The fetch extension surface — the batch equivalent of the reference's
+    ``Fetcher`` interface (``collect/collect.go:26-28``: ``Get(*Request)
+    ([]byte, error)``).
+
+    An implementation is a callable batch stage: it receives a frontier
+    batch with a ``url`` column and returns the batch with ``html``
+    (binary, null = fetch failure) and ``warc_ts`` (timestamp) appended.
+    Stateful setup (session pools, probe indexes, model loads) belongs in
+    ``__init__`` — instances run inside ``map_batches`` actor pools or
+    per-worker caches. ``SimulatedFetcher`` (Parquet probe) is the shipped
+    implementation; a live-HTTP ``BrowserFetch`` equivalent would plug in
+    here unchanged.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table: ...  # pragma: no cover
 
 
 class SimulatedFetcher:

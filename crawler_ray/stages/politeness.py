@@ -43,6 +43,14 @@ class PolitenessConfig:
     default_disallow: tuple[str, ...] = ()
     max_depth: int = 5
     max_attempts: int = 2
+    # composed second window (limiter/limiter.go:16-45 multiLimiter, e.g.
+    # burst 1/2s AND sustained 20/60s in config.toml:5): at most
+    # ``sustained_budget`` admissions per host within any
+    # ``sustained_window`` consecutive iterations, composed by min() with
+    # the per-iteration burst budget. None disables the second bucket.
+    sustained_budget: int | None = None
+    sustained_window: int = 1
+    host_sustained: dict[str, int] = field(default_factory=dict)
 
     @classmethod
     def from_json(cls, path: str) -> "PolitenessConfig":
@@ -50,6 +58,7 @@ class PolitenessConfig:
             cfg = json.load(fh)
         dflt = cfg.get("default", {})
         hosts = cfg.get("hosts", {})
+        sustained = dflt.get("max_per_window")
         return cls(
             default_budget=int(dflt.get("max_per_iter", 6)),
             host_budget={h: int(v["max_per_iter"]) for h, v in hosts.items() if "max_per_iter" in v},
@@ -57,10 +66,25 @@ class PolitenessConfig:
             default_disallow=tuple(dflt.get("disallow", ())),
             max_depth=int(cfg.get("max_depth", 5)),
             max_attempts=int(cfg.get("max_attempts", 2)),
+            sustained_budget=int(sustained) if sustained is not None else None,
+            sustained_window=int(dflt.get("window_iters", 1)),
+            host_sustained={
+                h: int(v["max_per_window"]) for h, v in hosts.items() if "max_per_window" in v
+            },
         )
 
     def budget(self, host: str) -> int:
         return self.host_budget.get(host, self.default_budget)
+
+    def effective_budget(self, host: str, used_in_window: int) -> int:
+        """min() composition of the burst and sustained buckets — the batch
+        equivalent of the reference's multiLimiter (every limiter must have
+        a token before the request proceeds)."""
+        burst = self.budget(host)
+        sustained = self.host_sustained.get(host, self.sustained_budget)
+        if sustained is None:
+            return burst
+        return min(burst, max(0, sustained - used_in_window))
 
     def disallowed_prefixes(self, host: str) -> tuple[str, ...]:
         return self.disallow.get(host, self.default_disallow)
@@ -107,16 +131,23 @@ def _re_escape(s: str) -> str:
     return re.escape(s)
 
 
-def admit_fn(config: PolitenessConfig):
+def admit_fn(config: PolitenessConfig, window_usage: dict[str, int] | None = None):
     """``groupby('host').map_groups`` fn: dedup-within-iteration then admit
     the top-``budget`` rows in ``(priority desc, seq asc)`` order; the rest
     get ``admitted = False`` and defer to the next iteration.
+
+    ``window_usage`` (host → admissions in the trailing sustained window)
+    feeds the composed two-bucket budget. Its size is O(admissions per
+    window) — hosts admitted recently — NOT O(total hosts), so shipping it
+    in the task closure stays bounded at any frontier scale.
 
     Sorting happens via numpy lexsort over fixed-width seq bytes — a hot
     host's group can be hundreds of thousands of rows and pandas
     object-dtype sorts were the serial straggler of the admission shuffle.
     """
     import numpy as np
+
+    usage = window_usage or {}
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -135,7 +166,8 @@ def admit_fn(config: PolitenessConfig):
         g = g.iloc[order]
         keep = ~g["key"].duplicated(keep="first").to_numpy()
         g = g.iloc[keep]
-        budget = config.budget(g["host"].iloc[0])
+        host = g["host"].iloc[0]
+        budget = config.effective_budget(host, usage.get(host, 0))
         admitted = np.zeros(len(g), dtype=bool)
         admitted[:budget] = True
         return g.assign(admitted=admitted)

@@ -164,3 +164,130 @@ def test_item_schema_typed(crawl_pair):
     types = dict(zip(schema.names, schema.types))
     assert str(types["pages"]) == "int64"  # Atoi field typed
     assert "ts" in types
+
+
+def _mini_cycle_corpus(tmp_path) -> "object":
+    """Two pages linking each other with the tag rule — under reload the
+    crawl oscillates A→B→A→... until max_iterations; without reload it
+    stops after both are seen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.sources.pages import Corpus
+
+    root = str(tmp_path / "cycle")
+    os.makedirs(os.path.join(root, "pages"))
+    pad = "<!-- " + "x" * 6200 + " -->"
+    a_url, b_url = "https://h0.example.com/a", "https://h0.example.com/b"
+    html_a = f'<html><body><a href="{b_url}" class="tag">B</a>{pad}</body></html>'
+    html_b = f'<html><body><a href="{a_url}" class="tag">A</a>{pad}</body></html>'
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([a_url, b_url]),
+                "warc_ts": pa.array([ts, ts], pa.timestamp("us")),
+                "html": pa.array([html_a.encode(), html_b.encode()], pa.binary()),
+                "text": pa.array([b_url, a_url]),
+                "lang": pa.array(["en", "en"]),
+            }
+        ),
+        os.path.join(root, "pages", "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([a_url]),
+                "priority": pa.array([0], pa.int32()),
+                "rule": pa.array(["tag"]),
+                "depth": pa.array([0], pa.int32()),
+                "seq": pa.array([0], pa.int64()),
+            }
+        ),
+        os.path.join(root, "seeds.parquet"),
+    )
+    with open(os.path.join(root, "politeness.json"), "w") as fh:
+        json.dump({"default": {"max_per_iter": 5}, "max_depth": 50, "max_attempts": 2}, fh)
+    return Corpus(root=root, pages=os.path.join(root, "pages"),
+                  seeds=os.path.join(root, "seeds.parquet"),
+                  politeness=os.path.join(root, "politeness.json"), n_docs=2)
+
+
+def test_reload_bypasses_seen(ray_session, tmp_path_factory):
+    """Task.Reload disables the visited check (engine/crawler.go:85): the
+    same URL is refetched across iterations, and engine ≡ oracle."""
+    import dataclasses
+
+    from crawler_ray.rules import SYNTH_TASK, RuleSpec, TaskSpec
+
+    tmp = tmp_path_factory.mktemp("reloadc")
+    corpus = _mini_cycle_corpus(tmp)
+    cycle_task = TaskSpec(
+        name="cycle",
+        max_depth=50,
+        rules={
+            "tag": dataclasses.replace(SYNTH_TASK.rules["tag"], task="cycle", next_rule="tag")
+        },
+    )
+
+    # without reload: A then B, then nothing (both seen)
+    plain = run_crawl(corpus, task=cycle_task,
+                      out_dir=str(tmp / "plain"), max_iterations=6)
+    assert plain.order_dataset().count() == 2
+
+    reload_task = dataclasses.replace(cycle_task, reload=True)
+    engine = run_crawl(corpus, task=reload_task,
+                       out_dir=str(tmp / "reload"), max_iterations=6)
+    oracle = run_oracle(corpus, task=reload_task, max_iterations=6)
+    df = engine.order_dataset().to_pandas()
+    eng = set(zip(df.iteration, df.url, df.priority, df.seq, df.attempt, df.outcome))
+    assert eng == set(oracle.order)
+    # the cycle keeps refetching: one fetch per iteration for all 6
+    assert len(df) == 6
+    assert df.groupby("url")["iteration"].nunique().max() >= 3
+
+
+def test_composed_sustained_budget(ray_session, corpus_small, tmp_path_factory):
+    """Two-window budget (burst per-iteration AND sustained per-K-iterations,
+    limiter/limiter.go:16-45 composition): engine ≡ oracle with a config
+    where the two windows bind at different iterations."""
+    import dataclasses
+
+    tmp = tmp_path_factory.mktemp("sustained")
+    with open(corpus_small.politeness) as fh:
+        pol = json.load(fh)
+    pol.setdefault("default", {})["max_per_iter"] = 3
+    pol["default"]["max_per_window"] = 4
+    pol["default"]["window_iters"] = 2
+    ppath = str(tmp / "politeness.json")
+    with open(ppath, "w") as fh:
+        json.dump(pol, fh)
+    corpus = dataclasses.replace(corpus_small, politeness=ppath)
+
+    engine = run_crawl(corpus, out_dir=str(tmp / "out"), max_iterations=30)
+    oracle = run_oracle(corpus, max_iterations=30)
+    df = engine.order_dataset().to_pandas()
+    eng = set(zip(df.iteration, df.url, df.priority, df.seq, df.attempt, df.outcome))
+    assert eng == set(oracle.order)
+    assert engine.iterations == oracle.iterations
+
+    # both buckets actually bind somewhere: some (host, iter) hits the burst
+    # cap (3) and some later one is clamped below it by the sustained window
+    from crawler_ray.functions.url import host_of
+    import pyarrow as pa
+
+    df["host"] = host_of(pa.array(df.url)).to_pylist()
+    per = df.groupby(["host", "iteration"]).size()
+    assert (per == 3).any()
+    clamped = per[(per > 0) & (per < 3)]
+    assert len(clamped) > 0
+
+    # resume rebuilds the trailing window from checkpoints: identical result
+    out2 = str(tmp / "resume")
+    run_crawl(corpus, out_dir=out2, max_iterations=2)
+    resumed = run_crawl(corpus, out_dir=out2, max_iterations=30, resume=True)
+    df2 = resumed.order_dataset().to_pandas()
+    eng2 = set(zip(df2.iteration, df2.url, df2.priority, df2.seq, df2.attempt, df2.outcome))
+    assert eng2 == eng

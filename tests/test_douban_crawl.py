@@ -102,3 +102,46 @@ def test_douban_book_chain_end_to_end(ray_session, douban_corpus, tmp_path_facto
     assert set(order.outcome) == {"ok"}
     # priority-1 seed scheduled in generation 0, alone
     assert (order[order.iteration == 0].url == "https://book.douban.com").all()
+
+
+def test_douban_cli_rules_as_data(douban_corpus, tmp_path_factory):
+    """The golden-corpus e2e reproduced through the CLI with the rules
+    supplied as DATA (task_to_rows → JSON), not Python constants — the
+    reference's config.toml + cobra surface (main/main.go:232-272)."""
+    import glob
+    import sqlite3
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from crawler_ray.rules import DOUBAN_BOOK, task_to_rows
+
+    tmp = tmp_path_factory.mktemp("douban_cli")
+    rules_path = str(tmp / "rules.json")
+    with open(rules_path, "w") as fh:
+        json.dump(task_to_rows(DOUBAN_BOOK), fh, ensure_ascii=False)
+    out = str(tmp / "out")
+    db = str(tmp / "items.db")
+    r = subprocess.run(
+        [sys.executable, "-m", "crawler_ray",
+         "--rules", rules_path, "--pages", douban_corpus.pages,
+         "--seeds", douban_corpus.seeds, "--politeness", douban_corpus.politeness,
+         "--out", out, "--max-iterations", "10", "--num-cpus", "2",
+         "--sqlite", db],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["scheduled"] == 7
+    assert summary["items"] == 3
+
+    files = glob.glob(f"{out}/iter_*/items/rule=book_detail/*.parquet")
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files]).sort_values("url")
+    assert list(df["书名"]) == ["素食者", "长安的荔枝", "食南之徒"]
+    assert set(df["得分"]) == {" 8.1 "}  # byte-exact incl. whitespace
+
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM book_detail").fetchone()[0] == 3
+    con.close()

@@ -89,3 +89,45 @@ def test_sql_sink_streaming_from_dataset(ray_session, tmp_path):
     assert con.execute('SELECT COUNT(*) FROM "items"').fetchone()[0] == 25
     r = con.execute('SELECT title, pages, Time FROM "items" WHERE Url="https://h/3"').fetchone()
     assert r == ("t3", "3", "2026-01-01 00:00:03")
+
+
+def test_fetch_session_header_assembly():
+    """BrowserFetch per-request setup parity (collect/collect.go:62-91):
+    UA always, Cookie when configured, proxy round-robin by row index —
+    all deterministic."""
+    from crawler_ray.functions.web import FetchSession, build_headers, user_agent_for
+
+    s = FetchSession(cookie="bid=abc123; ll=118282",
+                     proxies=("http://p1:8888", "http://p2:8888"))
+    h0 = build_headers(s, "https://book.douban.com", 0)
+    assert h0["Cookie"] == "bid=abc123; ll=118282"
+    assert h0["User-Agent"] == user_agent_for("https://book.douban.com")
+    assert h0["X-Proxy"] == "http://p1:8888"
+    assert build_headers(s, "https://book.douban.com", 1)["X-Proxy"] == "http://p2:8888"
+    assert build_headers(s, "https://book.douban.com", 2)["X-Proxy"] == "http://p1:8888"
+    # reproducible: same inputs, same headers
+    assert build_headers(s, "https://book.douban.com", 0) == h0
+    # no cookie configured → no Cookie header (the reference only sets it
+    # when the task provides one)
+    assert "Cookie" not in build_headers(FetchSession(), "https://x.test/", 0)
+
+
+def test_fetch_session_rules_roundtrip():
+    """Cookie/session config survives the rules-as-data round-trip."""
+    import dataclasses
+
+    from crawler_ray.functions.web import FetchSession
+    from crawler_ray.rules import DOUBAN_BOOK, task_from_rows, task_to_rows
+
+    task = dataclasses.replace(
+        DOUBAN_BOOK, fetch=FetchSession(cookie="k=v", proxies=("http://p:1",))
+    )
+    back = task_from_rows(task_to_rows(task))
+    assert back.fetch.cookie == "k=v"
+    assert back.fetch.proxies == ("http://p:1",)
+
+
+def test_simulated_fetcher_satisfies_protocol():
+    from crawler_ray.stages.fetch import Fetcher, SimulatedFetcher
+
+    assert issubclass(SimulatedFetcher, Fetcher)
