@@ -86,6 +86,15 @@ def _keep(col: str, value) -> "callable":
     return fn
 
 
+def _route(col: str, value) -> "callable":
+    """Fused filter + canonical-schema cast for a frontier branch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return _cast_frontier(t.filter(pc.equal(t.column(col), value)))
+
+    return fn
+
+
 def seed_frontier_table(seeds_path: str) -> pa.Table:
     seeds = pq.read_table(seeds_path)
     n = seeds.num_rows
@@ -325,7 +334,13 @@ def run_crawl(
             fr = ray.data.read_parquet(frontier_path)
         else:
             fr = ray.data.from_arrow(frontier_tbl)
-        fr = fr.map_batches(canonicalize_fn(cfg.max_depth), batch_format="pyarrow")
+        # batch_size coalesces the read's auto-split blocks (~7k rows each)
+        # into ~32k-row blocks: the admission groupby's sort-shuffle moves
+        # #blocks × #partitions object pieces, and 216×216 pieces of
+        # per-piece scheduling overhead cost more than the admission work
+        fr = fr.map_batches(
+            canonicalize_fn(cfg.max_depth), batch_size=32768, batch_format="pyarrow"
+        )
         fr = fr.map_batches(robots_filter_fn(cfg), batch_format="pyarrow")
         # Task.Reload bypasses the visited check entirely (the reference
         # skips HasVisited when Reload is set, engine/crawler.go:85,
@@ -342,12 +357,20 @@ def run_crawl(
         fr = fr.groupby("host").map_groups(admit_fn(cfg, usage), batch_format="pandas")
         frontier_mat = fr.materialize()
         t0 = _tick(f"it{it} admission", t0)
+        if timing and os.environ.get("CRAWLER_RAY_STATS") == "1":
+            print(f"[admission-stats it{it}]\n{frontier_mat.stats()}", flush=True)
 
-        deferred = frontier_mat.map_batches(_keep("admitted", False), batch_format="pyarrow").map_batches(
-            _cast_frontier, batch_format="pyarrow"
+        # route + cast fused, with batch_size coalescing: the admission
+        # shuffle materializes many small blocks, and every stage fed tiny
+        # blocks pays per-task overhead that grows with core count (the
+        # frontier write was measurably SLOWER at 8 cores than 2 before
+        # this) — one streaming re-bundle here keeps downstream block
+        # counts ∝ rows/65536, not ∝ shuffle partitions
+        deferred = frontier_mat.map_batches(
+            _route("admitted", False), batch_size=65536, batch_format="pyarrow"
         )
-        admitted = frontier_mat.map_batches(_keep("admitted", True), batch_format="pyarrow").map_batches(
-            _cast_frontier, batch_format="pyarrow"
+        admitted = frontier_mat.map_batches(
+            _route("admitted", True), batch_size=65536, batch_format="pyarrow"
         )
         if not task.reload:
             admitted = admitted.map_batches(seen_filter_fn(seen, mark=True), batch_format="pyarrow")
@@ -359,29 +382,37 @@ def run_crawl(
         # row group decompress ~once per iteration and splits hot hosts
         # across workers — the same trick a 256-node run needs.
         admitted = admitted.sort("url")
+        # a map_batches task consumes whole blocks: the 64k-row coalesced
+        # blocks above would run the (expensive) fetch stage as one task
+        # per 64k urls — split back to fetch-task-sized blocks, order
+        # preserved (streaming split, no shuffle)
+        admitted = admitted.repartition(target_num_rows_per_block=batch_size)
         # Fused fetch→classify→extract (FetchExtract): one map stage per
         # generation, cached per worker process; raw html never enters the
         # object store — only derived rows (order/failed/frontier/item/text)
         # are materialized.
         ex_mat = admitted.map_batches(
-            make_fetch_extract_fn(corpus.pages, task),
+            make_fetch_extract_fn(corpus.pages, task, cfg.max_attempts),
             batch_size=batch_size,
             batch_format="pyarrow",
         ).materialize()
         t0 = _tick(f"it{it} mark+fetch+extract", t0)
+        if timing and os.environ.get("CRAWLER_RAY_STATS") == "1":
+            print(f"[crawl-stats it{it}]\n{ex_mat.stats()}", flush=True)
 
-        order = ex_mat.map_batches(_keep("kind", "order"), batch_format="pyarrow").map_batches(
-            lambda t, _it=it: pa.table(
+        order = ex_mat.map_batches(
+            lambda t, _it=it: (lambda f: pa.table(
                 {
-                    "iteration": pa.array([_it] * t.num_rows, pa.int32()),
-                    "url": t.column("url"),
-                    "priority": t.column("priority"),
-                    "seq": t.column("seq"),
-                    "attempt": t.column("attempt"),
-                    "outcome": t.column("outcome"),
-                    "h64": t.column("h64"),
+                    "iteration": pa.array([_it] * f.num_rows, pa.int32()),
+                    "url": f.column("url"),
+                    "priority": f.column("priority"),
+                    "seq": f.column("seq"),
+                    "attempt": f.column("attempt"),
+                    "outcome": f.column("outcome"),
+                    "h64": f.column("h64"),
                 }
-            ),
+            ))(t.filter(pc.equal(t.column("kind"), "order"))),
+            batch_size=65536,
             batch_format="pyarrow",
         )
         order.write_parquet(os.path.join(ckdir, "order"))
@@ -394,7 +425,9 @@ def run_crawl(
         # items sink, per rule (dynamic schema from ItemFields — W2);
         # row counts come from the written Parquet footers, not re-executions
         n_items = 0
-        items_all = ex_mat.map_batches(_keep("kind", "item"), batch_format="pyarrow")
+        items_all = ex_mat.map_batches(
+            _keep("kind", "item"), batch_size=65536, batch_format="pyarrow"
+        )
         for rule_name, spec in task.rules.items():
             if not spec.item_fields:
                 continue
@@ -405,20 +438,22 @@ def run_crawl(
             n_items += _parquet_rows(rule_dir)
         t0 = _tick(f"it{it} items write", t0)
 
-        ex_mat.map_batches(_keep("kind", "text"), batch_format="pyarrow").select_columns(
-            ["url", "rule", "payload"]
-        ).write_parquet(os.path.join(ckdir, "text"))
+        ex_mat.map_batches(
+            _keep("kind", "text"), batch_size=65536, batch_format="pyarrow"
+        ).select_columns(["url", "rule", "payload"]).write_parquet(os.path.join(ckdir, "text"))
         t0 = _tick(f"it{it} text write", t0)
 
-        children = ex_mat.map_batches(_keep("kind", "frontier"), batch_format="pyarrow").map_batches(
-            _cast_frontier, batch_format="pyarrow"
+        # children AND retry rows (FetchExtract emits both as kind=frontier)
+        children = ex_mat.map_batches(
+            _route("kind", "frontier"), batch_size=65536, batch_format="pyarrow"
         )
 
-        # failure path: unmark + requeue (attempt+1 < max_attempts). The
-        # failed key set comes from the order parquet ALREADY on local disk
-        # (outcome ∈ missing/banned ⟺ kind=failed) — a footer-level column
-        # read, no extra Ray execution pass (the r1 iter_batches collection
-        # was one of the per-generation fixed costs hurting scaling)
+        # failure bookkeeping: unmark failed keys (requeue rows were already
+        # emitted by FetchExtract as kind=frontier with attempt+1). The key
+        # set comes from the order parquet ALREADY on local disk — a
+        # footer-level column read, no extra Ray execution pass (the r1
+        # iter_batches collection was one of the per-generation fixed costs
+        # hurting scaling)
         fail_parts = []
         odir = os.path.join(ckdir, "order")
         if os.path.isdir(odir):
@@ -433,23 +468,13 @@ def run_crawl(
         n_failed = int(sum(len(p) for p in fail_parts))
         if n_failed and not task.reload:  # nothing was marked under reload
             seen.remove(np.concatenate(fail_parts))
-        failures = ex_mat.map_batches(_keep("kind", "failed"), batch_format="pyarrow")
-        retries = failures.map_batches(
-            lambda t: _cast_frontier(
-                t.set_column(
-                    t.schema.get_field_index("attempt"),
-                    "attempt",
-                    pc.add(t.column("attempt"), 1),
-                )
-            ).filter(pc.less(pc.add(t.column("attempt"), 1), cfg.max_attempts)),
-            batch_format="pyarrow",
-        )
 
         t0 = _tick(f"it{it} failures n={n_failed}", t0)
-        # coalesce before writing: the 3-way union inherits ~3× the block
-        # count of its inputs and would otherwise checkpoint hundreds of
-        # tiny files per generation (slow to write, slower to re-read)
-        nxt = deferred.union(retries).union(children).repartition(8)
+        # both branches are already coalesced to ~64k-row blocks, so the
+        # union writes a handful of files per generation with no
+        # repartition barrier (the r1 repartition(8) was an all-to-all of
+        # hundreds of tiny blocks that anti-scaled with core count)
+        nxt = deferred.union(children)
         next_path = os.path.join(ckdir, "next_frontier")
         nxt.write_parquet(next_path)
         n_next = _parquet_rows(next_path)

@@ -144,57 +144,59 @@ def q6_revenue_filter(sf_dir: str) -> pa.Table:
 
 # --------------------------------------------------------------------- Q3
 def q3_top_orders(sf_dir: str) -> rd.Dataset:
-    """Broadcast-filtered two-hop join + partial agg + top-k.
+    """Two-hop hash-partitioned join + partial agg + top-k.
 
-    customer(BUILDING) keys and the filtered orders map ship once via
-    ``ray.put``; lineitem streams against them — no shuffle until the small
-    per-order aggregate."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = cust.map_batches(
+    The r1 version collected the BUILDING customer keys AND the filtered
+    orders' date map onto the driver (fact-table-sized at 100 TB — a driver
+    OOM). Both hops are now ``Dataset.join`` hash exchanges: semi-join
+    orders⋉customer(BUILDING), then pre-aggregated lineitem ⋈ the filtered
+    orders; nothing key-shaped ever lands on the driver."""
+    building = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    ckeys = set()
-    for b in building.iter_batches(batch_format="pyarrow"):
-        ckeys.update(b["c_custkey"].to_pylist())
-    ckeys_ref = ray.put(np.array(sorted(ckeys), dtype=np.int64))
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def filt_orders(t: pa.Table, ref=ckeys_ref) -> pa.Table:
-        keys = ray.get(ref)
-        m = pc.is_in(t["o_custkey"], value_set=pa.array(keys))
-        return t.filter(m)
-
-    sel = orders.map_batches(filt_orders, batch_format="pyarrow")
-    odate: dict[int, str] = {}
-    for b in sel.iter_batches(batch_format="pyarrow"):
-        for k, d in zip(b["o_orderkey"].to_pylist(), pc.strftime(b["o_orderdate"], format="%Y-%m-%d").to_pylist()):
-            odate[k] = d
-    okeys_ref = ray.put(np.array(sorted(odate), dtype=np.int64))
+    sel = orders.join(
+        building, join_type="left_semi", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate_s": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def li_prep(t: pa.Table, ref=okeys_ref) -> pa.Table:
-        keys = ray.get(ref)
-        t = t.filter(pc.is_in(t["l_orderkey"], value_set=pa.array(keys)))
-        return pa.table(
+    li_pre = li.map_batches(
+        lambda t: pa.table(
             {
-                "o_orderkey": t["l_orderkey"],
+                "l_orderkey": t["l_orderkey"],
                 "rev": pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
             }
-        )
+        ),
+        batch_format="pyarrow",
+    ).map_batches(_partial_groupby(["l_orderkey"], [("rev", "sum", "rev")]), batch_format="pyarrow")
 
-    ds = li.map_batches(li_prep, batch_format="pyarrow")
-    ds = ds.map_batches(_partial_groupby(["o_orderkey"], [("rev", "sum", "rev")]), batch_format="pyarrow")
-    agg = _global_sum(ds, ["o_orderkey"], ["rev"])
+    joined = li_pre.join(
+        sel, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["l_orderkey"], "o_orderdate_s": t["o_orderdate_s"], "rev": t["rev"]}
+        ),
+        batch_format="pyarrow",
+    )
+    agg = _global_sum(joined, ["o_orderkey", "o_orderdate_s"], ["rev"])
 
-    def finish(t: pa.Table, dates=odate) -> pa.Table:
+    def finish(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
                 "revenue_c": _cents(t["rev"]),
-                "o_orderdate_s": pa.array([dates[k] for k in t["o_orderkey"].to_pylist()], pa.string()),
+                "o_orderdate_s": t["o_orderdate_s"],
             }
         )
 
@@ -244,33 +246,34 @@ def nation_order_revenue(sf_dir: str) -> rd.Dataset:
 
 # -------------------------------------------------------------- anti join
 def orders_without_lineitems(sf_dir: str) -> rd.Dataset:
-    """Anti-join: distinct the probe side (shuffle), broadcast it, stream the
-    other side against it. (At 100 TB with a huge distinct set this becomes a
-    hash-partitioned anti join on o_orderkey.)"""
-    li = _read(sf_dir, "lineitem", ["l_orderkey"])
-    okeys = li.unique("l_orderkey")
-    okeys_ref = ray.put(np.array(sorted(okeys), dtype=np.int64))
+    """Hash-partitioned anti-join (``left_anti``). The probe side is
+    pre-deduped per batch (arrow group_by combiner) so the exchange moves
+    one row per (batch × key), never raw lineitems — and, unlike the r1
+    ``unique()``-to-driver + broadcast, no key set is ever driver-held."""
+    li_keys = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda t: t.group_by(["l_orderkey"]).aggregate([]),
+        batch_format="pyarrow",
+    )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def anti(t: pa.Table, ref=okeys_ref) -> pa.Table:
-        keys = ray.get(ref)
-        return t.filter(pc.invert(pc.is_in(t["o_orderkey"], value_set=pa.array(keys))))
-
-    return orders.map_batches(anti, batch_format="pyarrow")
+    return orders.join(
+        li_keys, join_type="left_anti", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
 
 
 # -------------------------------------------------------------- semi join
 def parts_sold(sf_dir: str) -> rd.Dataset:
-    """Semi-join via distinct (shuffle) + broadcast dim lookup."""
-    sold = _read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
+    """Hash-partitioned semi-join (``left_semi``) with per-batch key dedup
+    on the probe side."""
+    sold = _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+        lambda t: t.group_by(["l_partkey"]).aggregate([]),
+        batch_format="pyarrow",
+    )
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    sold_ref = ray.put(np.array(sorted(sold), dtype=np.int64))
-
-    def semi(t: pa.Table, ref=sold_ref) -> pa.Table:
-        keys = ray.get(ref)
-        return t.filter(pc.is_in(t["p_partkey"], value_set=pa.array(keys)))
-
-    return part.map_batches(semi, batch_format="pyarrow")
+    return part.join(
+        sold, join_type="left_semi", num_partitions=8,
+        on=("p_partkey",), right_on=("l_partkey",),
+    )
 
 
 # ------------------------------------------------------------------ top-k

@@ -266,13 +266,16 @@ class FetchExtract:
 
     - ``order``: one row per attempted fetch with its outcome (the crawl
       schedule record, engine/crawler.go:95-120)
-    - ``failed``: full frontier columns for missing/banned rows (the
-      unmark-and-requeue path, engine/crawler.go:179-194); short bodies get
-      an order row only (dropped but stay visited)
-    - ``frontier`` / ``item`` / ``text``: the extract outputs (ok rows)
+    - ``frontier``: extracted children (ok rows) AND retry rows for
+      missing/banned fetches with ``attempt+1 < max_attempts`` (the
+      requeue path, engine/crawler.go:179-194, fused here so the driver
+      needs no separate failure pass); short bodies get an order row only
+      (dropped but stay visited). The driver unmarks failed keys from the
+      order parquet's outcome column.
+    - ``item`` / ``text``: the extract outputs (ok rows)
     """
 
-    def __init__(self, pages_dir: str, task: TaskSpec):
+    def __init__(self, pages_dir: str, task: TaskSpec, max_attempts: int = 2):
         from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES
         from crawler_ray.stages.fetch import SimulatedFetcher
 
@@ -280,6 +283,7 @@ class FetchExtract:
         self.extractor = Extractor(task)
         self.ban = BAN_STRING
         self.min_bytes = MIN_BODY_BYTES
+        self.max_attempts = max_attempts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -306,14 +310,21 @@ class FetchExtract:
         parts: list[pa.Table] = []
         # order: one row per attempted fetch — pure table ops
         parts.append(_rows_like(fetched, None, "order", outcome=outcome))
-        failed_idx = np.flatnonzero(
-            np.asarray(pc.or_(missing, banned).combine_chunks())
+        # retry rows: failed fetches re-enter the next frontier with
+        # attempt+1 (unchanged url/seq/priority — ordering stays stable)
+        attempts = fetched.column("attempt")
+        retry_mask = pc.and_(
+            pc.or_(missing, banned),
+            pc.less(pc.add(attempts, 1), self.max_attempts),
         )
-        if failed_idx.size:
-            parts.append(
-                _rows_like(fetched, failed_idx, "failed",
-                           outcome=outcome.take(failed_idx))
+        retry_idx = np.flatnonzero(np.asarray(retry_mask.combine_chunks()))
+        if retry_idx.size:
+            bumped = fetched.set_column(
+                fetched.schema.get_field_index("attempt"),
+                "attempt",
+                pc.add(attempts, 1).cast(pa.int32()),
             )
+            parts.append(_rows_like(bumped, retry_idx, "frontier"))
         # extraction only over ok rows
         ok_idx = np.flatnonzero(np.asarray(pc.equal(outcome, "ok").combine_chunks()))
         if ok_idx.size:
@@ -321,16 +332,17 @@ class FetchExtract:
         return pa.concat_tables(parts)
 
 
-_FETCH_EXTRACT_CACHE: dict[tuple[str, str], FetchExtract] = {}
+_FETCH_EXTRACT_CACHE: dict[tuple[str, str, int], FetchExtract] = {}
 
 
-def make_fetch_extract_fn(pages_dir: str, task: TaskSpec):
+def make_fetch_extract_fn(pages_dir: str, task: TaskSpec, max_attempts: int = 2):
     """Per-worker-process cached FetchExtract task fn."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        fe = _FETCH_EXTRACT_CACHE.get((pages_dir, task.name))
+        key = (pages_dir, task.name, max_attempts)
+        fe = _FETCH_EXTRACT_CACHE.get(key)
         if fe is None:
-            fe = _FETCH_EXTRACT_CACHE[(pages_dir, task.name)] = FetchExtract(pages_dir, task)
+            fe = _FETCH_EXTRACT_CACHE[key] = FetchExtract(pages_dir, task, max_attempts)
         return fe(batch)
 
     return fn
