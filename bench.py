@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "embedding_dup_pairs",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "link_graph",
 ]
 

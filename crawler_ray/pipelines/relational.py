@@ -146,28 +146,39 @@ def q6_revenue_filter(sf_dir: str) -> pa.Table:
 def q3_top_orders(sf_dir: str) -> rd.Dataset:
     """Two-hop hash-partitioned join + partial agg + top-k.
 
-    The r1 version collected the BUILDING customer keys AND the filtered
-    orders' date map onto the driver (fact-table-sized at 100 TB — a driver
-    OOM). Both hops are now ``Dataset.join`` hash exchanges: semi-join
-    orders⋉customer(BUILDING), then pre-aggregated lineitem ⋈ the filtered
-    orders; nothing key-shaped ever lands on the driver."""
+    The r1 version collected the filtered orders' DATE MAP onto the driver
+    (fact-table-sized at 100 TB — a driver OOM); the lineitem⋈orders hop is
+    now a ``Dataset.join`` hash exchange carrying the date through the
+    shuffle. The BUILDING customer-key set stays a ``ray.put`` broadcast:
+    it is bounded by a dimension table (1/5 of customers), the canonical
+    broadcast-the-small-side case."""
     building = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
         batch_format="pyarrow",
     )
+    ckeys = np.sort(
+        np.concatenate(
+            [
+                b["c_custkey"].to_numpy()
+                for b in building.iter_batches(batch_format="pyarrow")
+            ]
+        )
+    ).astype(np.int64)
+    ckeys_ref = ray.put(ckeys)
+
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    sel = orders.join(
-        building, join_type="left_semi", num_partitions=8,
-        on=("o_custkey",), right_on=("c_custkey",),
-    ).map_batches(
-        lambda t: pa.table(
+
+    def filt_orders(t: pa.Table, ref=ckeys_ref) -> pa.Table:
+        keys = ray.get(ref)
+        t = t.filter(pc.is_in(t["o_custkey"], value_set=pa.array(keys)))
+        return pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
                 "o_orderdate_s": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    sel = orders.map_batches(filt_orders, batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     li_pre = li.map_batches(
