@@ -287,6 +287,100 @@ def parts_sold(sf_dir: str) -> rd.Dataset:
     )
 
 
+# ----------------------------------------------------- as-of join (custom)
+def click_attribution(sf_dir: str, nparts: int = 32) -> rd.Dataset:
+    """As-of join — an operator Ray Data lacks natively: for every 'click'
+    event, the same user's most recent 'view' event at-or-before the click
+    (ties on ts broken by larger event_id). Emits
+    (event_id, user_id, view_event_id, gap_us).
+
+    Pattern (the documented partitioning assumption): hash-partition by
+    user (one groupby shuffle on a coarse ``part`` column — every user's
+    rows land in one group), sort within the partition by (user, ts,
+    event_id), then a vectorized searchsorted merge per user run. Per-user
+    state never leaves its partition, so the operator scales with the
+    number of partitions."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def addpart(t: pa.Table) -> pa.Table:
+        part = t["user_id"].to_numpy() % nparts
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    ds = ev.map_batches(addpart, batch_size=65536, batch_format="pyarrow")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        is_view = (g["event_type"] == "view").to_numpy()
+        is_click = (g["event_type"] == "click").to_numpy()
+        out_e, out_u, out_v, out_gap = [], [], [], []
+        starts = np.r_[0, np.nonzero(users[1:] != users[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(users)]
+        for s, e in zip(starts, ends):
+            vmask = is_view[s:e]
+            cmask = is_click[s:e]
+            if not (vmask.any() and cmask.any()):
+                continue
+            v_ts, v_id = ts[s:e][vmask], eid[s:e][vmask]
+            c_ts, c_id = ts[s:e][cmask], eid[s:e][cmask]
+            # rows are (ts, event_id)-sorted, so side='right' lands after
+            # the last view with ts <= click ts — max event_id among ties
+            idx = np.searchsorted(v_ts, c_ts, side="right") - 1
+            ok = idx >= 0
+            out_e.append(c_id[ok])
+            out_u.append(np.full(ok.sum(), users[s], np.int64))
+            out_v.append(v_id[idx[ok]])
+            out_gap.append(c_ts[ok] - v_ts[idx[ok]])
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pd.DataFrame(
+            {
+                "event_id": cat(out_e),
+                "user_id": cat(out_u),
+                "view_event_id": cat(out_v),
+                "gap_us": cat(out_gap),
+            }
+        )
+
+    return ds.groupby("part").map_groups(asof, batch_format="pandas")
+
+
+# ------------------------------------------- sliding window agg (custom)
+def user_rolling_hour(sf_dir: str, nparts: int = 32) -> rd.Dataset:
+    """Sliding-window aggregate — per event, the same user's summed
+    ``value`` over the trailing 1 hour (RANGE semantics: peers with the
+    same ts are included). Same partition-by-user + per-run vectorized
+    prefix-sum/searchsorted pattern as the as-of join."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def addpart(t: pa.Table) -> pa.Table:
+        part = t["user_id"].to_numpy() % nparts
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    ds = ev.map_batches(addpart, batch_size=65536, batch_format="pyarrow")
+    HOUR_US = 3_600_000_000
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        val = g["value"].to_numpy()
+        out = np.empty(len(g), np.int64)
+        starts = np.r_[0, np.nonzero(users[1:] != users[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(users)]
+        for s, e in zip(starts, ends):
+            t_run = ts[s:e]
+            pre = np.r_[0.0, np.cumsum(val[s:e])]
+            lo = np.searchsorted(t_run, t_run - HOUR_US, side="left")
+            hi = np.searchsorted(t_run, t_run, side="right")  # include ts peers
+            out[s:e] = np.round((pre[hi] - pre[lo]) * 100).astype(np.int64)
+        return pd.DataFrame({"event_id": eid, "roll_c": out})
+
+    return ds.groupby("part").map_groups(roll, batch_format="pandas")
+
+
 # ------------------------------------------------------------------ top-k
 def top_parts_by_revenue(sf_dir: str) -> rd.Dataset:
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
@@ -524,9 +618,31 @@ QUERIES = {
     "customer_top_order": customer_top_order,
     "brand_median_size": brand_median_size,
     "bulk_orders": bulk_orders,
+    "click_attribution": click_attribution,
+    "user_rolling_hour": user_rolling_hour,
 }
 
 ORACLE_SQL = {
+    "click_attribution": """
+        WITH clicks AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+             views  AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'),
+             j AS (
+                 SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+                        CAST(DATEDIFF('microsecond', v.ts, c.ts) AS BIGINT) AS gap_us,
+                        ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                 FROM clicks c JOIN views v
+                   ON v.user_id = c.user_id AND v.ts <= c.ts)
+        SELECT event_id, user_id, view_event_id, gap_us FROM j WHERE rn = 1
+    """,
+    "user_rolling_hour": """
+        SELECT event_id,
+               CAST(ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) * 100)
+               AS BIGINT) AS roll_c
+        FROM events
+    """,
     "customer_top_order": """
         SELECT o_custkey, o_orderkey,
                CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c

@@ -198,3 +198,17 @@ def test_ann_ivf_recall_and_exactness(ray_session):
     for q, v, c in zip(iv.query_id, iv.vec_id, iv.cos_e6):
         if (q, v) in bf_scores:
             assert bf_scores[(q, v)] == c
+
+
+def test_hll_token_cardinality(ray_session, docs):
+    """HLL estimate within the sketch's error bound of the exact distinct
+    token count."""
+    import re as _re
+
+    from crawler_ray.pipelines.text import hll_token_cardinality
+
+    tok = _re.compile(r"[A-Za-z0-9]+")
+    exact = len({w for s in docs.values() for w in tok.findall(s.lower())})
+    est = hll_token_cardinality(SF)["approx_distinct_tokens"][0].as_py()
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05, (est, exact)
