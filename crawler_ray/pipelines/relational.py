@@ -435,19 +435,38 @@ def active_nations(sf_dir: str) -> pa.Table:
 
 
 # ----------------------------------------------------------------- window
-def customer_running_total(sf_dir: str) -> rd.Dataset:
-    """Per-key ordered window (running sum) via groupby().map_groups —
-    integer cents cumsum so the result is order-exact."""
+def customer_running_total(sf_dir: str, nparts: int = 32) -> rd.Dataset:
+    """Per-key ordered window (running sum), integer cents so the result is
+    order-exact. Hash-partitioned by a coarse ``part`` column — one
+    vectorized cumsum-with-run-reset per partition instead of one pandas
+    group per customer (15k tiny groups cost more than the window math)."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
-    def win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
-        cents = (g["o_totalprice"] * 100).round().astype("int64")
-        return pd.DataFrame(
-            {"o_orderkey": g["o_orderkey"], "o_custkey": g["o_custkey"], "running_c": cents.cumsum()}
+    def addpart(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array((t["o_custkey"].to_numpy() % nparts).astype(np.int32))
         )
 
-    return orders.groupby("o_custkey").map_groups(win, batch_format="pandas")
+    ds = orders.map_batches(addpart, batch_size=65536, batch_format="pyarrow")
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        cust = g["o_custkey"].to_numpy()
+        cents = (g["o_totalprice"].to_numpy() * 100).round().astype(np.int64)
+        cum = np.cumsum(cents)
+        starts = np.r_[0, np.nonzero(cust[1:] != cust[:-1])[0] + 1]
+        run_base = np.r_[0, cum[starts[1:] - 1]]
+        lens = np.diff(np.r_[starts, len(cust)])
+        running = cum - np.repeat(run_base, lens)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": cust,
+                "running_c": running,
+            }
+        )
+
+    return ds.groupby("part").map_groups(win, batch_format="pandas")
 
 
 def user_sessions(sf_dir: str) -> rd.Dataset:
@@ -548,24 +567,36 @@ def brand_size_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
-def customer_top_order(sf_dir: str) -> rd.Dataset:
-    """Per-group argmax: each customer's single largest order
-    (groupby().map_groups with a numpy argmax — the window-rank pattern)."""
+def customer_top_order(sf_dir: str, nparts: int = 32) -> rd.Dataset:
+    """Per-group argmax: each customer's single largest order — the
+    window-rank pattern, coarse-partitioned with a vectorized first-of-run
+    select (tie-break: price desc, orderkey asc) instead of one pandas
+    group per customer."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
+    def addpart(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array((t["o_custkey"].to_numpy() % nparts).astype(np.int32))
+        )
+
+    ds = orders.map_batches(addpart, batch_size=65536, batch_format="pyarrow")
+
     def top(g: pd.DataFrame) -> pd.DataFrame:
-        cents = (g["o_totalprice"] * 100).round().astype("int64")
-        order = np.lexsort((g["o_orderkey"].to_numpy(), -cents.to_numpy()))
-        i = order[0]
+        cust = g["o_custkey"].to_numpy()
+        okey = g["o_orderkey"].to_numpy()
+        cents = (g["o_totalprice"].to_numpy() * 100).round().astype(np.int64)
+        order = np.lexsort((okey, -cents, cust))  # cust asc, price desc, key asc
+        cust, okey, cents = cust[order], okey[order], cents[order]
+        first = np.r_[0, np.nonzero(cust[1:] != cust[:-1])[0] + 1]
         return pd.DataFrame(
             {
-                "o_custkey": [g["o_custkey"].iloc[i]],
-                "o_orderkey": [g["o_orderkey"].iloc[i]],
-                "totalprice_c": [cents.iloc[i]],
+                "o_custkey": cust[first],
+                "o_orderkey": okey[first],
+                "totalprice_c": cents[first],
             }
         )
 
-    return orders.groupby("o_custkey").map_groups(top, batch_format="pandas")
+    return ds.groupby("part").map_groups(top, batch_format="pandas")
 
 
 def brand_median_size(sf_dir: str) -> rd.Dataset:

@@ -291,3 +291,27 @@ def test_composed_sustained_budget(ray_session, corpus_small, tmp_path_factory):
     df2 = resumed.order_dataset().to_pandas()
     eng2 = set(zip(df2.iteration, df2.url, df2.priority, df2.seq, df2.attempt, df2.outcome))
     assert eng2 == eng
+
+
+def test_cuckoo_only_mode_matches_oracle(ray_session, corpus_small, tmp_path_factory):
+    """The filter-only seen configuration (exact=False — the 10^10-URL
+    path) reproduces the oracle schedule at this scale (16-bit fingerprints
+    ⇒ negligible FP rate on a 600-url frontier) and resumes from its
+    filter-state checkpoints."""
+    out = str(tmp_path_factory.mktemp("cuckoo_only"))
+    res = run_crawl(corpus_small, out_dir=out, max_iterations=30,
+                    exact_seen=False, seen_mode="cuckoo")
+    orc = run_oracle(corpus_small, max_iterations=30)
+    df = res.order_dataset().to_pandas()
+    eng = set(zip(df.iteration, df.url, df.priority, df.seq, df.attempt, df.outcome))
+    assert eng == set(orc.order)
+
+    # kill-and-resume in cuckoo-only mode (no exact arrays in checkpoints)
+    out2 = str(tmp_path_factory.mktemp("cuckoo_resume"))
+    run_crawl(corpus_small, out_dir=out2, max_iterations=3,
+              exact_seen=False, seen_mode="cuckoo")
+    r2 = run_crawl(corpus_small, out_dir=out2, max_iterations=30,
+                   exact_seen=False, seen_mode="cuckoo", resume=True)
+    df2 = r2.order_dataset().to_pandas()
+    eng2 = set(zip(df2.iteration, df2.url, df2.priority, df2.seq, df2.attempt, df2.outcome))
+    assert eng2 == eng
