@@ -469,17 +469,33 @@ def customer_running_total(sf_dir: str, nparts: int = 32) -> rd.Dataset:
     return ds.groupby("part").map_groups(win, batch_format="pandas")
 
 
-def user_sessions(sf_dir: str) -> rd.Dataset:
-    """Sessionization: 30-min-gap splits per user (stateful window op)."""
+def user_sessions(sf_dir: str, nparts: int = 32) -> rd.Dataset:
+    """Sessionization: 30-min-gap splits per user (stateful window op),
+    coarse-partitioned with one vectorized reduceat pass per partition —
+    at millions of users the one-pandas-group-per-user form is pure
+    per-group overhead."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff().dt.total_seconds()
-        n = int(1 + (gaps > 1800).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": np.array([n], dtype=np.int64)})
+    def addpart(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array((t["user_id"].to_numpy() % nparts).astype(np.int32))
+        )
 
-    return ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+    ds = ev.map_batches(addpart, batch_size=65536, batch_format="pyarrow")
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        starts = np.r_[0, np.nonzero(users[1:] != users[:-1])[0] + 1]
+        gap_break = np.r_[False, np.diff(ts) > 1_800_000_000]
+        gap_break[starts] = False  # gaps never span users
+        breaks_per_user = np.add.reduceat(gap_break.astype(np.int64), starts)
+        return pd.DataFrame(
+            {"user_id": users[starts], "n_sessions": breaks_per_user + 1}
+        )
+
+    return ds.groupby("part").map_groups(sess, batch_format="pandas")
 
 
 def events_daily(sf_dir: str) -> rd.Dataset:

@@ -227,6 +227,58 @@ def hll_token_cardinality(sf_dir: str, p: int = 12) -> "pa.Table":
     )
 
 
+class DocEmbedder:
+    """Batched-inference actor stage: the 'model' (a seeded random
+    projection over hashed token features — a deterministic stand-in for a
+    sentence-transformer; no ML runtime in this container) loads ONCE per
+    actor in ``__init__``; ``__call__`` embeds a whole batch as one matmul.
+    This is the shape a real encoder drops into unchanged: swap the weight
+    init for a checkpoint load and the featurizer for a tokenizer."""
+
+    FEATS = 256
+
+    def __init__(self, dim: int = 64, seed: int = 42):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        self.w = rng.standard_normal((self.FEATS, dim)).astype(np.float32)
+        self.dim = dim
+
+    def _featurize(self, texts: list[str]) -> "np.ndarray":
+        import hashlib
+
+        import numpy as np
+
+        x = np.zeros((len(texts), self.FEATS), dtype=np.float32)
+        for i, s in enumerate(texts):
+            for w in _TOKEN_RE.findall(s.lower()):
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "big")
+                x[i, h % self.FEATS] += 1.0
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        return x / np.maximum(norms, 1e-9)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        emb = self._featurize(t["text"].to_pylist()) @ self.w  # one matmul per batch
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            }
+        )
+
+
+def doc_embeddings(sf_dir: str) -> rd.Dataset:
+    """Embed every document with an actor-pool encoder (model in
+    ``__init__``, batched matmul in ``__call__`` — the batched-model-
+    inference pattern; rows-only, determinism pinned by pytest)."""
+    return _docs(sf_dir).map_batches(
+        DocEmbedder, concurrency=(1, 4), batch_size=256, batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_score": quality_score,
@@ -234,6 +286,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprints": winnow_fingerprints,
     "hll_token_cardinality": hll_token_cardinality,
+    "doc_embeddings": doc_embeddings,
 }
 
 ORACLE_SQL = {

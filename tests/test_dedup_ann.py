@@ -212,3 +212,21 @@ def test_hll_token_cardinality(ray_session, docs):
     est = hll_token_cardinality(SF)["approx_distinct_tokens"][0].as_py()
     assert exact > 0
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_doc_embeddings_deterministic_unit_norm(ray_session):
+    """Actor-pool encoder: deterministic across runs, unit-norm vectors,
+    fixed dim."""
+    import numpy as np
+
+    from crawler_ray.pipelines.text import doc_embeddings
+
+    a = doc_embeddings(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = doc_embeddings(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == 500
+    ea = np.vstack(a.embedding.to_numpy())
+    eb = np.vstack(b.embedding.to_numpy())
+    assert ea.shape == (500, 64)
+    assert np.array_equal(ea, eb)  # bit-identical across runs/actors
+    norms = np.linalg.norm(ea, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
