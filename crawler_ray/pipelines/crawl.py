@@ -50,7 +50,12 @@ from crawler_ray.stages.extract import (
     items_to_columns,
     make_fetch_extract_fn,
 )
-from crawler_ray.stages.politeness import PolitenessConfig, admit_fn, robots_filter_fn
+from crawler_ray.stages.politeness import (
+    PolitenessConfig,
+    admit_partition_fn,
+    host_partition_of,
+    robots_filter_fn,
+)
 from crawler_ray.stages.seen import SeenSet, seen_filter_fn
 
 # full seen-set compaction cadence; iterations in between checkpoint deltas
@@ -347,14 +352,24 @@ def run_crawl(
         # collect/option.go:14) — a re-crawlable task must refetch
         if not task.reload:
             fr = fr.map_batches(seen_filter_fn(seen, mark=False), batch_format="pyarrow")
-        # admission shuffle: one groupby(host) per generation
+        # admission shuffle: one groupby per generation, keyed by a coarse
+        # host-hash partition (every host in exactly one partition — the
+        # politeness correctness requirement) rather than by host itself:
+        # a real frontier has ~10^6+ hosts and per-host pandas groups are
+        # pure overhead; within a partition admission is one vectorized pass
         usage: dict[str, int] | None = None
         if track_window and window:
             usage = {}
             for counts in window:
                 for h, n in counts.items():
                     usage[h] = usage.get(h, 0) + n
-        fr = fr.groupby("host").map_groups(admit_fn(cfg, usage), batch_format="pandas")
+        fr = fr.map_batches(
+            lambda t: t.append_column(
+                "part", pa.array(host_partition_of(t["host"].to_pylist(), 64))
+            ),
+            batch_format="pyarrow",
+        )
+        fr = fr.groupby("part").map_groups(admit_partition_fn(cfg, usage), batch_format="pandas")
         frontier_mat = fr.materialize()
         t0 = _tick(f"it{it} admission", t0)
         if timing and os.environ.get("CRAWLER_RAY_STATS") == "1":

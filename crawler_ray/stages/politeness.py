@@ -173,3 +173,52 @@ def admit_fn(config: PolitenessConfig, window_usage: dict[str, int] | None = Non
         return g.assign(admitted=admitted)
 
     return fn
+
+
+def host_partition_of(hosts, nparts: int):
+    """Deterministic host → partition id (crc32 — stable across workers,
+    unlike Python's salted hash())."""
+    import zlib
+
+    import numpy as np
+
+    return np.fromiter(
+        (zlib.crc32(h.encode()) % nparts for h in hosts), np.int32, len(hosts)
+    )
+
+
+def admit_partition_fn(config: PolitenessConfig, window_usage: dict[str, int] | None = None):
+    """Partition-level admission: one vectorized pass over ALL hosts hashed
+    into this partition, replacing one pandas group per host (a real web
+    frontier has ~10^6+ hosts; per-group overhead would dwarf the admission
+    math). Semantics are identical to ``admit_fn`` per host — every host's
+    rows land in exactly one partition (crc32(host) % nparts), rows are
+    lexsorted by (host, priority desc, seq, len), within-host duplicate
+    keys keep the first, and each host admits its effective budget."""
+    import numpy as np
+
+    usage = window_usage or {}
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g.assign(admitted=np.zeros(0, dtype=bool))
+        seqs = g["seq"].to_numpy()
+        lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+        width = max(1, int(lens.max()))
+        seq_fixed = np.array([s.ljust(width, b"\0") for s in seqs], dtype=f"S{width}")
+        hosts = g["host"].to_numpy()
+        order = np.lexsort((lens, seq_fixed, -g["priority"].to_numpy(), hosts))
+        g = g.iloc[order]
+        keep = ~g.duplicated(subset=["host", "key"], keep="first").to_numpy()
+        g = g.iloc[keep]
+        h = g["host"].to_numpy()
+        starts = np.r_[0, np.nonzero(h[1:] != h[:-1])[0] + 1]
+        run_lens = np.diff(np.r_[starts, len(h)])
+        rank = np.arange(len(h)) - np.repeat(starts, run_lens)
+        budgets = np.fromiter(
+            (config.effective_budget(x, usage.get(x, 0)) for x in h[starts]),
+            np.int64, len(starts),
+        )
+        return g.assign(admitted=rank < np.repeat(budgets, run_lens))
+
+    return fn

@@ -115,3 +115,30 @@ def test_politeness_config_roundtrip(tmp_path):
     assert c.disallowed_prefixes("big.com") == ("/y",)
     assert c.disallowed_prefixes("other.com") == ("/x",)
     assert c.max_depth == 4
+
+
+def test_partition_admit_equals_per_host_admit():
+    """admit_partition_fn over a mixed-host partition decides exactly what
+    admit_fn decides per host."""
+    import numpy as np
+
+    from crawler_ray.stages.politeness import admit_fn, admit_partition_fn
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(400):
+        host = f"h{int(rng.integers(0, 7))}"
+        seq = bytes(rng.integers(0, 256, size=4 * int(rng.integers(1, 4)), dtype=np.uint8))
+        rows.append({"host": host, "key": f"{host}/k{int(rng.integers(0, 40))}",
+                     "seq": seq, "priority": int(rng.integers(0, 3)),
+                     "url": f"https://{host}/{i}"})
+    g = pd.DataFrame(rows)
+    cfg = _cfg(budget=4)
+    part_out = admit_partition_fn(cfg)(g)
+    got = {(r.host, r.key, r.seq): r.admitted for r in part_out.itertuples()}
+    expect = {}
+    for host, sub in g.groupby("host"):
+        out = admit_fn(cfg)(sub.copy())
+        for r in out.itertuples():
+            expect[(r.host, r.key, r.seq)] = r.admitted
+    assert got == expect
