@@ -90,6 +90,75 @@ class PolitenessConfig:
         return self.disallow.get(host, self.default_disallow)
 
 
+def parse_robots_txt(body: str, agent: str = "*") -> tuple[tuple[str, ...], float | None]:
+    """Minimal RFC-9309-style robots.txt parse: returns (disallow path
+    prefixes, crawl-delay seconds) for the best-matching user-agent group
+    (exact agent match wins over ``*``). Empty ``Disallow:`` lines (allow
+    all) are ignored; unknown directives are skipped."""
+    groups: dict[str, tuple[list[str], float | None]] = {}
+    current: list[str] = []
+    in_group = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_group:
+                current = []
+            current.append(val.lower())
+            for a in current:
+                groups.setdefault(a, ([], None))
+            in_group = True
+            continue
+        in_group = False
+        if key == "disallow" and val:
+            for a in current:
+                groups[a][0].append(val)
+        elif key == "crawl-delay":
+            try:
+                delay = float(val)
+            except ValueError:
+                continue
+            for a in current:
+                groups[a] = (groups[a][0], delay)
+    got = groups.get(agent.lower()) or groups.get("*")
+    if got is None:
+        return (), None
+    return tuple(got[0]), got[1]
+
+
+def robots_config(
+    robots_bodies: dict[str, str],
+    *,
+    window_seconds: float = 60.0,
+    default_budget: int = 6,
+    agent: str = "*",
+    base: PolitenessConfig | None = None,
+) -> PolitenessConfig:
+    """Build a PolitenessConfig from fetched robots.txt bodies (host →
+    body): Disallow prefixes become per-host drop rules and Crawl-delay
+    becomes the per-iteration budget (window_seconds / delay — one crawl
+    generation models one politeness window). This is the warm 'robots
+    cache' a live crawl maintains; the synthetic corpora bake the same
+    shape into politeness.json directly."""
+    import dataclasses
+    import math
+
+    base = base or PolitenessConfig(default_budget=default_budget)
+    disallow = dict(base.disallow)
+    host_budget = dict(base.host_budget)
+    for host, body in robots_bodies.items():
+        prefixes, delay = parse_robots_txt(body, agent=agent)
+        if prefixes:
+            disallow[host] = prefixes
+        if delay and delay > 0:
+            host_budget[host] = max(1, int(math.floor(window_seconds / delay)))
+    return dataclasses.replace(base, disallow=disallow, host_budget=host_budget)
+
+
 def robots_filter_fn(config: PolitenessConfig):
     """map_batches task fn dropping robots-disallowed URLs (vectorized:
     one ``starts_with`` kernel per distinct disallow prefix — prefix sets are

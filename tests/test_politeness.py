@@ -142,3 +142,48 @@ def test_partition_admit_equals_per_host_admit():
         for r in out.itertuples():
             expect[(r.host, r.key, r.seq)] = r.admitted
     assert got == expect
+
+
+def test_parse_robots_txt():
+    from crawler_ray.stages.politeness import parse_robots_txt
+
+    body = """
+# comments ignored
+User-agent: fancybot
+Disallow: /fancy-only
+
+User-agent: *
+Disallow: /private
+Disallow: /tmp/
+Disallow:
+Crawl-delay: 2.5
+Sitemap: https://x.test/sitemap.xml
+"""
+    dis, delay = parse_robots_txt(body)
+    assert dis == ("/private", "/tmp/")
+    assert delay == 2.5
+    # exact agent group wins over *
+    dis_f, delay_f = parse_robots_txt(body, agent="FancyBot")
+    assert dis_f == ("/fancy-only",)
+    assert delay_f is None
+    assert parse_robots_txt("") == ((), None)
+
+
+def test_robots_config_feeds_politeness():
+    from crawler_ray.stages.politeness import robots_config, robots_filter_fn
+
+    cfg = robots_config(
+        {"slow.test": "User-agent: *\nDisallow: /no\nCrawl-delay: 10\n",
+         "open.test": "User-agent: *\nDisallow:\n"},
+        window_seconds=60, default_budget=5,
+    )
+    assert cfg.budget("slow.test") == 6  # 60s / 10s delay
+    assert cfg.budget("open.test") == 5  # default
+    assert cfg.disallowed_prefixes("slow.test") == ("/no",)
+    # and the vectorized filter honors the parsed prefixes
+    t = pa.table({
+        "url": ["https://slow.test/no/x", "https://slow.test/ok", "https://open.test/no/x"],
+        "host": ["slow.test", "slow.test", "open.test"],
+    })
+    out = robots_filter_fn(cfg)(t)
+    assert out["url"].to_pylist() == ["https://slow.test/ok", "https://open.test/no/x"]
