@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "nation_order_revenue",
     "customer_running_total",
     "events_daily",
+    "click_attribution",
+    "user_rolling_hour",
+    "hll_token_cardinality",
+    "doc_embeddings",
     "token_stats",
     "quality_score",
     "dedup_exact",

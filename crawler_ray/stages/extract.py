@@ -155,17 +155,23 @@ def _extract_parts(rules: dict[str, CompiledRule], ok: pa.Table) -> list[pa.Tabl
         rule = rules.get(rules_col[i])
         if rule is None:
             continue  # unknown rule: dropped (a missing Trunk entry)
-        carry = json.loads(carries[i]) if carries[i] else {}
+        raw_carry = carries[i]
+        # fast path: most rows carry nothing — skip the json round-trip
+        carry = {} if not raw_carry or raw_carry == "{}" else json.loads(raw_carry)
         children, item = rule.extract(urls[i], bodies[i], carry)
         spec = rule.spec
         seq_i = seqs[i]
+        next_rule = spec.next_rule or ""
+        prio = spec.child_priority
         for idx, (curl, ccarry) in enumerate(children):
             child_parent.append(i)
             child_url.append(curl)
             child_seq.append(seq_i + idx.to_bytes(4, "big"))
-            child_carry.append(json.dumps(ccarry, ensure_ascii=False, sort_keys=True))
-            child_rule.append(spec.next_rule or "")
-            child_prio.append(spec.child_priority)
+            child_carry.append(
+                "{}" if not ccarry else json.dumps(ccarry, ensure_ascii=False, sort_keys=True)
+            )
+            child_rule.append(next_rule)
+            child_prio.append(prio)
         if item is not None:
             item_local.append(i)
             item_payload.append(json.dumps(item, ensure_ascii=False, sort_keys=True))
