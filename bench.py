@@ -6,10 +6,10 @@ Headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) at
     {"metric": "e2e_bench_sec", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, "crawl": {...}}
 
-``--scaling`` runs the headline crawl twice in fresh subprocesses
-(num_cpus=8 and 32) on the same input and reports throughput at both plus
-scaling efficiency (the sandbox proxy for the N→4N-node criterion);
-``--crawl-only`` is the subprocess mode it uses.
+``--scaling`` runs the headline crawl at two pinned core counts (default
+2 and 8) in fresh subprocesses on the same input and reports throughput at
+both plus scaling efficiency (the sandbox proxy for the N→4N-node
+criterion); ``--crawl-only`` is the subprocess mode it uses.
 """
 
 from __future__ import annotations
@@ -34,13 +34,13 @@ CPU_LIMIT = int(os.environ.get("GRAFT_CPU_LIMIT", "16"))
 # Scaling runs use N=2 vs 4N=8 workers — both below the bandwidth ceiling,
 # so the measurement reflects the engine, not the VM's shared-memory-bus
 # contention — and a 4x corpus so compute dominates fixed per-iteration cost.
-_pair = os.environ.get("GRAFT_SCALING_CPUS", "1,4").split(",")
+_pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
 SCALING_CPUS = (int(_pair[0]), int(_pair[1]))
 SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "320"))
 # skew=0 measures engine scaling without the deliberate 30%-mega-host
 # corpus skew (politeness budgets are semantically serial per host, so the
 # skewed corpus carries an Amdahl floor by construction); defaults
-# reproduce the headline 0.903 efficiency run recorded in BASELINE.md
+# reproduce the headline 2→8 = 0.866 run recorded in BASELINE.md
 SCALING_SKEW = os.environ.get("GRAFT_SCALING_SKEW", "0") == "1"
 
 BENCH_QUERIES = [
