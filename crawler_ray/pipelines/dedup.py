@@ -269,13 +269,13 @@ def minhash_lsh_dups(
 
     # verification: join shingle lists for both sides (hash shuffle sized by
     # the candidate set)
-    j1 = cand_u.join(sh_ds, join_type="inner", num_partitions=8,
+    j1 = cand_u.join(sh_ds, join_type="inner", num_partitions=4,
                      on=("a_id",), right_on=("doc_id",))
     j1 = j1.map_batches(
         lambda t: pa.table({"a_id": t["a_id"], "b_id": t["b_id"], "sh_a": t["sh"]}),
         batch_format="pyarrow",
     )
-    j2 = j1.join(sh_ds, join_type="inner", num_partitions=8,
+    j2 = j1.join(sh_ds, join_type="inner", num_partitions=4,
                  on=("b_id",), right_on=("doc_id",))
 
     def verify(t: pa.Table, thr=threshold_pct) -> pa.Table:

@@ -31,6 +31,12 @@ import ray
 import ray.data as rd
 
 
+# hash-join partition count: sized to this sandbox (each partition spins an
+# aggregator actor, and actor startup dominates at sf<=0.1); on a real
+# cluster this scales with node count x memory-per-partition
+JOIN_PARTITIONS = 4
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
@@ -192,7 +198,7 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
     ).map_batches(_partial_groupby(["l_orderkey"], [("rev", "sum", "rev")]), batch_format="pyarrow")
 
     joined = li_pre.join(
-        sel, join_type="inner", num_partitions=8,
+        sel, join_type="inner", num_partitions=JOIN_PARTITIONS,
         on=("l_orderkey",), right_on=("o_orderkey",),
     ).map_batches(
         lambda t: pa.table(
@@ -223,7 +229,7 @@ def nation_order_revenue(sf_dir: str) -> rd.Dataset:
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=JOIN_PARTITIONS,
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -267,7 +273,7 @@ def orders_without_lineitems(sf_dir: str) -> rd.Dataset:
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     return orders.join(
-        li_keys, join_type="left_anti", num_partitions=8,
+        li_keys, join_type="left_anti", num_partitions=JOIN_PARTITIONS,
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -282,7 +288,7 @@ def parts_sold(sf_dir: str) -> rd.Dataset:
     )
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
     return part.join(
-        sold, join_type="left_semi", num_partitions=8,
+        sold, join_type="left_semi", num_partitions=JOIN_PARTITIONS,
         on=("p_partkey",), right_on=("l_partkey",),
     )
 
