@@ -82,13 +82,25 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
     the semantics stay oracle-exact; beyond-cap members of a degenerate
     block are by construction near-identical boilerplate."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    NPARTS = 64  # blocks co-located by hash — most blocks are singletons,
+    # and one pandas group per distinct prefix would be one tiny group per
+    # document at corpus scale
 
     def blocked(t: pa.Table) -> pa.Table:
+        import zlib
+
         texts = t["text"].to_pylist()
+        blocks = [s[:100] for s in texts]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "block": pa.array([s[:100] for s in texts], pa.string()),
+                "block": pa.array(blocks, pa.string()),
+                "part": pa.array(
+                    np.fromiter(
+                        (zlib.crc32(b.encode()) % NPARTS for b in blocks),
+                        np.int32, len(blocks),
+                    )
+                ),
                 "text": t["text"],
             }
         )
@@ -96,17 +108,24 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
     ds = docs.map_batches(blocked, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame, cap=block_cap) -> pd.DataFrame:
-        g = g.sort_values("doc_id").head(cap)
-        ids = g["doc_id"].tolist()
-        toks = [set(_TOKEN_RE.findall(s)) for s in g["text"]]
+        g = g.sort_values(["block", "doc_id"], kind="mergesort")
+        blocks = g["block"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        texts = g["text"].to_numpy()
+        starts = np.r_[0, np.nonzero(blocks[1:] != blocks[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(blocks)]
+        multi = ends - starts >= 2
         a_ids, b_ids, jpct = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(toks[i] & toks[j])
-                union = len(toks[i] | toks[j])
-                a_ids.append(ids[i])
-                b_ids.append(ids[j])
-                jpct.append((100 * inter) // union if union else 0)
+        for s, e in zip(starts[multi], ends[multi]):
+            e = min(e, s + cap)  # block cap (doc_id order — oracle matches)
+            toks = [set(_TOKEN_RE.findall(t)) for t in texts[s:e]]
+            for i in range(e - s):
+                for j in range(i + 1, e - s):
+                    inter = len(toks[i] & toks[j])
+                    union = len(toks[i] | toks[j])
+                    a_ids.append(ids[s + i])
+                    b_ids.append(ids[s + j])
+                    jpct.append((100 * inter) // union if union else 0)
         return pd.DataFrame(
             {
                 "a_id": np.array(a_ids, np.int64),
@@ -115,7 +134,10 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
             }
         )
 
-    return ds.groupby("block").map_groups(pairs, batch_format="pandas")
+    return (
+        ds.groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------- MinHash+LSH
