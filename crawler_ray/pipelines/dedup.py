@@ -31,6 +31,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -366,8 +367,12 @@ def _simhash64(tokens: list[str]) -> int:
 
 def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     """SimHash near-dup pairs: 64-bit simhash, pigeonhole blocking on 4
-    16-bit chunks (hamming ≤ 3 ⇒ one chunk identical), hamming verification."""
+    16-bit chunks (hamming ≤ 3 ⇒ one chunk identical), hamming
+    verification. Blocks co-locate by hash partition (one pandas group per
+    distinct 16-bit bucket would be ~singleton groups at any scale) and the
+    cross-band pair dedup is a vectorized aggregate, not per-pair groups."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    NPARTS = 64
 
     def sh(t: pa.Table) -> pa.Table:
         ids, keys, hashes = [], [], []
@@ -376,12 +381,14 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
             for c in range(4):
                 chunk = (h >> (16 * c)) & 0xFFFF
                 ids.append(did)
-                keys.append(f"{c}:{chunk:04x}")
+                keys.append((c << 16) | chunk)
                 hashes.append(h)
+        karr = np.array(keys, dtype=np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "block": pa.array(keys, pa.string()),
+                "block": pa.array(karr),
+                "part": pa.array((karr % NPARTS).astype(np.int32)),
                 "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
             }
         )
@@ -389,26 +396,53 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     banded = docs.map_batches(sh, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame, maxh=max_hamming) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        hs = [int(x) for x in g["simhash"]]
+        g = g.drop_duplicates(["block", "doc_id"]).sort_values(
+            ["block", "doc_id"], kind="mergesort"
+        )
+        blocks = g["block"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy()
+        starts = np.r_[0, np.nonzero(blocks[1:] != blocks[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(blocks)]
+        multi = ends - starts >= 2
         a_ids, b_ids, ham = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= maxh:
-                    a_ids.append(ids[i])
-                    b_ids.append(ids[j])
-                    ham.append(d)
+        for s, e in zip(starts[multi], ends[multi]):
+            run_h = hs[s:e]
+            run_i = ids[s:e]
+            # vectorized pairwise hamming within the bucket
+            iu, ju = np.triu_indices(e - s, k=1)
+            x = run_h[iu] ^ run_h[ju]
+            d = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                d += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            ok = d <= maxh
+            a_ids.append(run_i[iu[ok]])
+            b_ids.append(run_i[ju[ok]])
+            ham.append(d[ok])
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
         return pd.DataFrame(
-            {"a_id": np.array(a_ids, np.int64), "b_id": np.array(b_ids, np.int64),
-             "hamming": np.array(ham, np.int64)}
+            {"a_id": cat(a_ids), "b_id": cat(b_ids), "hamming": cat(ham)}
         )
 
-    out = banded.groupby("block").map_groups(pairs, batch_format="pandas")
-    # the 4 bands can produce the same pair up to 4×: distinct it
-    return out.groupby(["a_id", "b_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    out = banded.groupby("part").map_groups(pairs, batch_format="pandas")
+    # the 4 bands can produce the same pair up to 4× (same hamming each
+    # time): distinct via a vectorized aggregate
+    from ray.data.aggregate import Min
+
+    return (
+        out.groupby(["a_id", "b_id"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "a_id": t["a_id"],
+                    "b_id": t["b_id"],
+                    "hamming": pc.cast(t["hamming"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
