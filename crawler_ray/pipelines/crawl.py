@@ -324,7 +324,7 @@ def run_crawl(
         # without one is by definition incomplete: recreate it.
         shutil.rmtree(ckdir, ignore_errors=True)
         os.makedirs(ckdir)
-        t0 = time.time()
+        t0 = it_t0 = time.time()
 
         if frontier_path is not None:
             # an empty final frontier leaves no parquet files behind —
@@ -513,6 +513,7 @@ def run_crawl(
 
         iter_stats = {
             "iteration": it,
+            "sec": round(time.time() - it_t0, 3),
             "scheduled": n_sched,
             "failed": n_failed,
             "items": n_items,
