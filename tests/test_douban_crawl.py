@@ -145,3 +145,17 @@ def test_douban_cli_rules_as_data(douban_corpus, tmp_path_factory):
     con = sqlite3.connect(db)
     assert con.execute("SELECT COUNT(*) FROM book_detail").fetchone()[0] == 3
     con.close()
+
+    # --resume on the completed out dir is a no-op (no re-crawl, no growth)
+    r2 = subprocess.run(
+        [sys.executable, "-m", "crawler_ray",
+         "--rules", rules_path, "--pages", douban_corpus.pages,
+         "--seeds", douban_corpus.seeds, "--politeness", douban_corpus.politeness,
+         "--out", out, "--max-iterations", "10", "--num-cpus", "2", "--resume"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert s2["scheduled"] == 0 and s2["stats"] == []
+    files2 = glob.glob(f"{out}/iter_*/items/rule=book_detail/*.parquet")
+    assert sorted(files2) == sorted(files)
