@@ -38,11 +38,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(relational.QUERIES)
     out.update(crawl_queries.QUERIES)
     try:
-        from crawler_ray.pipelines import ann, dedup, text
+        from crawler_ray.pipelines import ann, dedup, sampling, sketches, text
 
         out.update(text.QUERIES)
         out.update(dedup.QUERIES)
         out.update(ann.QUERIES)
+        out.update(sampling.QUERIES)
+        out.update(sketches.QUERIES)
     except ImportError:
         pass
     try:
@@ -61,11 +63,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(crawl_queries.ORACLE_SQL)
     try:
-        from crawler_ray.pipelines import ann, dedup, text
+        from crawler_ray.pipelines import ann, dedup, sampling, text
 
         out.update(text.ORACLE_SQL)
         out.update(dedup.ORACLE_SQL)
         out.update(ann.ORACLE_SQL)
+        out.update(sampling.ORACLE_SQL)
     except ImportError:
         pass
     try:

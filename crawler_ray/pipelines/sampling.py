@@ -1,0 +1,179 @@
+"""Deterministic sampling / split operators for training-data curation.
+
+At 100 TB you cannot afford a shuffle (or a wall-clock RNG) just to take a
+sample: every operator here is a *stateless, vectorized filter* — a
+multiplicative hash of the row key compared against a rate threshold — so
+sampling streams at read speed, is reproducible across runs and cluster
+sizes, and is expressible in ANSI SQL for the DuckDB oracles (the same
+arithmetic, no engine-specific ``hash()``).
+
+Hash: Knuth's multiplicative scheme ``(key * 2654435761) mod 2^32`` (TAOCP
+vol. 3 §6.4). Keys are non-negative int64 ids, so the product fits in
+uint64/int128 on both sides and the modulus is exact.
+
+Reference parity note: the reference has no sampling surface at all — these
+are the "beyond the reference" training-data operators the brief asks for
+(nearest cousin is its md5-keyed dedup, /root/reference/collect/request.go:42).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_KNUTH = 2654435761  # floor(2^32 / golden ratio), odd → bijective mod 2^32
+_M32 = 1 << 32
+
+# documents Bernoulli sample rate (10%)
+_DOC_RATE_NUM, _DOC_RATE_DEN = 1, 10
+_DOC_THRESHOLD = _M32 * _DOC_RATE_NUM // _DOC_RATE_DEN
+
+# per-event-type sampling rates (percent) — heavy downsample of the chatty
+# types, keep every purchase; unknown types fall back to 10%
+_EVENT_RATES_PCT = {"click": 50, "view": 10, "error": 5, "signup": 20, "purchase": 100}
+_EVENT_DEFAULT_PCT = 10
+
+# train/valid/test split boundaries over hash buckets 0..99
+_TRAIN_END, _VALID_END = 80, 90
+
+
+def _h32(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash → uint64 values in [0, 2^32)."""
+    return (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_M32)
+
+
+def hash_sample_docs(sf_dir: str) -> rd.Dataset:
+    """10% deterministic Bernoulli sample of ``documents`` by doc_id hash.
+
+    Pure streaming filter — no shuffle, no materialization, no RNG state;
+    the same rows are kept on any cluster size or restart.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_h32(ids) < _DOC_THRESHOLD))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample_events(sf_dir: str) -> rd.Dataset:
+    """Per-event-type stratified sample of ``events`` (deterministic rates).
+
+    The rate table is a tiny constant captured in the closure (broadcast
+    once with the function, not re-shipped per batch); the filter itself is
+    one hash + one gather-compare per batch.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        # dictionary-encode the type column so the rate lookup runs once per
+        # distinct type, then gathers — O(uniques + rows)
+        enc = pc.dictionary_encode(t["event_type"]).combine_chunks()
+        rates = np.array(
+            [
+                _EVENT_RATES_PCT.get(v, _EVENT_DEFAULT_PCT)
+                for v in enc.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        thresholds = rates[enc.indices.to_numpy(zero_copy_only=False)] * np.uint64(
+            _M32 // 100
+        )
+        kept = t.filter(pa.array(_h32(ids) < thresholds))
+        # doubles don't hash stably across engines — cents convention
+        return pa.table(
+            {
+                "event_id": kept["event_id"],
+                "event_type": kept["event_type"],
+                "value_c": pc.cast(pc.round(pc.multiply(kept["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def train_test_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic 80/10/10 train/valid/test split of ``documents``;
+    returns per-split row counts and total chars (the audit summary a
+    curation run logs — the full split is the same filter fused into the
+    downstream pipeline, never a materialized copy of the data).
+
+    Partial counts are computed per batch (combiner), so the groupby
+    shuffles one row per (batch, split) — never the documents.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = _h32(ids) % np.uint64(100)
+        split = np.where(
+            bucket < _TRAIN_END, "train", np.where(bucket < _VALID_END, "valid", "test")
+        )
+        n_chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(split, return_inverse=True)
+        return pa.table(
+            {
+                "split": pa.array(uniq, pa.string()),
+                "n_docs": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+                "sum_chars": pa.array(
+                    np.bincount(inv, weights=n_chars, minlength=len(uniq)).astype(np.int64)
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("split")
+        .sum(["n_docs", "sum_chars"])
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "split": t["split"],
+                "n_docs": pc.cast(t["sum(n_docs)"], pa.int64()),
+                "sum_chars": pc.cast(t["sum(sum_chars)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES = {
+    "hash_sample_docs": hash_sample_docs,
+    "stratified_sample_events": stratified_sample_events,
+    "train_test_split": train_test_split,
+}
+
+ORACLE_SQL = {
+    "hash_sample_docs": f"""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE (doc_id * {_KNUTH}) % {_M32} < {_DOC_THRESHOLD}
+    """,
+    "stratified_sample_events": f"""
+        SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS value_c
+        FROM events
+        WHERE (event_id * {_KNUTH}) % {_M32} <
+              CAST(CASE event_type
+                   WHEN 'click' THEN 50 WHEN 'view' THEN 10
+                   WHEN 'error' THEN 5 WHEN 'signup' THEN 20
+                   WHEN 'purchase' THEN 100 ELSE 10 END AS BIGINT) * {_M32 // 100}
+    """,
+    "train_test_split": f"""
+        SELECT CASE WHEN b < {_TRAIN_END} THEN 'train'
+                    WHEN b < {_VALID_END} THEN 'valid' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM (SELECT n_chars, (doc_id * {_KNUTH}) % {_M32} % 100 AS b
+              FROM documents)
+        GROUP BY 1
+    """,
+}

@@ -1,0 +1,120 @@
+"""Mergeable-sketch operators: count-min heavy hitters.
+
+The 100-TB shape for "what are the most frequent keys": every batch folds
+its local counts into a tiny fixed-size sketch (Cormode & Muthukrishnan,
+"An Improved Data Stream Summary: The Count-Min Sketch", J. Algorithms
+2005) plus a bounded candidate list; sketches merge by elementwise add, so
+the reduction tree moves O(d*w) integers per batch regardless of key
+cardinality — no per-key shuffle, no driver-side dict of the key space.
+(The HyperLogLog twin for distinct-counting lives in
+``crawler_ray.pipelines.text.hll_token_cardinality``.)
+
+Rows-only for the driver gate (a sketch is not SQL-expressible); exactness
+at test scale is pinned by pytest against exact counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+_CAND_PER_BATCH = 64  # local heavy-hitter candidates kept per batch
+
+
+def _cms_indices(tokens: list[str]) -> np.ndarray:
+    """d row-indices per token: the md5 digest sliced into d independent
+    4-byte lanes, each mod w — deterministic across processes."""
+    out = np.empty((len(tokens), CMS_DEPTH), dtype=np.int64)
+    for i, tok in enumerate(tokens):
+        d = hashlib.md5(tok.encode()).digest()
+        for j in range(CMS_DEPTH):
+            out[i, j] = int.from_bytes(d[4 * j : 4 * j + 4], "big") % CMS_WIDTH
+    return out
+
+
+def _sketch_row(sketch: np.ndarray, cands: list[str], counts: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "sketch": pa.array([sketch.tobytes()], pa.binary()),
+            "cand": pa.array([cands], pa.list_(pa.string())),
+            "cand_count": pa.array([counts.astype(np.int64)], pa.list_(pa.int64())),
+        }
+    )
+
+
+def cms_top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k tokens by total occurrence count, estimated with a count-min
+    sketch. Candidates are each batch's local top tokens (a true global
+    heavy hitter is a local heavy hitter in enough batches to surface);
+    final counts come from the merged sketch, so a candidate missed by one
+    batch's cap still gets its full global estimate."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        for s in t["text"].to_pylist():
+            c.update(_TOKEN_RE.findall(s.lower()))
+        toks = list(c.keys())
+        cnts = np.fromiter(c.values(), np.int64, len(toks))
+        sketch = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        if toks:
+            idx = _cms_indices(toks)
+            for j in range(CMS_DEPTH):
+                np.add.at(sketch[j], idx[:, j], cnts)
+        top = np.argsort(-cnts, kind="stable")[:_CAND_PER_BATCH]
+        return _sketch_row(sketch, [toks[i] for i in top], cnts[top])
+
+    def merge(t: pa.Table) -> pa.Table:
+        sketch = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        for blob in t["sketch"].to_pylist():
+            sketch += np.frombuffer(blob, dtype=np.int64).reshape(CMS_DEPTH, CMS_WIDTH)
+        # union candidates; per-batch counts are only a ranking hint past
+        # this point (the merged sketch supplies the global estimate), so
+        # keep the max hint per token and cap the union
+        best: dict[str, int] = {}
+        for cl, nl in zip(t["cand"].to_pylist(), t["cand_count"].to_pylist()):
+            for tok, n in zip(cl, nl):
+                if n > best.get(tok, -1):
+                    best[tok] = n
+        cands = sorted(best, key=lambda w: (-best[w], w))[: _CAND_PER_BATCH * 4]
+        return _sketch_row(sketch, cands, np.array([best[w] for w in cands], np.int64))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+    # one merge level collapses up to 1024 batch-sketches per row; repeat
+    # map_batches(merge) levels for larger block counts — each level is a
+    # 1024-way reduction, so two levels cover ~10^6 input blocks
+    merged = parts.map_batches(merge, batch_size=1024, batch_format="pyarrow")
+
+    sketch = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    cand: set[str] = set()
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for blob in b["sketch"].to_pylist():
+            sketch += np.frombuffer(blob, dtype=np.int64).reshape(CMS_DEPTH, CMS_WIDTH)
+        for cl in b["cand"].to_pylist():
+            cand.update(cl)
+
+    toks = sorted(cand)
+    if not toks:
+        return pa.table({"token": pa.array([], pa.string()), "est_count": pa.array([], pa.int64())})
+    idx = _cms_indices(toks)
+    est = sketch[np.arange(CMS_DEPTH)[None, :], idx].min(axis=1)
+    order = np.lexsort((np.array(toks, dtype=object), -est))[:k]
+    return pa.table(
+        {
+            "token": pa.array([toks[i] for i in order], pa.string()),
+            "est_count": pa.array(est[order].astype(np.int64)),
+        }
+    )
+
+
+QUERIES = {"cms_top_tokens": cms_top_tokens}
+ORACLE_SQL: dict[str, str] = {}

@@ -227,6 +227,57 @@ def hll_token_cardinality(sf_dir: str, p: int = 12) -> "pa.Table":
     )
 
 
+def top_terms(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Corpus-wide document frequency: the top-k tokens by how many
+    documents contain them (the vocabulary/stopword profile every corpus
+    audit starts with).
+
+    Scale shape: per-batch *distinct-per-doc* partial counts (each doc lives
+    in exactly one batch, so per-batch distinct then global sum is exact
+    count-distinct without a (doc, token) shuffle); the groupby moves one
+    row per (batch, distinct-token) — vocabulary-sized, not corpus-sized —
+    and the final sort+limit runs over the vocabulary only. Tokenization is
+    RE2 `[^a-z0-9]+` splitting of lowercased text on BOTH sides (pyarrow
+    and DuckDB embed RE2), so the oracle hashes identically.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+"
+        ).combine_chunks()
+        flat = toks.flatten()
+        lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        vals = flat.to_numpy(zero_copy_only=False)  # object array of str
+        keep = vals != ""
+        # distinct (row, token) pairs within the batch, then count per token
+        import pandas as pd
+
+        df = pd.DataFrame({"r": rows[keep], "token": vals[keep]}).drop_duplicates()
+        counts = df["token"].value_counts()
+        return pa.table(
+            {
+                "token": pa.array(counts.index.to_numpy(), pa.string()),
+                "df": pa.array(counts.to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("df")
+        .map_batches(
+            lambda t: pa.table(
+                {"token": t["token"], "df": pc.cast(t["sum(df)"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["df", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 class DocEmbedder:
     """Batched-inference actor stage: the 'model' (a seeded random
     projection over hashed token features — a deterministic stand-in for a
@@ -287,9 +338,20 @@ QUERIES = {
     "winnow_fingerprints": winnow_fingerprints,
     "hll_token_cardinality": hll_token_cardinality,
     "doc_embeddings": doc_embeddings,
+    "top_terms": top_terms,
 }
 
 ORACLE_SQL = {
+    "top_terms": """
+        SELECT tok AS token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id,
+                     UNNEST(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+        ORDER BY df DESC, tok
+        LIMIT 50
+    """,
     "token_stats": """
         SELECT doc_id,
                CAST(LENGTH(text) AS BIGINT) AS n_chars2,

@@ -230,3 +230,37 @@ def test_doc_embeddings_deterministic_unit_norm(ray_session):
     assert np.array_equal(ea, eb)  # bit-identical across runs/actors
     norms = np.linalg.norm(ea, axis=1)
     assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+
+
+def test_cms_top_tokens_exact_at_small_scale(ray_session, docs):
+    """Count-min top-k: at test scale the sketch (4x2048) is far wider than
+    the vocabulary, so estimates must equal exact counts and the top-k must
+    match the exact top-k under the same (count desc, token asc) order."""
+    from collections import Counter
+
+    from crawler_ray.pipelines.sketches import cms_top_tokens
+
+    tok = re.compile(r"[A-Za-z0-9]+")
+    exact = Counter()
+    for s in docs.values():
+        exact.update(tok.findall(s.lower()))
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    t = cms_top_tokens(SF, k=20)
+    got = list(zip(t["token"].to_pylist(), t["est_count"].to_pylist()))
+    assert got == want
+
+
+def test_sampling_deterministic_and_partitioning(ray_session):
+    """Hash sampling: identical keep-set across runs (no RNG state), and
+    the 3-way split partitions the table exactly."""
+    from crawler_ray.pipelines.sampling import hash_sample_docs, train_test_split
+
+    a = sorted(hash_sample_docs(SF).to_pandas()["doc_id"])
+    b = sorted(hash_sample_docs(SF).to_pandas()["doc_id"])
+    assert a == b and 0 < len(a) < 500
+
+    t = train_test_split(SF).to_pandas().set_index("split")["n_docs"]
+    assert set(t.index) <= {"train", "valid", "test"}
+    assert t.sum() == 500
+    assert t["train"] > t["test"]
