@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "link_graph",
+    "top_terms",
+    "cms_top_tokens",
+    "hash_sample_docs",
 ]
 
 
