@@ -69,6 +69,63 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
     )
 
 
+def dedup_keep_best(sf_dir: str) -> rd.Dataset:
+    """Exact dedup keeping the *best* representative per fingerprint (the
+    curation policy: longest doc wins, smallest doc_id breaks ties) —
+    fingerprint is md5 of whitespace-normalized lowercased text, so
+    near-identical boilerplate copies collapse.
+
+    The argmax is ONE vectorized ``Max`` aggregate: (n_chars, -doc_id) is
+    packed into a single int64 key ``n_chars * 2^32 + (2^32-1 - doc_id)``,
+    whose numeric max IS the lexicographic winner — no map_groups, no
+    per-group pandas, just the groupby shuffle every combiner already
+    shrank. (Packing assumes doc_id < 2^32 and n_chars < 2^31; a corpus
+    with wider ids packs into two int64 aggregates or a fixed-width binary
+    key instead.)"""
+    import re as _re
+
+    from ray.data.aggregate import Count, Max
+
+    _ws = _re.compile(r"\s+")
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(_ws.sub(" ", s.lower()).strip().encode()).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = n * (1 << 32) + ((1 << 32) - 1 - ids)
+        return pa.table(
+            {
+                "fingerprint": pa.array(fps, pa.string()),
+                "best_key": pa.array(key),
+            }
+        )
+
+    agg = (
+        docs.map_batches(fp, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(Max("best_key", alias_name="best_key"), Count(alias_name="dup_count"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        key = t["best_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "fingerprint": t["fingerprint"],
+                "doc_id": pa.array(((1 << 32) - 1 - key % (1 << 32)).astype(np.int64)),
+                "n_chars": pa.array((key >> 32).astype(np.int64)),
+                "dup_count": pc.cast(t["dup_count"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
 # ------------------------------------------------- blocked n-gram Jaccard
 
 
@@ -529,6 +586,7 @@ _EMB_COS_CTE = """
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_keep_best": dedup_keep_best,
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
     "minhash_lsh_dups": minhash_lsh_dups,
     "simhash_dups": simhash_dups,
@@ -536,6 +594,17 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_keep_best": """
+        SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
+               doc_id, n_chars,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+               ) AS BIGINT) AS dup_count
+        FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+            ORDER BY n_chars DESC, doc_id) = 1
+    """,
     "dedup_exact": """
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, MD5(text) AS fingerprint,
                COUNT(*) AS dup_count

@@ -278,6 +278,89 @@ def top_terms(sf_dir: str, k: int = 50) -> rd.Dataset:
     )
 
 
+def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
+    """Per-document top-N TF-IDF terms (integer score ``tf*1e6 // df`` so
+    the DuckDB oracle hashes exactly — no float log).
+
+    Scale shape: the (doc, token, tf) table joins the vocabulary-sized DF
+    table with a hash-partitioned ``Dataset.join`` on token (no driver
+    broadcast of the vocabulary), and the per-doc top-N runs inside
+    coarse hash partitions (``hash(doc) % parts``) — one pandas sort per
+    partition, never one group per doc (~100 µs/group overhead kills
+    per-doc map_groups at corpus scale)."""
+    import pandas as pd
+
+    def doc_tf(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, toks, tfs = [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(_TOKEN_RE.findall(s.lower()))
+            ids.extend([i] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf = _docs(sf_dir).map_batches(doc_tf, batch_format="pyarrow")
+    # DF from the same tf rows: one row per (doc, token) already, so a
+    # count per token IS count-distinct-doc
+    df = (
+        tf.select_columns(["token"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "token": pc.dictionary_encode(t["token"].combine_chunks()).dictionary,
+                    "df": pa.array(
+                        np.bincount(
+                            pc.dictionary_encode(t["token"].combine_chunks())
+                            .indices.to_numpy(zero_copy_only=False)
+                        ).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("token")
+        .sum("df")
+        .map_batches(
+            lambda t: pa.table({"token": t["token"], "df": pc.cast(t["sum(df)"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    joined = tf.join(df, join_type="inner", num_partitions=4, on=("token",))
+
+    def score_and_part(t: pa.Table) -> pa.Table:
+        s = (t["tf"].to_numpy(zero_copy_only=False) * 1_000_000) // t["df"].to_numpy(
+            zero_copy_only=False
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "token": t["token"],
+                "tfidf_c": pa.array(s.astype(np.int64)),
+                "part": pa.array(((ids * 2654435761) % (1 << 32) % parts).astype(np.int64)),
+            }
+        )
+
+    scored = joined.map_batches(score_and_part, batch_format="pyarrow")
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tfidf_c", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        out = g.groupby("doc_id", sort=False).head(top_n)
+        return out[["doc_id", "token", "tfidf_c"]]
+
+    return scored.groupby("part").map_groups(topn, batch_format="pandas")
+
+
 class DocEmbedder:
     """Batched-inference actor stage: the 'model' (a seeded random
     projection over hashed token features — a deterministic stand-in for a
@@ -339,9 +422,24 @@ QUERIES = {
     "hll_token_cardinality": hll_token_cardinality,
     "doc_embeddings": doc_embeddings,
     "top_terms": top_terms,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLE_SQL = {
+    "tfidf_top_terms": """
+        WITH tok AS (
+            SELECT doc_id,
+                   UNNEST(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+')) AS token
+            FROM documents),
+        tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1)
+        SELECT tf.doc_id, tf.token,
+               CAST((tf.tf * 1000000) // df.df AS BIGINT) AS tfidf_c
+        FROM tf JOIN df USING (token)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                   ORDER BY tfidf_c DESC, tf.token) <= 3
+    """,
     "top_terms": """
         SELECT tok AS token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         FROM (SELECT doc_id,

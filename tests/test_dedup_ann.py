@@ -264,3 +264,28 @@ def test_sampling_deterministic_and_partitioning(ray_session):
     assert set(t.index) <= {"train", "valid", "test"}
     assert t.sum() == 500
     assert t["train"] > t["test"]
+
+
+def test_keep_best_dedup_on_constructed_dups(ray_session, tmp_path):
+    """dedup_keep_best: longest doc wins its fingerprint group; ties break
+    to the smallest doc_id. Normalization collapses whitespace variants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import dedup_keep_best
+
+    texts = ["a  b", "a b x", "A b", "zzz", "a b x", "q q"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = dedup_keep_best(str(tmp_path)).to_pandas().sort_values("doc_id")
+    # groups: {"a b": ids 0,2 (len 4,3) -> 0}, {"a b x": ids 1,4 (tie len) -> 1},
+    #         {"zzz": 3}, {"q q": 5}
+    assert list(out.doc_id) == [0, 1, 3, 5]
+    assert list(out.dup_count) == [2, 2, 1, 1]
+    assert list(out.n_chars) == [4, 5, 3, 3]
