@@ -203,12 +203,27 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
 _MERSENNE = (1 << 61) - 1
 
 
-def _shingles(text: str, k: int = 3) -> set[int]:
+def _shingles_arr(text: str, k: int = 3) -> np.ndarray:
+    """Sorted unique uint64 k-gram hashes, vectorized: per-token md5
+    (memoized per worker — vocabularies repeat heavily) + a windowed
+    polynomial combine in numpy. The r1 version ran an md5 over the joined
+    string of every k-gram (~1 µs × shingles × corpus — the minhash
+    pipeline's hot spot)."""
     toks = _TOKEN_RE.findall(text.lower())
-    return {
-        int.from_bytes(hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()[:8], "big")
-        for i in range(max(0, len(toks) - k + 1))
-    }
+    n = len(toks) - k + 1
+    if n <= 0:
+        return np.empty(0, np.uint64)
+    h = _token_hashes(toks)
+    acc = h[:n].copy()
+    mult = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio constant
+    for j in range(1, k):
+        # uint64 wraparound multiply-add: order-sensitive polynomial hash
+        acc = acc * mult + h[j : j + n]
+    return np.unique(acc)
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    return set(map(int, _shingles_arr(text, k)))
 
 
 def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -264,14 +279,12 @@ def minhash_lsh_dups(
     def shingle_rows(t: pa.Table) -> pa.Table:
         # sorted uint64 shingles packed to bytes: Acero hash joins reject
         # list<> payload columns, binary passes through fine
-        shs = [
-            np.fromiter(sh, np.uint64, len(sh)) if (sh := _shingles(s)) else np.empty(0, np.uint64)
-            for s in t["text"].to_pylist()
-        ]
+        shs = [_shingles_arr(s) for s in t["text"].to_pylist()]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "sh": pa.array([np.sort(x).tobytes() for x in shs], pa.binary()),
+                # _shingles_arr output is already sorted unique
+                "sh": pa.array([x.tobytes() for x in shs], pa.binary()),
             }
         )
 

@@ -401,22 +401,38 @@ def top_parts_by_revenue(sf_dir: str) -> rd.Dataset:
     ds = ds.map_batches(_partial_groupby(["l_partkey"], [("rev", "sum", "rev")]), batch_format="pyarrow")
     agg = _global_sum(ds, ["l_partkey"], ["rev"])
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
-    names = dict(zip(part.p_partkey, part.p_name))
-    names_ref = ray.put(names)
-
-    def finish(t: pa.Table, ref=names_ref) -> pa.Table:
-        nm = ray.get(ref)
-        return pa.table(
-            {
-                "p_partkey": t["l_partkey"],
-                "p_name": pa.array([nm[k] for k in t["l_partkey"].to_pylist()], pa.string()),
-                "revenue_c": _cents(t["rev"]),
-            }
+    # top-k FIRST (per-partkey aggregate → sort → 15 rows), THEN attach
+    # names by prune-scanning the dimension for just those keys. The r1
+    # version broadcast the whole part-name dict before the top-k — at
+    # 100 TB `part` scales with the fact tables and that broadcast is a
+    # driver OOM; 15 rows on the driver is not.
+    top = (
+        agg.map_batches(
+            lambda t: pa.table({"p_partkey": t["l_partkey"], "revenue_c": _cents(t["rev"])}),
+            batch_format="pyarrow",
         )
-
-    out = agg.map_batches(finish, batch_format="pyarrow")
-    return out.sort(["revenue_c", "p_partkey"], descending=[True, False]).limit(15)
+        .sort(["revenue_c", "p_partkey"], descending=[True, False])
+        .limit(15)
+        .to_pandas()
+    )
+    keyset = pa.array(np.sort(top.p_partkey.to_numpy()))
+    names = (
+        _read(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["p_partkey"], value_set=keyset)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = top.merge(names, on="p_partkey")
+    out = out.sort_values(["revenue_c", "p_partkey"], ascending=[False, True])
+    return pa.table(
+        {
+            "p_partkey": pa.array(out.p_partkey.to_numpy()),
+            "p_name": pa.array(out.p_name, pa.string()),
+            "revenue_c": pa.array(out.revenue_c.to_numpy().astype(np.int64)),
+        }
+    )
 
 
 # ----------------------------------------------------------------- set ops
