@@ -38,13 +38,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(relational.QUERIES)
     out.update(crawl_queries.QUERIES)
     try:
-        from crawler_ray.pipelines import ann, dedup, sampling, sketches, text
+        from crawler_ray.pipelines import ann, dedup, graph, sampling, sketches, text
 
         out.update(text.QUERIES)
         out.update(dedup.QUERIES)
         out.update(ann.QUERIES)
         out.update(sampling.QUERIES)
         out.update(sketches.QUERIES)
+        out.update(graph.QUERIES)
     except ImportError:
         pass
     try:
