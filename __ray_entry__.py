@@ -64,12 +64,13 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(crawl_queries.ORACLE_SQL)
     try:
-        from crawler_ray.pipelines import ann, dedup, sampling, text
+        from crawler_ray.pipelines import ann, dedup, graph, sampling, text
 
         out.update(text.ORACLE_SQL)
         out.update(dedup.ORACLE_SQL)
         out.update(ann.ORACLE_SQL)
         out.update(sampling.ORACLE_SQL)
+        out.update(graph.ORACLE_SQL)
     except ImportError:
         pass
     try:

@@ -178,5 +178,157 @@ def pagerank(sf_dir: str, iters: int = 10, damping: float = 0.85) -> rd.Dataset:
     )
 
 
-QUERIES = {"pagerank": pagerank}
-ORACLE_SQL: dict[str, str] = {}
+def connected_components(
+    edges: rd.Dataset, src: str = "u", dst: str = "v", max_iters: int = 50
+) -> rd.Dataset:
+    """Connected components by min-label propagation; returns
+    (node, component) with component = min node id in the component.
+
+    Each round is one hash join (edges ⋈ labels on src) + groupby-min on
+    dst + one left-outer join back — O(diameter) rounds, which is the
+    right trade for near-dup clusters (tiny diameters); a web-graph-scale
+    CC would add pointer-jumping (large-star/small-star) to cut rounds to
+    O(log n). Convergence is detected by a streamed changed-row count (one
+    scalar per round on the driver, never the label table)."""
+    und = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [t[src].combine_chunks(), t[dst].combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t[dst].combine_chunks(), t[src].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = (
+        und.groupby("u")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"u": t["u"], "label": t["u"]}),
+            batch_format="pyarrow",
+        )
+        .repartition(_JOIN_PARTS)
+        .materialize()
+    )
+    if labels.count() == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        )
+
+    for _ in range(max_iters):
+        inc = (
+            und.join(labels, join_type="inner", num_partitions=_JOIN_PARTS, on=("u",))
+            .map_batches(
+                lambda t: pa.table({"u": t["v"], "nbr": t["label"]}),
+                batch_format="pyarrow",
+            )
+            .groupby("u")
+            .min("nbr")
+            .repartition(_JOIN_PARTS)
+        )
+        new_labels = (
+            labels.join(inc, join_type="left_outer", num_partitions=_JOIN_PARTS, on=("u",))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "u": t["u"],
+                        "label": pc.min_element_wise(
+                            t["label"], pc.coalesce(t["min(nbr)"], t["label"])
+                        ),
+                        "changed": pc.cast(
+                            pc.less(
+                                pc.coalesce(t["min(nbr)"], t["label"]), t["label"]
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(_JOIN_PARTS)
+            .materialize()
+        )
+        changed = sum(
+            pc.sum(b["changed"]).as_py() or 0
+            for b in new_labels.iter_batches(batch_format="pyarrow")
+        )
+        labels = new_labels.select_columns(["u", "label"]).materialize()
+        if changed == 0:
+            break
+    return labels.rename_columns({"u": "node", "label": "component"})
+
+
+def dedup_clusters(sf_dir: str, min_jacc: int = 50) -> rd.Dataset:
+    """Near-duplicate clusters: connected components over the
+    ``prefix_jaccard_pairs`` similarity edges at ``min_jacc`` percent.
+    Returns (doc_id, cluster_id, cluster_size) for every doc in at least
+    one qualifying pair; cluster_id = smallest doc_id in the cluster, the
+    canonical representative a keep-one dedup pass would retain."""
+    from crawler_ray.pipelines.dedup import prefix_jaccard_pairs
+
+    pairs = prefix_jaccard_pairs(sf_dir).map_batches(
+        lambda t, mj=min_jacc: t.filter(pc.greater_equal(t["jacc_pct"], mj)),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(pairs, src="a_id", dst="b_id")
+    sizes = (
+        comp.groupby("component")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"component": t["component"], "cluster_size": pc.cast(t["count()"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(_JOIN_PARTS)
+    )
+    return (
+        comp.join(sizes, join_type="inner", num_partitions=_JOIN_PARTS, on=("component",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["node"],
+                    "cluster_id": t["component"],
+                    "cluster_size": t["cluster_size"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+QUERIES = {"pagerank": pagerank, "dedup_clusters": dedup_clusters}
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_clusters": """
+        WITH RECURSIVE tok AS (
+            SELECT doc_id, SUBSTR(text, 1, 100) AS p,
+                   LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[^ ]+')) AS toks
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY SUBSTR(text, 1, 100)
+                                       ORDER BY doc_id) <= 256),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM tok a JOIN tok b ON a.p = b.p AND a.doc_id < b.doc_id
+            WHERE CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) > 0
+                  THEN (100 * LEN(LIST_INTERSECT(a.toks, b.toks)))
+                       // LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks)))
+                  ELSE 0 END >= 50),
+        edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        comp AS (SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id
+                 FROM reach GROUP BY u)
+        SELECT c.doc_id, c.cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM comp c
+    """,
+}

@@ -24,6 +24,49 @@ def _numpy_pagerank(edges: list[tuple[str, str]], iters: int, damping: float) ->
     return dict(zip(nodes, r))
 
 
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import connected_components
+
+    # two chains (worst case for label propagation), a triangle, a 2-clique
+    edges = [
+        (5, 9), (9, 2), (2, 14),          # chain with min in the middle
+        (20, 21), (21, 22), (22, 23),     # chain with min at one end
+        (30, 31), (31, 32), (32, 30),     # triangle
+        (40, 41),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([a for a, _ in edges], pa.int64()),
+                "v": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ds, src="u", dst="v").take_all()
+    }
+    assert got == _union_find_components(edges)
+
+
 @pytest.mark.parametrize("damping", [0.85])
 def test_pagerank_matches_dense_power_iteration(ray_session, damping):
     import ray.data as rd
