@@ -288,15 +288,22 @@ def minhash_lsh_dups(
             }
         )
 
-    sh_ds = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    # batch_size coalesces the reader's ~800-row blocks to ~8 compute-sized
+    # blocks: sh_ds feeds a sort and two joins, and per-piece scheduling on
+    # 64 skinny blocks costs more than every UDF in this pipeline combined
+    sh_ds = docs.map_batches(
+        shingle_rows, batch_size=4096, batch_format="pyarrow"
+    ).materialize()
 
     # the band key doubles as its own coarse partition id (`part` =
     # band_key mod NPARTS): the bucket→pairs groupby then has NPARTS
     # vectorized groups instead of one tiny pandas group per bucket —
     # ~150k per-group applies cost more than the rest of the pipeline
     # combined at sf0.1. NPARTS is the scale knob: each partition holds
-    # (total band rows / NPARTS) skinny (doc_id, band_key) rows.
-    NPARTS = 64
+    # (total band rows / NPARTS) skinny (doc_id, band_key) rows. 16 keeps
+    # every core busy at sandbox scale without flooding the groupby's sort
+    # with tiny shuffle pieces; a cluster run raises it with the corpus.
+    NPARTS = 16
 
     def band_rows(t: pa.Table) -> pa.Table:
         doc_ids, band_keys = [], []
@@ -343,14 +350,39 @@ def minhash_lsh_dups(
         )
 
     cand = banded.groupby("part").map_groups(partition_pairs, batch_format="pandas")
-    # pair-level dedup (a pair can surface from up to `bands` buckets):
-    # hash-partitioned vectorized aggregate, not a driver set
-    from ray.data.aggregate import Count
+    # pair-level dedup (a pair can surface from up to `bands` buckets, and
+    # from different hash partitions): coarse-partition on a pair hash and
+    # drop_duplicates vectorized per partition — a fine-key groupby
+    # aggregate here sorts the full raw-pair stream by (a_id, b_id) in a
+    # handful of tasks and costs more than every other stage combined
+    DEDUP_PARTS = 16
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["a_id", "b_id"])[["a_id", "b_id"]]
+        return out
 
     cand_u = (
-        cand.groupby(["a_id", "b_id"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a_id", "b_id"])
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "a_id": t["a_id"],
+                    "b_id": t["b_id"],
+                    "pp": pa.array(
+                        (
+                            (
+                                t["a_id"].to_numpy().astype(np.uint64)
+                                * np.uint64(0x9E3779B97F4A7C15)
+                                + t["b_id"].to_numpy().astype(np.uint64)
+                            )
+                            % DEDUP_PARTS
+                        ).astype(np.int32)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("pp")
+        .map_groups(pair_part, batch_format="pandas")
         .materialize()  # candidate-pair-sized, not corpus-sized
     )
     empty = pa.table(

@@ -184,7 +184,9 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    sel = orders.map_batches(filt_orders, batch_format="pyarrow")
+    # batch_size coalesces the reader's ~9k-row blocks to ~64k before the
+    # hash shuffle: the join's cost here is per-piece scheduling, not bytes
+    sel = orders.map_batches(filt_orders, batch_size=65536, batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     li_pre = li.map_batches(
@@ -195,7 +197,11 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
             }
         ),
         batch_format="pyarrow",
-    ).map_batches(_partial_groupby(["l_orderkey"], [("rev", "sum", "rev")]), batch_format="pyarrow")
+    ).map_batches(
+        _partial_groupby(["l_orderkey"], [("rev", "sum", "rev")]),
+        batch_size=65536,
+        batch_format="pyarrow",
+    )
 
     joined = li_pre.join(
         sel, join_type="inner", num_partitions=JOIN_PARTITIONS,
@@ -206,7 +212,13 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
-    agg = _global_sum(joined, ["o_orderkey", "o_orderdate_s"], ["rev"])
+    # the join hash-partitioned on l_orderkey == the grouping key, so every
+    # group is already co-located in one block: a per-block arrow group_by
+    # is the exact global aggregate — no second shuffle
+    agg = joined.map_batches(
+        _partial_groupby(["o_orderkey", "o_orderdate_s"], [("rev", "sum", "rev")]),
+        batch_format="pyarrow",
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -224,8 +236,14 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------------------------- join (hash)
 def nation_order_revenue(sf_dir: str) -> rd.Dataset:
     """Large⋈large via ``Dataset.join`` (hash shuffle) + broadcast dim."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # identity coalesce to ~64k-row blocks: the hash shuffle's cost per
+    # piece is scheduling, not bytes — 64 reader blocks/side is 128 pieces
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t, batch_size=65536, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t, batch_size=65536, batch_format="pyarrow"
+    )
     joined = orders.join(
         cust,
         join_type="inner",
