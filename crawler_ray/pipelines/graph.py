@@ -1,24 +1,27 @@
-"""Graph operators over the crawl link graph: distributed PageRank.
+"""Graph operators over the crawl link graph: distributed PageRank and
+connected components.
 
-The iterative-algorithm shape on Ray Data: each power iteration is one
-hash-partitioned join (edges ⋈ ranks on src) plus one groupby-sum on dst
-and one left-outer join back onto the node table, materialized per
-iteration so lineage stays flat. All per-node state lives in datasets; the
-only driver-side values are scalars (node count, dangling mass — one float
-per iteration). The dangling-node indicator is carried as a column on the
-rank table, so no extra join runs inside the loop.
+The iterative-algorithm shape on Ray Data, without per-iteration joins:
+all per-node and per-edge state is tagged ONCE with a coarse partition id
+(``part = hash(key) % P``), and each power/label iteration is then
 
-Ray 2.49 gotcha encoded here: a hash-join output can contain empty
-partitions whose blocks carry no schema, and feeding such a dataset into a
-*second* join fails in Acero ("no match for key field") — any join output
-that later joins again goes through ``repartition(n)`` (an all-to-all
-block rebuild that restores a uniform schema) before ``materialize()``.
+    union(edges_part, state_part) → groupby("part") → map_groups(local merge)
 
-At 100 TB the edge list dwarfs the rank vector; the join keys both sides
-by the same column every iteration, so a real cluster run pins the edge
-partitioning once and re-shuffles only the rank table. Rows-only for the
-driver gate (iterative float fixpoint isn't SQL-hashable); exactness is
-pinned by pytest against a dense numpy power iteration on the same edges.
+run twice (scatter by src, gather by dst) inside one lazy pipeline — two
+hash shuffles per iteration and zero ``Dataset.join``s. A local merge sees
+*every* edge of a given src together with that src's state row (both hash to
+the same partition), so out-degree, contribution and the partial aggregate
+are all computed vectorized inside the group; the second groupby co-locates
+contributions with their destination node rows the same way. This replaces
+the round-1 join/groupby/join/repartition loop, whose per-iteration fixed
+cost (4 shuffle barriers + the Acero empty-partition schema workaround)
+dominated wall time ~10:1 over useful compute.
+
+Driver-side values stay scalar: the dangling mass / changed-row count are
+read from one-row-per-block partials (O(blocks) driver traffic, never the
+node table). ``P`` is the scale knob — it bounds shuffle fan-out at sandbox
+scale and becomes #cores×k on a cluster; group payloads stay
+O(edges / P).
 
 The reference has no graph surface — this is a "beyond the reference"
 link-analysis operator (its crawl stops at emitting links,
@@ -28,11 +31,41 @@ link-analysis operator (its crawl stops at emitting links,
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-_JOIN_PARTS = 4
+# coarse shuffle fan-out: groups are the unit of parallelism for the local
+# merges, so ≥ the sandbox's useful core count; each group holds
+# O(edges / P) rows. A cluster run raises it with the corpus.
+_P = 8
+
+
+def _part32(vals, nparts: int = _P) -> pa.Array:
+    """Deterministic vectorized value → partition id (pandas siphash with
+    its fixed default key — stable across worker processes)."""
+    if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+        vals = vals.to_pandas().to_numpy(dtype=object)
+    h = pd.util.hash_array(np.asarray(vals, dtype=object))
+    return pa.array((h % np.uint64(nparts)).astype(np.int32))
+
+
+def _ipart(vals: np.ndarray, nparts: int = _P) -> np.ndarray:
+    """Deterministic int64-key → partition id (multiplicative hash)."""
+    return (
+        (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(nparts)
+    ).astype(np.int32)
+
+
+def _block_sums(ds: rd.Dataset, expr) -> float:
+    """Sum ``expr(table) -> float`` over a materialized dataset via
+    one-row-per-block partials — O(blocks) driver traffic, never rows."""
+    partial = ds.map_batches(
+        lambda t: pa.table({"d": pa.array([expr(t)], pa.float64())}),
+        batch_format="pyarrow",
+    )
+    return float(sum(r["d"] for r in partial.take_all()))
 
 
 def pagerank_edges(
@@ -43,63 +76,90 @@ def pagerank_edges(
     computation deterministic (no convergence predicate on floats)."""
     edges = edges.materialize()
 
-    # distinct nodes as a DATASET (groupby-distinct, never a driver list —
-    # the node set scales with the corpus)
-    nodes_ds = (
-        edges.select_columns(["src_url"])
-        .rename_columns({"src_url": "url"})
-        .union(edges.select_columns(["dst_url"]).rename_columns({"dst_url": "url"}))
-        .groupby("url")
-        .count()
-        .select_columns(["url"])
+    # ---- setup (one pass over edges, one shuffle) -----------------------
+    # tag edges by hash(src) and attach out-degree inside the group — all
+    # out-edges of a src land in the same partition, so outdeg needs no join
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_url": t["src_url"],
+                "dst_url": t["dst_url"],
+                "part": _part32(t["src_url"]),
+            }
+        )
+
+    def attach_outdeg(g: pd.DataFrame) -> pd.DataFrame:
+        od = g.groupby("src_url")["dst_url"].transform("size").astype("float64")
+        return pd.DataFrame(
+            {
+                "src_url": g["src_url"],
+                "dst_url": g["dst_url"],
+                "outdeg": od,
+                "rank": np.nan,
+                "m": np.nan,
+                "part": g["part"],
+            }
+        )
+
+    edges_p = (
+        edges.map_batches(tag_edges, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_outdeg, batch_format="pandas")
+        # identity arrow pass: map_groups emits pandas blocks, and a union
+        # of pandas + arrow blocks breaks the sort sampler in 2.49
+        .map_batches(lambda t: t, batch_format="pyarrow")
         .materialize()
     )
-    n = nodes_ds.count()
+
+    # node table with dangling mask m (1.0 for nodes with no outlinks),
+    # built by one shuffle: src/dst occurrences keyed by the node url
+    def node_occurrences(t: pa.Table) -> pa.Table:
+        urls = pa.concat_arrays(
+            [t["src_url"].combine_chunks(), t["dst_url"].combine_chunks()]
+        )
+        is_src = pa.concat_arrays(
+            [
+                pa.array(np.ones(len(t["src_url"]), dtype=np.int8)),
+                pa.array(np.zeros(len(t["dst_url"]), dtype=np.int8)),
+            ]
+        )
+        return pa.table({"url": urls, "is_src": is_src, "part": _part32(urls)})
+
+    def distinct_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("url", sort=False)["is_src"].max()
+        return pd.DataFrame(
+            {
+                "url": agg.index,
+                "m": (1.0 - agg.to_numpy().astype("float64")),
+                "part": np.full(len(agg), g["part"].iat[0], dtype=np.int32),
+            }
+        )
+
+    nodes_m = (
+        edges.map_batches(node_occurrences, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(distinct_nodes, batch_format="pandas")
+        .materialize()
+    )
+    n = nodes_m.count()
     if n == 0:
         return rd.from_arrow(
             pa.table({"url": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
         )
 
-    # out-degree per src, joined into the edge table once (contribution =
-    # rank/outdeg reuses it every iteration)
-    outdeg = (
-        edges.groupby("src_url")
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {"src_url": t["src_url"], "outdeg": pc.cast(t["count()"], pa.float64())}
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    edges_d = (
-        edges.join(outdeg, join_type="inner", num_partitions=_JOIN_PARTS, on=("src_url",))
-        .repartition(_JOIN_PARTS)
-        .materialize()
-    )
-
-    # node table with a dangling mask m (1.0 for nodes with no outlinks):
-    # their rank mass redistributes uniformly each iteration, and carrying
-    # m as a column means the loop needs no anti/semi join to find them
-    nodes_m = (
-        nodes_ds.join(
-            outdeg.rename_columns({"src_url": "url"}),
-            join_type="left_outer",
-            num_partitions=_JOIN_PARTS,
-            on=("url",),
-        )
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "url": t["url"],
-                    "m": pc.if_else(pc.is_null(t["outdeg"]), 1.0, 0.0),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .repartition(_JOIN_PARTS)
-        .materialize()
-    )
+    # phase-B side of the per-iteration union: node rows with a null
+    # contribution column (schema-aligned with the contribution rows)
+    nodes_b = nodes_m.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "c": pa.nulls(t.num_rows, pa.float64()),
+                "m": t["m"],
+                "part": t["part"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     ranks = nodes_m.map_batches(
         lambda t: pa.table(
@@ -107,52 +167,111 @@ def pagerank_edges(
                 "url": t["url"],
                 "rank": pa.array(np.full(t.num_rows, 1.0 / n)),
                 "m": t["m"],
+                "part": t["part"],
             }
         ),
         batch_format="pyarrow",
     ).materialize()
 
-    for _ in range(iters):
-        # dangling mass: one streamed scalar, no join
-        dangling = sum(
-            pc.sum(pc.multiply(b["rank"], b["m"])).as_py() or 0.0
-            for b in ranks.iter_batches(batch_format="pyarrow")
+    # ---- power iterations (2 shuffles each, no joins, ONE execution) ----
+    # the driver never reads a per-iteration scalar: each scatter group
+    # replicates its partial dangling mass to every gather partition as
+    # marker rows (url null), so gather reconstructs the global dangling
+    # sum and applies `base` locally — the whole fixed-count power loop is
+    # a single lazy pipeline materialized once at the end
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        """rank rows (dst null) + edge rows, same hash(src) partition:
+        map src→rank, contribute rank/outdeg, pre-aggregate by dst; append
+        one dangling-partial summary row per gather partition."""
+        is_rank = g["dst_url"].isna()
+        r = g[is_rank]
+        e = g[~is_rank]
+        d_p = float(np.nansum(r["rank"].to_numpy() * r["m"].to_numpy()))
+        if e.empty:
+            urls = np.empty(0, dtype=object)
+            cs = np.empty(0, dtype=np.float64)
+            parts = np.empty(0, dtype=np.int32)
+        else:
+            src_rank = e["src_url"].map(
+                pd.Series(r["rank"].to_numpy(), index=r["src_url"].to_numpy())
+            )
+            c = src_rank.to_numpy() / e["outdeg"].to_numpy()
+            out = (
+                pd.DataFrame({"url": e["dst_url"].to_numpy(), "c": c})
+                .groupby("url", sort=False)["c"]
+                .sum()
+            )
+            urls = out.index.to_numpy(dtype=object)
+            cs = out.to_numpy()
+            parts = (pd.util.hash_array(urls) % np.uint64(_P)).astype("int32")
+        return pd.DataFrame(
+            {
+                "url": np.concatenate([urls, np.full(_P, None, dtype=object)]),
+                "c": np.concatenate([cs, np.full(_P, d_p)]),
+                "part": np.concatenate([parts, np.arange(_P, dtype=np.int32)]),
+            }
         )
 
-        contrib = edges_d.join(
-            ranks.rename_columns({"url": "src_url"}),
-            join_type="inner",
-            num_partitions=_JOIN_PARTS,
-            on=("src_url",),
-        ).map_batches(
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        """node rows + contribution rows + dangling summaries, one
+        hash(url) partition; applies base locally."""
+        is_sum = g["url"].isna()
+        dangling = float(g.loc[is_sum, "c"].sum())
+        b = (1.0 - damping) / n + damping * dangling / n
+        rest = g[~is_sum]
+        is_node = rest["c"].isna()
+        nodes = rest[is_node]
+        contrib = rest[~is_node]
+        s = contrib.groupby("url", sort=False)["c"].sum()
+        got = nodes["url"].map(s).fillna(0.0).to_numpy()
+        return pd.DataFrame(
+            {
+                "url": nodes["url"].to_numpy(),
+                "rank": b + damping * got,
+                "m": nodes["m"].to_numpy(),
+                "part": nodes["part"].to_numpy(),
+            }
+        )
+
+    for _ in range(iters):
+        ranks_a = ranks.map_batches(
             lambda t: pa.table(
-                {"url": t["dst_url"], "c": pc.divide(t["rank"], t["outdeg"])}
+                {
+                    "src_url": t["url"],
+                    "dst_url": pa.nulls(t.num_rows, pa.string()),
+                    "outdeg": pa.nulls(t.num_rows, pa.float64()),
+                    "rank": t["rank"],
+                    "m": t["m"],
+                    "part": t["part"],
+                }
             ),
             batch_format="pyarrow",
         )
-        sums = contrib.groupby("url").sum("c").repartition(_JOIN_PARTS)
-        base = (1.0 - damping) / n + damping * dangling / n
-
-        ranks = (
-            nodes_m.join(
-                sums, join_type="left_outer", num_partitions=_JOIN_PARTS, on=("url",)
-            )
+        contrib = (
+            edges_p.union(ranks_a)
+            .groupby("part")
+            .map_groups(scatter, batch_format="pandas")
             .map_batches(
-                lambda t, b=base: pa.table(
+                lambda t: pa.table(
                     {
                         "url": t["url"],
-                        "rank": pc.add(
-                            b,
-                            pc.multiply(
-                                damping, pc.coalesce(t["sum(c)"], pa.scalar(0.0))
-                            ),
-                        ),
-                        "m": t["m"],
+                        "c": t["c"],
+                        "m": pa.nulls(t.num_rows, pa.float64()),
+                        "part": pc.cast(t["part"], pa.int32()),
                     }
                 ),
                 batch_format="pyarrow",
             )
-            .repartition(_JOIN_PARTS)
+        )
+        # materialize per iteration: one execution each (the dangling
+        # summaries remove the driver-scalar pass), and a flat lineage —
+        # a 10-iteration fully-lazy plan compiles ~20 chained shuffles and
+        # is measurably slower than 10 flat executions on 2.49
+        ranks = (
+            contrib.union(nodes_b)
+            .groupby("part")
+            .map_groups(gather, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
             .materialize()
         )
     return ranks.select_columns(["url", "rank"])
@@ -184,82 +303,142 @@ def connected_components(
     """Connected components by min-label propagation; returns
     (node, component) with component = min node id in the component.
 
-    Each round is one hash join (edges ⋈ labels on src) + groupby-min on
-    dst + one left-outer join back — O(diameter) rounds, which is the
-    right trade for near-dup clusters (tiny diameters); a web-graph-scale
-    CC would add pointer-jumping (large-star/small-star) to cut rounds to
-    O(log n). Convergence is detected by a streamed changed-row count (one
-    scalar per round on the driver, never the label table)."""
-    und = edges.map_batches(
-        lambda t: pa.table(
+    Same two-shuffle union/coarse-groupby iteration as ``pagerank_edges``
+    — O(diameter) rounds, the right trade for near-dup clusters (tiny
+    diameters); a web-graph-scale CC would add pointer-jumping
+    (large-star/small-star) to cut rounds to O(log n). Convergence is a
+    streamed changed-row count (one partial per block on the driver)."""
+    # undirected, tagged by hash(u); node ids are int64
+    def tag_und(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [t[src].combine_chunks().cast(pa.int64()), t[dst].combine_chunks().cast(pa.int64())]
+        )
+        v = pa.concat_arrays(
+            [t[dst].combine_chunks().cast(pa.int64()), t[src].combine_chunks().cast(pa.int64())]
+        )
+        return pa.table(
             {
-                "u": pa.concat_arrays(
-                    [t[src].combine_chunks(), t[dst].combine_chunks()]
-                ),
-                "v": pa.concat_arrays(
-                    [t[dst].combine_chunks(), t[src].combine_chunks()]
-                ),
+                "u": u,
+                "v": v,
+                "label": pa.nulls(len(u), pa.int64()),
+                "part": pa.array(_ipart(np.asarray(u))),
             }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
+
+    und = edges.map_batches(tag_und, batch_size=65536, batch_format="pyarrow").materialize()
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        uu = np.unique(g["u"].to_numpy())
+        return pd.DataFrame(
+            {"u": uu, "label": uu, "part": np.full(len(uu), g["part"].iat[0], dtype=np.int32)}
+        )
 
     labels = (
-        und.groupby("u")
-        .count()
-        .map_batches(
-            lambda t: pa.table({"u": t["u"], "label": t["u"]}),
-            batch_format="pyarrow",
-        )
-        .repartition(_JOIN_PARTS)
-        .materialize()
+        und.groupby("part").map_groups(init_labels, batch_format="pandas").materialize()
     )
     if labels.count() == 0:
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
         )
 
-    for _ in range(max_iters):
-        inc = (
-            und.join(labels, join_type="inner", num_partitions=_JOIN_PARTS, on=("u",))
-            .map_batches(
-                lambda t: pa.table({"u": t["v"], "nbr": t["label"]}),
-                batch_format="pyarrow",
+    def scatter(g: pd.DataFrame) -> pd.DataFrame:
+        """label rows (v null) + edge rows in one hash(u) partition: send
+        each node's label to its neighbors, pre-aggregated by min."""
+        is_lab = g["v"].isna()
+        lab = g[is_lab]
+        e = g[~is_lab]
+        if e.empty:
+            return pd.DataFrame({"u": [], "nbr": [], "part": []}).astype(
+                {"u": "int64", "nbr": "int64", "part": "int32"}
             )
-            .groupby("u")
-            .min("nbr")
-            .repartition(_JOIN_PARTS)
+        nbr = e["u"].map(
+            pd.Series(lab["label"].to_numpy(), index=lab["u"].to_numpy())
         )
-        new_labels = (
-            labels.join(inc, join_type="left_outer", num_partitions=_JOIN_PARTS, on=("u",))
+        out = (
+            pd.DataFrame({"u": e["v"].to_numpy().astype(np.int64), "nbr": nbr.to_numpy()})
+            .groupby("u", sort=False)["nbr"]
+            .min()
+        )
+        uu = out.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"u": uu, "nbr": out.to_numpy().astype(np.int64), "part": _ipart(uu)}
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        is_lab = g["nbr"].isna() if "nbr" in g else pd.Series(True, index=g.index)
+        lab = g[is_lab]
+        inc = g[~is_lab]
+        m = inc.groupby("u", sort=False)["nbr"].min()
+        got = lab["u"].map(m)
+        old = lab["label"].to_numpy()
+        new = np.minimum(old, got.fillna(np.inf).to_numpy()).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "u": lab["u"].to_numpy(),
+                "label": new,
+                "changed": (new < old).astype(np.int64),
+                "part": lab["part"].to_numpy(),
+            }
+        )
+
+    for _ in range(max_iters):
+        lab_a = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["u"],
+                    "v": pa.nulls(t.num_rows, pa.int64()),
+                    "label": t["label"],
+                    "part": t["part"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        inc = (
+            und.union(lab_a)
+            .groupby("part")
+            .map_groups(scatter, batch_format="pandas")
             .map_batches(
                 lambda t: pa.table(
                     {
                         "u": t["u"],
-                        "label": pc.min_element_wise(
-                            t["label"], pc.coalesce(t["min(nbr)"], t["label"])
-                        ),
-                        "changed": pc.cast(
-                            pc.less(
-                                pc.coalesce(t["min(nbr)"], t["label"]), t["label"]
-                            ),
-                            pa.int64(),
-                        ),
+                        "label": pa.nulls(t.num_rows, pa.int64()),
+                        "nbr": t["nbr"],
+                        "part": pc.cast(t["part"], pa.int32()),
                     }
                 ),
                 batch_format="pyarrow",
             )
-            .repartition(_JOIN_PARTS)
+        )
+        lab_b = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["u"],
+                    "label": t["label"],
+                    "nbr": pa.nulls(t.num_rows, pa.int64()),
+                    "part": t["part"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            inc.union(lab_b)
+            .groupby("part")
+            .map_groups(gather, batch_format="pandas")
             .materialize()
         )
-        changed = sum(
-            pc.sum(b["changed"]).as_py() or 0
-            for b in new_labels.iter_batches(batch_format="pyarrow")
+        changed = _block_sums(
+            new_labels, lambda t: float(pc.sum(t["changed"]).as_py() or 0)
         )
-        labels = new_labels.select_columns(["u", "label"]).materialize()
+        labels = new_labels.map_batches(
+            lambda t: pa.table({"u": t["u"], "label": t["label"], "part": t["part"]}),
+            batch_format="pyarrow",
+        ).materialize()
         if changed == 0:
             break
-    return labels.rename_columns({"u": "node", "label": "component"})
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["u"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
 
 
 def dedup_clusters(sf_dir: str, min_jacc: int = 50) -> rd.Dataset:
@@ -275,29 +454,29 @@ def dedup_clusters(sf_dir: str, min_jacc: int = 50) -> rd.Dataset:
         batch_format="pyarrow",
     )
     comp = connected_components(pairs, src="a_id", dst="b_id")
-    sizes = (
-        comp.groupby("component")
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {"component": t["component"], "cluster_size": pc.cast(t["count()"], pa.int64())}
-            ),
-            batch_format="pyarrow",
+
+    # size per component + join back, via the same coarse-partition trick
+    def tag_comp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "component": t["component"],
+                "part": pa.array(_ipart(np.asarray(t["component"]))),
+            }
         )
-        .repartition(_JOIN_PARTS)
-    )
-    return (
-        comp.join(sizes, join_type="inner", num_partitions=_JOIN_PARTS, on=("component",))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["node"],
-                    "cluster_id": t["component"],
-                    "cluster_size": t["cluster_size"],
-                }
-            ),
-            batch_format="pyarrow",
+
+    def sized(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("component", sort=False)["node"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": g["node"],
+                "cluster_id": g["component"],
+                "cluster_size": sz.astype("int64"),
+            }
         )
+
+    return comp.map_batches(tag_comp, batch_format="pyarrow").groupby("part").map_groups(
+        sized, batch_format="pandas"
     )
 
 
