@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "link_graph",
     "top_terms",
+    "inverted_index",
+    "purchase_prior_events",
     "cms_top_tokens",
     "hash_sample_docs",
 ]

@@ -370,6 +370,55 @@ def click_attribution(sf_dir: str, nparts: int = 32) -> rd.Dataset:
     return ds.groupby("part").map_groups(asof, batch_format="pandas")
 
 
+# --------------------------------------------------- range join (custom)
+def purchase_prior_events(sf_dir: str, nparts: int = 32) -> rd.Dataset:
+    """Range (interval) join — another join type Ray Data lacks natively:
+    for every 'purchase' event, the count of the same user's events with
+    ``ts ∈ [purchase.ts − 1h, purchase.ts)`` (strictly earlier; equal-ts
+    peers excluded). Emits (event_id, user_id, n_prior), one row per
+    purchase, 0 when nothing precedes it.
+
+    Same documented partitioning assumption as the as-of join: hash-
+    partition by user, sort each partition once by (user, ts), then the
+    interval lookup is two vectorized searchsorted calls per user run —
+    the range predicate never leaves its partition."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def addpart(t: pa.Table) -> pa.Table:
+        part = t["user_id"].to_numpy() % nparts
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    ds = ev.map_batches(addpart, batch_size=65536, batch_format="pyarrow")
+    HOUR_US = 3_600_000_000
+
+    def rjoin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        out_e, out_u, out_n = [], [], []
+        starts = np.r_[0, np.nonzero(users[1:] != users[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(users)]
+        for s, e in zip(starts, ends):
+            pmask = is_p[s:e]
+            if not pmask.any():
+                continue
+            t_run = ts[s:e]
+            p_ts = t_run[pmask]
+            lo = np.searchsorted(t_run, p_ts - HOUR_US, side="left")
+            hi = np.searchsorted(t_run, p_ts, side="left")  # strictly earlier
+            out_e.append(eid[s:e][pmask])
+            out_u.append(np.full(pmask.sum(), users[s], np.int64))
+            out_n.append((hi - lo).astype(np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pd.DataFrame(
+            {"event_id": cat(out_e), "user_id": cat(out_u), "n_prior": cat(out_n)}
+        )
+
+    return ds.groupby("part").map_groups(rjoin, batch_format="pandas")
+
+
 # ------------------------------------------- sliding window agg (custom)
 def user_rolling_hour(sf_dir: str, nparts: int = 32) -> rd.Dataset:
     """Sliding-window aggregate — per event, the same user's summed
@@ -707,9 +756,18 @@ QUERIES = {
     "bulk_orders": bulk_orders,
     "click_attribution": click_attribution,
     "user_rolling_hour": user_rolling_hour,
+    "purchase_prior_events": purchase_prior_events,
 }
 
 ORACLE_SQL = {
+    "purchase_prior_events": """
+        SELECT p.event_id, p.user_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_prior
+        FROM events p LEFT JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+    """,
     "click_attribution": """
         WITH clicks AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
              views  AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'),

@@ -361,6 +361,53 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
     return scored.groupby("part").map_groups(topn, batch_format="pandas")
 
 
+def inverted_index(sf_dir: str, min_df: int = 50, parts: int = 16) -> rd.Dataset:
+    """Posting-list construction — the core web-index build: one
+    (term, doc_id, tf) posting per document containing a frequent term
+    (df ≥ ``min_df``; the df gate models the head/torso vocabulary a real
+    index shards separately from the long tail).
+
+    Scale shape: per-batch (term, doc, tf) partials (each doc lives in one
+    batch, so rows are already distinct), then ONE shuffle — postings are
+    hash-partitioned by term (``hash(term) % parts``) exactly as a sharded
+    index would place them, and each partition computes its terms' df and
+    applies the gate locally (all postings of a term share its partition).
+    No join, no driver state; output stays partitioned by term."""
+    import pandas as pd
+
+    def doc_tf(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, toks, tfs = [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(_TOKEN_RE.findall(s.lower()))
+            ids.extend([i] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        tok_arr = pa.array(toks, pa.string())
+        h = pd.util.hash_array(np.asarray(toks, dtype=object))
+        return pa.table(
+            {
+                "term": tok_arr,
+                "doc_id": pa.array(ids, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+                "part": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("term", sort=False)["doc_id"].transform("size")
+        out = g[df >= min_df]
+        return out[["term", "doc_id", "tf"]]
+
+    return (
+        _docs(sf_dir)
+        .map_batches(doc_tf, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gate, batch_format="pandas")
+    )
+
+
 class DocEmbedder:
     """Batched-inference actor stage: the 'model' (a seeded random
     projection over hashed token features — a deterministic stand-in for a
@@ -423,9 +470,22 @@ QUERIES = {
     "doc_embeddings": doc_embeddings,
     "top_terms": top_terms,
     "tfidf_top_terms": tfidf_top_terms,
+    "inverted_index": inverted_index,
 }
 
 ORACLE_SQL = {
+    "inverted_index": """
+        WITH tok AS (
+            SELECT doc_id,
+                   UNNEST(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+')) AS term
+            FROM documents),
+        tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok2 GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1)
+        SELECT tf.term, tf.doc_id, tf.tf
+        FROM tf JOIN df USING (term) WHERE df.df >= 50
+    """,
     "tfidf_top_terms": """
         WITH tok AS (
             SELECT doc_id,
