@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(relational.QUERIES)
     out.update(crawl_queries.QUERIES)
     try:
-        from crawler_ray.pipelines import ann, dedup, graph, sampling, sketches, text
+        from crawler_ray.pipelines import ann, dedup, graph, prep, sampling, sketches, text
 
         out.update(text.QUERIES)
         out.update(dedup.QUERIES)
@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(sampling.QUERIES)
         out.update(sketches.QUERIES)
         out.update(graph.QUERIES)
+        out.update(prep.QUERIES)
     except ImportError:
         pass
     try:
@@ -64,13 +65,14 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(crawl_queries.ORACLE_SQL)
     try:
-        from crawler_ray.pipelines import ann, dedup, graph, sampling, text
+        from crawler_ray.pipelines import ann, dedup, graph, prep, sampling, text
 
         out.update(text.ORACLE_SQL)
         out.update(dedup.ORACLE_SQL)
         out.update(ann.ORACLE_SQL)
         out.update(sampling.ORACLE_SQL)
         out.update(graph.ORACLE_SQL)
+        out.update(prep.ORACLE_SQL)
     except ImportError:
         pass
     try:

@@ -124,6 +124,19 @@ def bench_crawl(num_cpus: int) -> dict:
     }
 
 
+def _consume(res) -> int:
+    """Force full execution of a query result and return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.materialize().count()
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
 def main() -> None:
     if "--crawl-only" in sys.argv:
         _init_ray(NUM_CPUS)
@@ -132,6 +145,65 @@ def main() -> None:
         import ray
 
         ray.shutdown()
+        return
+
+    if "--op-only" in sys.argv:
+        name = sys.argv[sys.argv.index("--op-only") + 1]
+        _init_ray(NUM_CPUS)
+        import __ray_entry__ as entrymod
+
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        rows = _consume(fn(SF_DIR))
+        wall = time.time() - t0
+        print(json.dumps({"op": name, "sec": round(wall, 3), "rows": rows, "num_cpus": NUM_CPUS}))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if "--scaling-ops" in sys.argv:
+        # Same pinned two-parallelism protocol as --scaling, applied to
+        # representative DATA operators (dedup / text / relational) instead
+        # of the crawl — speedup = t_n / t_4n, efficiency = speedup / (4n/n).
+        ops = os.environ.get(
+            "GRAFT_SCALING_OPS", "minhash_lsh_dups,dedup_exact,inverted_index"
+        ).split(",")
+        trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+        n, n4 = SCALING_CPUS
+        per_op: dict[str, dict[int, float]] = {o: {} for o in ops}
+        for _ in range(trials):
+            for cpus in (n, n4):
+                for op in ops:
+                    env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+                    out = subprocess.run(
+                        ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                         os.path.abspath(__file__), "--op-only", op],
+                        capture_output=True, text=True, env=env, check=True,
+                    )
+                    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                    sec = json.loads(line)["sec"]
+                    best = per_op[op].get(cpus)
+                    per_op[op][cpus] = sec if best is None else min(best, sec)
+        report = {
+            op: {
+                f"sec_{n}cpu": t[n],
+                f"sec_{n4}cpu": t[n4],
+                "efficiency": round((t[n] / t[n4]) / (n4 / n), 3),
+            }
+            for op, t in per_op.items()
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "op_scaling_efficiency",
+                    "unit": "ratio",
+                    "cpus": [n, n4],
+                    "ops": report,
+                    "sf": SF_DIR,
+                }
+            )
+        )
         return
 
     if "--scaling" in sys.argv:

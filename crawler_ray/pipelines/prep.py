@@ -1,0 +1,177 @@
+"""Composed training-corpus preparation — the end-to-end cleanup chain a
+100 TB web-text pipeline runs before tokenization, as ONE streaming Ray Data
+pipeline (the integration op; every stage is also exposed standalone):
+
+    language gate (lang_id == 'en')
+  → quality gate (length / token-count / distinct-token-ratio keep flag)
+  → exact dedup among survivors (md5(text) fingerprint, min doc_id wins)
+  → near-dup removal (keep only connected-component representatives of the
+    blocked-Jaccard similarity graph at 50%)
+
+Scale shape: the three per-document signals (lang, quality, fingerprint)
+are computed in one fused map_batches pass — they all derive from the same
+row, so no joins between them; the language+quality filters run BEFORE any
+shuffle so the exact-dedup exchange moves only survivors; exact dedup is
+one hash(fingerprint) coarse-partition groupby (winner = min doc_id inside
+the partition); and the near-dup loser set (nodes of the corpus-wide
+similarity graph that are not their cluster's min-id representative) is
+removed with a hash-partitioned ``left_anti`` join — never a driver-side
+set. The whole chain is oracle-checked against a single DuckDB query that
+composes the same four stages (including the recursive-CTE connected
+components).
+
+Per-stage semantics are the canonical single-op versions:
+``text.lang_id`` / ``text.quality_score`` (same marker regexes and
+thresholds), ``dedup.dedup_exact`` (raw-text md5), and
+``graph.dedup_clusters`` (prefix-blocked Jaccard ≥ 50% components).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_NPARTS = 16
+
+
+def prep_training_corpus(sf_dir: str) -> rd.Dataset:
+    """Returns (doc_id, n_tokens, distinct_pct) for every document that
+    survives the full prep chain."""
+    from crawler_ray.pipelines.dedup import prefix_jaccard_pairs
+    from crawler_ray.pipelines.graph import connected_components
+    from crawler_ray.pipelines.text import _CJK_PY, _MARKERS, _TOKEN_RE
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def signals(t: pa.Table) -> pa.Table:
+        """Fused per-doc pass: language, quality and fingerprint in one
+        scan; rows failing the language or quality gate are dropped HERE,
+        before anything shuffles."""
+        txt = t["text"]
+        # --- lang (text.lang_id semantics) ---
+        c = {
+            k: pc.count_substring_regex(txt, pattern=p).to_numpy().astype(np.int64)
+            for k, p in _MARKERS.items()
+        }
+        c_zh = pc.count_substring_regex(txt, pattern=_CJK_PY).to_numpy().astype(np.int64)
+        m_en, m_de, m_fr, m_es = c["en"], c["de"], c["fr"], c["es"]
+        is_en = (
+            (c_zh == 0) & (m_en > 0) & (m_en >= m_de) & (m_en >= m_fr) & (m_en >= m_es)
+        )
+        # --- quality (text.quality_score semantics) ---
+        texts = t["text"].to_pylist()
+        n_tok = np.empty(len(texts), np.int64)
+        n_distinct = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            toks = _TOKEN_RE.findall(s)
+            n_tok[i] = len(toks)
+            n_distinct[i] = len(set(toks))
+        n_chars = pc.cast(pc.utf8_length(txt), pa.int64()).to_numpy()
+        distinct_pct = np.where(n_tok > 0, (100 * n_distinct) // np.maximum(n_tok, 1), 0)
+        keep = is_en & (n_chars >= 100) & (n_tok >= 20) & (distinct_pct >= 30)
+        # --- fingerprint (dedup.dedup_exact semantics: raw-text md5) ---
+        idx = np.nonzero(keep)[0]
+        fps = [hashlib.md5(texts[i].encode()).hexdigest() for i in idx]
+        h = pd.util.hash_array(np.asarray(fps, dtype=object))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(idx)),
+                "n_tokens": pa.array(n_tok[idx]),
+                "distinct_pct": pa.array(distinct_pct[idx].astype(np.int64)),
+                "fingerprint": pa.array(fps, pa.string()),
+                "part": pa.array((h % np.uint64(_NPARTS)).astype(np.int32)),
+            }
+        )
+
+    filtered = docs.map_batches(signals, batch_size=4096, batch_format="pyarrow")
+
+    def exact_winners(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby("fingerprint", sort=False)["doc_id"].transform("min")
+        out = g[g["doc_id"] == win]
+        return out[["doc_id", "n_tokens", "distinct_pct"]]
+
+    survivors = filtered.groupby("part").map_groups(exact_winners, batch_format="pandas")
+
+    # near-dup losers over the corpus-wide similarity graph: every node of
+    # a ≥50%-Jaccard component except its min-id representative
+    comp = connected_components(
+        prefix_jaccard_pairs(sf_dir).map_batches(
+            lambda t: t.filter(pc.greater_equal(t["jacc_pct"], 50)),
+            batch_format="pyarrow",
+        ),
+        src="a_id",
+        dst="b_id",
+    )
+    losers = comp.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return survivors.map_batches(lambda t: t, batch_format="pyarrow").join(
+        losers, join_type="left_anti", num_partitions=4, on=("doc_id",)
+    )
+
+
+QUERIES = {"prep_training_corpus": prep_training_corpus}
+
+ORACLE_SQL = {
+    "prep_training_corpus": r"""
+        WITH RECURSIVE sig AS (
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+') AS toks,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(the|and|of|to)\b')) AS m_en,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|das|und)\b')) AS m_de,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|les|et)\b')) AS m_fr,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(el|los|las|y)\b')) AS m_es,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[\x{4e00}-\x{9fff}]')) AS m_zh,
+                   MD5(text) AS fingerprint
+            FROM documents),
+        base AS (
+            SELECT doc_id,
+                   CAST(LEN(toks) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN LEN(toks) > 0
+                        THEN (100 * LEN(LIST_DISTINCT(toks))) // GREATEST(LEN(toks), 1)
+                        ELSE 0 END AS BIGINT) AS distinct_pct,
+                   fingerprint
+            FROM sig
+            WHERE m_zh = 0 AND m_en > 0 AND m_en >= m_de AND m_en >= m_fr
+              AND m_en >= m_es
+              AND n_chars >= 100 AND LEN(toks) >= 20
+              AND (CASE WHEN LEN(toks) > 0
+                   THEN (100 * LEN(LIST_DISTINCT(toks))) // GREATEST(LEN(toks), 1)
+                   ELSE 0 END) >= 30),
+        surv AS (
+            SELECT doc_id, n_tokens, distinct_pct FROM base
+            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)),
+        tok AS (
+            SELECT doc_id, SUBSTR(text, 1, 100) AS p,
+                   LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[^ ]+')) AS jtoks
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY SUBSTR(text, 1, 100)
+                                       ORDER BY doc_id) <= 256),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM tok a JOIN tok b ON a.p = b.p AND a.doc_id < b.doc_id
+            WHERE CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.jtoks, b.jtoks))) > 0
+                  THEN (100 * LEN(LIST_INTERSECT(a.jtoks, b.jtoks)))
+                       // LEN(LIST_DISTINCT(LIST_CONCAT(a.jtoks, b.jtoks)))
+                  ELSE 0 END >= 50),
+        edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        losers AS (SELECT u AS doc_id FROM reach GROUP BY u
+                   HAVING u <> MIN(v))
+        SELECT s.doc_id, s.n_tokens, s.distinct_pct
+        FROM surv s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+}
