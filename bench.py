@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "purchase_prior_events",
     "cms_top_tokens",
     "hash_sample_docs",
+    "prep_training_corpus",
 ]
 
 
@@ -124,6 +125,56 @@ def bench_crawl(num_cpus: int) -> dict:
     }
 
 
+def scaled_docs_dir(mult: int) -> str:
+    """Deterministic ``mult``× documents corpus for per-operator scaling
+    runs (the sf tables are MBs — far too small for a parallelism
+    measurement; fixed scheduling cost dominates and 8 cores lose to 2).
+
+    Replica 0 is the original table; replica k re-draws every document's
+    token order with ``default_rng(k * 1_000_003 + doc_id)``. That keeps
+    each replica's length/vocabulary skew identical to the original but
+    randomizes shingles/prefixes, so dedup ops see realistic block and
+    bucket size distributions instead of K-sized exact-dup groups whose
+    verification work grows O(K²) with the multiplier (which would measure
+    the synthetic corpus, not the engine). One parquet file per replica so
+    the read parallelizes. Cached under /tmp keyed by (sf, mult)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/crawler_ray_docs_{os.path.basename(SF_DIR)}_x{mult}"
+    docs_dir = os.path.join(out, "documents.parquet")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(docs_dir)
+    src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
+    ids = src["doc_id"].to_numpy(zero_copy_only=False)
+    token_lists = [s.split(" ") for s in src["text"].to_pylist()]
+    id_stride = int(ids.max()) + 1
+    for k in range(mult):
+        if k == 0:
+            pq.write_table(src, os.path.join(docs_dir, "part-0000.parquet"))
+            continue
+        texts = []
+        for did, toks in zip(ids, token_lists):
+            rng = np.random.default_rng(k * 1_000_003 + int(did))
+            texts.append(" ".join(np.asarray(toks, dtype=object)[rng.permutation(len(toks))]))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids + k * id_stride, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            os.path.join(docs_dir, f"part-{k:04d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        f.write(str(mult))
+    return out
+
+
 def _consume(res) -> int:
     """Force full execution of a query result and return its row count."""
     import pandas as pd
@@ -153,6 +204,23 @@ def main() -> None:
         import __ray_entry__ as entrymod
 
         fn = entrymod.queries()[name]
+
+        # Warm the worker pool before timing: Ray starts worker processes
+        # (and they import numpy/pandas/pyarrow + this package) lazily on
+        # the first execution — a per-process cost a long-lived cluster
+        # pays once, not per job. Excluding it measures steady-state
+        # operator throughput, which is what the N-vs-4N comparison is for.
+        import ray.data as _rd
+
+        def _warm(b):
+            import pandas  # noqa: F401
+            import crawler_ray.pipelines.text  # noqa: F401
+            return b
+
+        _rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+            _warm
+        ).materialize()
+
         t0 = time.time()
         rows = _consume(fn(SF_DIR))
         wall = time.time() - t0
@@ -166,16 +234,22 @@ def main() -> None:
         # Same pinned two-parallelism protocol as --scaling, applied to
         # representative DATA operators (dedup / text / relational) instead
         # of the crawl — speedup = t_n / t_4n, efficiency = speedup / (4n/n).
+        # ops here must read only the documents table: the multiplied
+        # corpus dir contains nothing else (see scaled_docs_dir)
         ops = os.environ.get(
             "GRAFT_SCALING_OPS", "minhash_lsh_dups,dedup_exact,inverted_index"
         ).split(",")
         trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+        mult = int(os.environ.get("GRAFT_OP_MULT", "24"))
+        op_dir = scaled_docs_dir(mult) if mult > 1 else SF_DIR
         n, n4 = SCALING_CPUS
         per_op: dict[str, dict[int, float]] = {o: {} for o in ops}
         for _ in range(trials):
             for cpus in (n, n4):
                 for op in ops:
-                    env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+                    env = dict(
+                        os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=op_dir
+                    )
                     out = subprocess.run(
                         ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
                          os.path.abspath(__file__), "--op-only", op],
@@ -201,6 +275,7 @@ def main() -> None:
                     "cpus": [n, n4],
                     "ops": report,
                     "sf": SF_DIR,
+                    "doc_mult": mult,
                 }
             )
         )

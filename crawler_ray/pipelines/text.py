@@ -408,6 +408,128 @@ def inverted_index(sf_dir: str, min_df: int = 50, parts: int = 16) -> rd.Dataset
     )
 
 
+def repetition_signals(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per-document fraction of bigram occurrences taken by the single most
+    frequent bigram (``top_bigram_pct``), fraction of bigram occurrences
+    that are repeats (``dup_bigram_pct``), and the trigram analogue of the
+    first (``top_trigram_pct``) — the standard filters for boilerplate /
+    machine-generated repetition in web text. Integer percentages so the
+    DuckDB oracle hashes exactly.
+
+    Scale shape: pure streaming ``map_batches``, no shuffle — every signal
+    is a per-row reduction (Counter over adjacent token pairs, C-bound)."""
+    from collections import Counter
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        top_bg = np.zeros(n, np.int64)
+        dup_bg = np.zeros(n, np.int64)
+        top_tg = np.zeros(n, np.int64)
+        for i, s in enumerate(t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(s.lower())
+            if len(toks) >= 2:
+                c2 = Counter(zip(toks, toks[1:]))
+                tot2 = len(toks) - 1
+                top_bg[i] = 100 * max(c2.values()) // tot2
+                dup_bg[i] = 100 * (tot2 - len(c2)) // tot2
+            if len(toks) >= 3:
+                c3 = Counter(zip(toks, toks[1:], toks[2:]))
+                top_tg[i] = 100 * max(c3.values()) // (len(toks) - 2)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "top_bigram_pct": pa.array(top_bg),
+                "dup_bigram_pct": pa.array(dup_bg),
+                "top_trigram_pct": pa.array(top_tg),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_contamination(sf_dir: str, n: int = 5, parts: int = 16) -> rd.Dataset:
+    """Train/eval decontamination check — the standard pre-training hygiene
+    op: for each *eval* document (``doc_id % 10 == 0``), what fraction of
+    its distinct word 5-grams also appears in ANY *train* document
+    (``doc_id % 10 != 0``)? Emits ``(doc_id, n_grams, n_hit, contam_pct)``
+    per eval doc with ≥1 five-gram.
+
+    Scale shape: one corpus-sized explode into distinct (gram, doc, side)
+    rows, then ONE hash-partition-by-gram exchange; membership (gram seen
+    on the train side) is decided entirely inside each partition with a
+    vectorized ``isin`` — all rows of a gram share its partition, so no
+    join and no driver-held gram set. Per-doc hit counts are partition-
+    local partials summed by a tiny eval-doc-sized groupby. Grams travel
+    as strings here for oracle byte-equality; at 100 TB the gram column
+    would be a 128-bit hash (same partitioning, ~20× narrower exchange)."""
+    import pandas as pd
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        gs: list[str] = []
+        ev: list[int] = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(s.lower())
+            seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            ids.extend([did] * len(seen))
+            gs.extend(seen)
+            ev.extend([1 if did % 10 == 0 else 0] * len(seen))
+        h = pd.util.hash_array(np.asarray(gs, dtype=object))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "gram": pa.array(gs, pa.string()),
+                "is_eval": pa.array(ev, pa.int8()),
+                "part": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        train = g.loc[g["is_eval"] == 0, "gram"]
+        e = g[g["is_eval"] == 1]
+        if e.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_hit": pd.Series([], dtype="int64"),
+                }
+            )
+        hit = e["gram"].isin(set(train)).to_numpy().astype(np.int64)
+        out = (
+            pd.DataFrame({"doc_id": e["doc_id"].to_numpy(), "n_grams": 1, "n_hit": hit})
+            .groupby("doc_id", sort=False, as_index=False)
+            .sum()
+        )
+        return out.astype({"doc_id": "int64", "n_grams": "int64", "n_hit": "int64"})
+
+    partials = (
+        _docs(sf_dir)
+        .map_batches(grams, batch_size=1024, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = pc.cast(t["sum(n_grams)"], pa.int64()).to_numpy()
+        nh = pc.cast(t["sum(n_hit)"], pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(ng),
+                "n_hit": pa.array(nh),
+                "contam_pct": pa.array((100 * nh) // np.maximum(ng, 1)),
+            }
+        )
+
+    return (
+        partials.groupby("doc_id")
+        .sum(["n_grams", "n_hit"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 class DocEmbedder:
     """Batched-inference actor stage: the 'model' (a seeded random
     projection over hashed token features — a deterministic stand-in for a
@@ -471,9 +593,60 @@ QUERIES = {
     "top_terms": top_terms,
     "tfidf_top_terms": tfidf_top_terms,
     "inverted_index": inverted_index,
+    "repetition_signals": repetition_signals,
+    "ngram_contamination": ngram_contamination,
 }
 
 ORACLE_SQL = {
+    "repetition_signals": """
+        WITH t AS (
+            SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS toks
+            FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, GREATEST(LEN(toks), 1)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM t),
+        bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bga AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS tot,
+                       COUNT(*) AS ndist
+                FROM bgc GROUP BY 1),
+        tg AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, GREATEST(LEN(toks) - 1, 1)),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+            FROM t),
+        tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+        tga AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS tot FROM tgc GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE((100 * bga.maxc) // bga.tot, 0) AS BIGINT) AS top_bigram_pct,
+               CAST(COALESCE((100 * (bga.tot - bga.ndist)) // bga.tot, 0) AS BIGINT) AS dup_bigram_pct,
+               CAST(COALESCE((100 * tga.maxc) // tga.tot, 0) AS BIGINT) AS top_trigram_pct
+        FROM documents d
+        LEFT JOIN bga ON d.doc_id = bga.doc_id
+        LEFT JOIN tga ON d.doc_id = tga.doc_id
+    """,
+    "ngram_contamination": """
+        WITH t AS (
+            SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, GREATEST(LEN(toks) - 3, 1)),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                               || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+            FROM t),
+        gd AS (SELECT DISTINCT doc_id, gram FROM g),
+        train AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 10 <> 0),
+        ev AS (SELECT gd.doc_id, COUNT(*) AS n,
+                      SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS h
+               FROM gd LEFT JOIN train tr ON gd.gram = tr.gram
+               WHERE gd.doc_id % 10 = 0
+               GROUP BY 1)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_grams, CAST(h AS BIGINT) AS n_hit,
+               CAST((100 * h) // GREATEST(n, 1) AS BIGINT) AS contam_pct
+        FROM ev
+    """,
     "inverted_index": """
         WITH tok AS (
             SELECT doc_id,
