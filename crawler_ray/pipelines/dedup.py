@@ -51,7 +51,11 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
         fps = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fps, pa.string())})
 
-    ds = docs.map_batches(fp, batch_format="pyarrow")
+    # Materialize before the groupby: the sort-based groupby is an
+    # all-to-all barrier anyway, and Ray's streaming executor reserves CPU
+    # for the downstream Sort, throttling a fused upstream map to ~1
+    # concurrent task (measured 31 s fused vs 5 s split at 8 cpus, 240k docs).
+    ds = docs.map_batches(fp, batch_format="pyarrow").materialize()
     agg = ds.groupby("fingerprint").aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count")
     )
@@ -107,7 +111,10 @@ def dedup_keep_best(sf_dir: str) -> rd.Dataset:
         )
 
     agg = (
+        # materialize: keep the fingerprint map un-throttled by the Sort's
+        # resource reservation (see dedup_exact)
         docs.map_batches(fp, batch_format="pyarrow")
+        .materialize()
         .groupby("fingerprint")
         .aggregate(Max("best_key", alias_name="best_key"), Count(alias_name="dup_count"))
     )
@@ -163,7 +170,10 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
             }
         )
 
-    ds = docs.map_batches(blocked, batch_format="pyarrow")
+    # materialize before the sort-groupby (Sort-reservation throttling —
+    # see dedup_exact); the blocked table is corpus-sized but the groupby
+    # is an all-to-all that would hold it all anyway
+    ds = docs.map_batches(blocked, batch_format="pyarrow").materialize()
 
     def pairs(g: pd.DataFrame, cap=block_cap) -> pd.DataFrame:
         g = g.sort_values(["block", "doc_id"], kind="mergesort")
@@ -306,26 +316,40 @@ def minhash_lsh_dups(
     NPARTS = 16
 
     def band_rows(t: pa.Table) -> pa.Table:
-        doc_ids, band_keys = [], []
-        for did, sh in zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()):
-            sig = _signature_arr(np.frombuffer(sh, dtype=np.uint64), a, b)
-            for bi in range(bands):
-                chunk = sig[bi * rows : (bi + 1) * rows]
-                h = int.from_bytes(
-                    hashlib.md5(chunk.tobytes() + bi.to_bytes(2, "big")).digest()[:8], "big"
-                )
-                doc_ids.append(did)
-                band_keys.append(h)
-        keys = np.array(band_keys, dtype=np.uint64)
+        # signature matrix for the whole batch, then one vectorized
+        # FNV-1a-style mix per (doc, band) — equal band slices get equal
+        # keys, different slices collide with ~2^-64 probability, which is
+        # all LSH bucketing needs (an earlier per-band md5 loop was 7.7M
+        # Python hash calls per 240k docs and dominated the pipeline)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = np.empty((len(ids), bands, rows), dtype=np.uint64)
+        for i, sh in enumerate(t["sh"].to_pylist()):
+            sigs[i] = _signature_arr(np.frombuffer(sh, dtype=np.uint64), a, b).reshape(
+                bands, rows
+            )
+        prime = np.uint64(0x100000001B3)
+        keys = np.full(
+            (len(ids), bands),
+            np.uint64(0xCBF29CE484222325),
+            dtype=np.uint64,
+        )
+        keys ^= np.arange(bands, dtype=np.uint64)  # band index salts the key
+        with np.errstate(over="ignore"):
+            for r in range(rows):
+                keys = (keys ^ sigs[:, :, r]) * prime
+        keys = keys.ravel()
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands)),
                 "band_key": pa.array(keys),
                 "part": pa.array((keys % NPARTS).astype(np.int32)),
             }
         )
 
-    banded = sh_ds.map_batches(band_rows, batch_format="pyarrow")
+    # materialize: the banded rows feed a sort-based groupby (an all-to-all
+    # barrier); without the cut, the executor's reservation for the Sort
+    # throttles band_rows to ~1 concurrent task (31 s vs 5 s at 8 cpus)
+    banded = sh_ds.map_batches(band_rows, batch_format="pyarrow").materialize()
 
     def partition_pairs(g: pd.DataFrame, cap=bucket_cap) -> pd.DataFrame:
         keys = g["band_key"].to_numpy()
@@ -495,7 +519,9 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
             }
         )
 
-    banded = docs.map_batches(sh, batch_format="pyarrow")
+    # materialize: cut the simhash map from the downstream sort-groupby so
+    # the executor's Sort reservation can't throttle it (see dedup_exact)
+    banded = docs.map_batches(sh, batch_format="pyarrow").materialize()
 
     def pairs(g: pd.DataFrame, maxh=max_hamming) -> pd.DataFrame:
         g = g.drop_duplicates(["block", "doc_id"]).sort_values(
