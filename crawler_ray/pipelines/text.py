@@ -286,12 +286,19 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
     """Per-document top-N TF-IDF terms (integer score ``tf*1e6 // df`` so
     the DuckDB oracle hashes exactly — no float log).
 
-    Scale shape: the (doc, token, tf) table joins the vocabulary-sized DF
-    table with a hash-partitioned ``Dataset.join`` on token (no driver
-    broadcast of the vocabulary), and the per-doc top-N runs inside
-    coarse hash partitions (``hash(doc) % parts``) — one pandas sort per
-    partition, never one group per doc (~100 µs/group overhead kills
-    per-doc map_groups at corpus scale)."""
+    Scale shape: ZERO corpus-sized shuffles. The DF table is
+    vocabulary-sized (per-block ``dictionary_encode`` partials → one small
+    groupby-sum), so it is broadcast once via ``ray.put`` and scores are a
+    vectorized ``searchsorted`` lookup per block. The per-doc top-N runs
+    per BLOCK with ``batch_size=None``: ``doc_tf`` emits each document's
+    postings contiguously inside one output block and materialized blocks
+    are never split mid-block, so every doc's rows are complete within the
+    batch — one pandas sort per block, never one group per doc (~100 µs/
+    group overhead kills per-doc map_groups at corpus scale). An earlier
+    design hash-joined tf against DF and re-shuffled by doc partition —
+    two corpus-sized all-to-alls this removes. If the vocabulary ever
+    outgrew broadcast size, the fallback is that hash join (df is the only
+    global state; the top-N never needed a shuffle)."""
     import pandas as pd
 
     def doc_tf(t: pa.Table) -> pa.Table:
@@ -339,33 +346,37 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
             lambda t: pa.table({"token": t["token"], "df": pc.cast(t["sum(df)"], pa.int64())}),
             batch_format="pyarrow",
         )
+        .take_all()
     )
-    joined = tf.join(df, join_type="inner", num_partitions=4, on=("token",))
+    import ray
 
-    def score_and_part(t: pa.Table) -> pa.Table:
-        s = (t["tf"].to_numpy(zero_copy_only=False) * 1_000_000) // t["df"].to_numpy(
-            zero_copy_only=False
-        )
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
+    vocab = np.array([r["token"] for r in df], dtype=object)
+    order = np.argsort(vocab)
+    df_ref = ray.put(
+        (vocab[order], np.array([r["df"] for r in df], dtype=np.int64)[order])
+    )
+
+    def score_topn(t: pa.Table, ref=df_ref) -> pa.Table:
+        vocab_s, dfs = ray.get(ref)
+        toks = t["token"].to_numpy(zero_copy_only=False)
+        d = dfs[np.searchsorted(vocab_s, toks)]
+        s = (t["tf"].to_numpy(zero_copy_only=False) * 1_000_000) // d
+        g = pd.DataFrame(
             {
-                "doc_id": t["doc_id"],
-                "token": t["token"],
-                "tfidf_c": pa.array(s.astype(np.int64)),
-                "part": pa.array(((ids * 2654435761) % (1 << 32) % parts).astype(np.int64)),
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "token": toks,
+                "tfidf_c": s.astype(np.int64),
             }
-        )
-
-    scored = joined.map_batches(score_and_part, batch_format="pyarrow")
-
-    def topn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
+        ).sort_values(
             ["doc_id", "tfidf_c", "token"], ascending=[True, False, True], kind="mergesort"
         )
         out = g.groupby("doc_id", sort=False).head(top_n)
-        return out[["doc_id", "token", "tfidf_c"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return scored.groupby("part").map_groups(topn, batch_format="pandas")
+    # batch_size=None: one batch per materialized block, so every doc's
+    # contiguous posting rows are complete within the batch (doc-local
+    # top-N without any shuffle)
+    return tf.map_batches(score_topn, batch_format="pyarrow", batch_size=None)
 
 
 def inverted_index(sf_dir: str, min_df: int = 50, parts: int = 16) -> rd.Dataset:
