@@ -54,14 +54,11 @@ MIN_BODY_BYTES = 6000  # engine/crawler.go:113-120
 _KNUTH = 2654435761
 
 
-_SKEWED = True  # module-level switch set by synth_corpus
-
-
-def _host_for(i: int) -> str:
+def _host_for(i: int, skew: bool = True) -> str:
     # ~30% of detail pages land on one mega-host (skew on purpose,
     # FIXTURES.md §1); the uniform variant isolates engine scaling from the
     # semantic serialization a hot host imposes on per-host politeness
-    if _SKEWED and i % 10 < 3:
+    if skew and i % 10 < 3:
         return "host00.example.com"
     return f"host{1 + (i * _KNUTH) % (NUM_HOSTS - 1):02d}.example.com"
 
@@ -126,8 +123,6 @@ def synth_corpus(
     n_docs // divisor (smaller divisor ⇒ fewer, heavier crawl generations);
     ``skew=False`` drops the 30% mega-host (uniform host distribution).
     """
-    global _SKEWED
-    _SKEWED = skew
     docs_path = os.path.join(sf_dir, "documents.parquet")
     n_docs = pq.read_metadata(docs_path).num_rows * multiplier
     tag = (
@@ -165,14 +160,14 @@ def synth_corpus(
 
     for i in range(n_docs):
         if _detail_exists(i):
-            add_desc(f"https://{_host_for(i)}/detail/{i}", "detail", i)
+            add_desc(f"https://{_host_for(i, skew)}/detail/{i}", "detail", i)
     n_lists = (n_docs + FANOUT - 1) // FANOUT
     for j in range(n_lists):
-        add_desc(f"https://{_host_for(j * 7)}/list/{j}", "list", j)
+        add_desc(f"https://{_host_for(j * 7, skew)}/list/{j}", "list", j)
     n_tags = (n_lists + FANOUT - 1) // FANOUT
     seed_urls: list[str] = []
     for k in range(n_tags):
-        url = f"https://{_host_for(k * 13 + 1)}/tag/{k}"
+        url = f"https://{_host_for(k * 13 + 1, skew)}/tag/{k}"
         add_desc(url, "tag", k)
         seed_urls.append(url)
 
@@ -190,11 +185,11 @@ def synth_corpus(
             j = ident
             links, golden_links = [], []
             for i in range(j * FANOUT, min((j + 1) * FANOUT, n_docs)):
-                durl = f"https://{_host_for(i)}/detail/{i}"
+                durl = f"https://{_host_for(i, skew)}/detail/{i}"
                 links.append(f'<a class="item" href="{durl}" title="title-{i:06d}">d{i}</a>')
                 golden_links.append(durl)
             if j % 11 == 0:  # robots-disallowed link fraction
-                durl = f"https://{_host_for(j * 7)}/private/{j}"
+                durl = f"https://{_host_for(j * 7, skew)}/private/{j}"
                 links.append(f'<a class="item" href="{durl}" title="private-{j}">p</a>')
                 golden_links.append(durl)
             html = "<html><body><ul>" + "".join(links) + "</ul></body></html>"
@@ -203,7 +198,7 @@ def synth_corpus(
         k = ident
         links, golden_links = [], []
         for j in range(k * FANOUT, min((k + 1) * FANOUT, n_lists)):
-            lurl = f"https://{_host_for(j * 7)}/list/{j}"
+            lurl = f"https://{_host_for(j * 7, skew)}/list/{j}"
             links.append(f'<a href="{lurl}" class="tag">t{j}</a>')
             golden_links.append(lurl)
         html = "<html><body>" + "".join(links) + "</body></html>"
