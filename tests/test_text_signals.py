@@ -49,3 +49,66 @@ def test_ngram_contamination_copy_and_unique(ray_session, tmp_path):
     assert df.loc[0, "n_grams"] == df.loc[0, "n_hit"] == 4  # 8 toks -> 4 5-grams
     assert df.loc[10, "n_hit"] == 0 and df.loc[10, "contam_pct"] == 0
     assert set(df.index) == {0, 10}  # train docs never emitted
+
+
+def _write_docs_files(tmp_path, texts, docs_per_file):
+    """documents.parquet as a DIRECTORY of many small files → many read
+    blocks, exercising the block-contiguity assumptions of the zero-shuffle
+    text ops (each doc's postings must stay whole within one block)."""
+    import os
+
+    d = tmp_path / "documents.parquet"
+    os.makedirs(d)
+    for f, start in enumerate(range(0, len(texts), docs_per_file)):
+        chunk = texts[start : start + docs_per_file]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(start, start + len(chunk)), pa.int64()),
+                    "text": pa.array(chunk),
+                }
+            ),
+            d / f"part-{f:04d}.parquet",
+        )
+    return str(tmp_path)
+
+
+def test_tfidf_and_inverted_index_multiblock(ray_session, tmp_path):
+    """Brute-force equality on a corpus spread over 10 files/blocks —
+    the sf0.01 oracle sweep reads one block, so it never catches a doc
+    split across batches; this pins the batch_size=None block-local path."""
+    import re
+    from collections import Counter
+
+    from crawler_ray.pipelines.text import inverted_index, tfidf_top_terms
+
+    rngwords = [f"w{i:02d}" for i in range(17)]
+    # doc i holds words w00..w(i%17), so df(wk) strictly decreases with k
+    # (the min_df gate binds); leading repeats of w00 vary tf
+    texts = [
+        " ".join(["w00"] * (i % 3) + rngwords[: 1 + i % 17]) for i in range(100)
+    ]
+    sf = _write_docs_files(tmp_path, texts, docs_per_file=10)
+
+    tok = re.compile(r"[A-Za-z0-9]+")
+    tf = {i: Counter(tok.findall(t.lower())) for i, t in enumerate(texts)}
+    df = Counter(w for c in tf.values() for w in c)
+
+    # inverted_index: min_df=30 keeps a strict subset of the 17-term vocab
+    got = inverted_index(sf, min_df=30).to_pandas()
+    want = sorted(
+        (w, i, n) for i, c in tf.items() for w, n in c.items() if df[w] >= 30
+    )
+    assert sorted(zip(got.term, got.doc_id, got.tf)) == want
+    assert 0 < len({w for w, _, _ in want}) < 17  # gate actually binds
+
+    # tfidf: per-doc top-3 with (score desc, token asc) tie-break
+    got = tfidf_top_terms(sf, top_n=3).to_pandas()
+    want = []
+    for i, c in tf.items():
+        scored = sorted(
+            ((n * 1_000_000) // df[w], w) for w, n in c.items()
+        )
+        scored = sorted(scored, key=lambda s: (-s[0], s[1]))[:3]
+        want.extend((i, w, s) for s, w in scored)
+    assert sorted(zip(got.doc_id, got.token, got.tfidf_c)) == sorted(want)
