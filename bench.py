@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "token_stats",
     "quality_score",
     "dedup_exact",
+    "dup_spans",
     "minhash_lsh_dups",
     "simhash_dups",
     "embedding_dup_pairs",

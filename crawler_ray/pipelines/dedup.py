@@ -655,6 +655,99 @@ _EMB_COS_CTE = """
         FROM d JOIN n na ON na.vec_id = d.a_id JOIN n nb ON nb.vec_id = d.b_id)
 """
 
+# ------------------------------------------------ span-level exact substring
+
+
+def dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
+    """Span-level exact-substring duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, how many of its distinct k-token windows occur verbatim in at
+    least one OTHER document. Output ``(doc_id, n_spans, n_dup, dup_pct)``;
+    documents shorter than k tokens have no windows and are omitted (the
+    SQL oracle naturally excludes them too).
+
+    This is the span-granularity member of the dedup family: doc-exact
+    (``dedup_exact``), near-dup (minhash/simhash/jaccard/embedding) and
+    span-exact cover the three dedup modalities of a training-data pipeline.
+
+    Scale shape: per-doc distinct window hashes via the same memoized
+    token-md5 + rolling polynomial as the shingler (64-bit equality stands
+    in for string equality; ~2^-64 collision odds, deterministic per
+    corpus); ONE corpus-windows-sized exchange — a coarse hash-partition
+    groupby on the window hash, inside which distinct-doc counts and
+    per-doc partials are one vectorized run-length pass — then a doc-sized
+    ``groupby(doc_id).sum`` merges the ≤``parts`` partials per doc. No
+    window strings ever shuffle (8-byte hashes only) and nothing touches
+    the driver."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        wh_out: list[np.ndarray] = []
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(s)
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            h = _token_hashes(toks)
+            acc = h[:n].copy()
+            for j in range(1, k):
+                acc = acc * mult + h[j : j + n]
+            u = np.unique(acc)
+            wh_out.append(u)
+            ids_out.append(np.full(len(u), did, dtype=np.int64))
+        wh = np.concatenate(wh_out) if wh_out else np.empty(0, np.uint64)
+        ids = np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "wh": pa.array(wh),
+                "part": pa.array((wh % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    # materialize: cut the window map from the groupby's Sort reservation
+    # (see dedup_exact); batch_size coalesces reader blocks so the shuffle
+    # moves compute-sized pieces
+    ds = docs.map_batches(windows, batch_size=4096, batch_format="pyarrow").materialize()
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        wh = g["wh"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.argsort(wh, kind="mergesort")
+        wh_s, ids_s = wh[order], ids[order]
+        change = np.r_[True, wh_s[1:] != wh_s[:-1]]
+        run_id = np.cumsum(change) - 1
+        # rows are distinct per (wh, doc), so run length == distinct docs
+        counts = np.bincount(run_id)
+        dup = (counts[run_id] >= 2).astype(np.int64)
+        out = (
+            pd.DataFrame({"doc_id": ids_s, "n_dup": dup})
+            .groupby("doc_id", sort=False)
+            .agg(n_spans=("n_dup", "size"), n_dup=("n_dup", "sum"))
+            .reset_index()
+        )
+        return out
+
+    partials = ds.groupby("part").map_groups(count_part, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["sum(n_spans)"], pa.int64())
+        d = pc.cast(t["sum(n_dup)"], pa.int64())
+        pct = (100 * d.to_numpy(zero_copy_only=False)) // n.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_spans": n, "n_dup": d,
+             "dup_pct": pa.array(pct.astype(np.int64))}
+        )
+
+    return (
+        partials.groupby("doc_id")
+        .sum(["n_spans", "n_dup"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keep_best": dedup_keep_best,
@@ -662,6 +755,7 @@ QUERIES = {
     "minhash_lsh_dups": minhash_lsh_dups,
     "simhash_dups": simhash_dups,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "dup_spans": dup_spans,
 }
 
 ORACLE_SQL = {
@@ -698,5 +792,27 @@ ORACLE_SQL = {
     "embedding_dup_pairs": _EMB_COS_CTE
     + """
         SELECT a_id, b_id, cos_e6 FROM cos WHERE cos_e6 >= 300000
+    """,
+    # window strings compared exactly here; the engine compares 64-bit
+    # rolling hashes of the same token windows (collision odds ~2^-64)
+    "dup_spans": """
+        WITH tok AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+            FROM documents),
+        pos AS (
+            SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) - 8 + 2)) AS i FROM tok),
+        wins AS (
+            SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+7], ' ') AS w FROM pos),
+        wc AS (
+            SELECT w, COUNT(*) AS dc FROM wins GROUP BY w),
+        per AS (
+            SELECT wins.doc_id, COUNT(*) AS n_spans,
+                   SUM(CASE WHEN wc.dc >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM wins JOIN wc USING (w) GROUP BY wins.doc_id)
+        SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_dup AS BIGINT) AS n_dup,
+               CAST(100 * n_dup // n_spans AS BIGINT) AS dup_pct
+        FROM per
     """,
 }

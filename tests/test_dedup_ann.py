@@ -289,3 +289,29 @@ def test_keep_best_dedup_on_constructed_dups(ray_session, tmp_path):
     assert list(out.doc_id) == [0, 1, 3, 5]
     assert list(out.dup_count) == [2, 2, 1, 1]
     assert list(out.n_chars) == [4, 5, 3, 3]
+
+
+def test_dup_spans_constructed(ray_session, tmp_path):
+    """Span-level dedup semantics: an 8-token span shared verbatim by two
+    docs is flagged in both; unique text and sub-k docs are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import dup_spans
+
+    shared = "the quick brown fox jumps over the lazy"  # exactly 8 tokens
+    texts = [
+        shared + " u0 u1 u2",        # doc 0: 4 windows, 1 shared
+        "v0 v1 v2 " + shared,        # doc 1: 4 windows, 1 shared
+        "w0 w1 w2 w3 w4 w5 w6 w7",   # doc 2: 1 window, unique
+        "too short",                 # doc 3: < 8 tokens -> omitted
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = dup_spans(str(tmp_path)).to_pandas().sort_values("doc_id").set_index("doc_id")
+    assert list(out.index) == [0, 1, 2]
+    assert list(out.n_spans) == [4, 4, 1]
+    assert list(out.n_dup) == [1, 1, 0]
+    assert list(out.dup_pct) == [25, 25, 0]
