@@ -710,41 +710,46 @@ def dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
     # materialize: cut the window map from the groupby's Sort reservation
     # (see dedup_exact); batch_size coalesces reader blocks so the shuffle
     # moves compute-sized pieces
-    ds = docs.map_batches(windows, batch_size=4096, batch_format="pyarrow").materialize()
+    ds = docs.map_batches(windows, batch_size=16384, batch_format="pyarrow").materialize()
 
     def count_part(g: pd.DataFrame) -> pd.DataFrame:
-        wh = g["wh"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        order = np.argsort(wh, kind="mergesort")
-        wh_s, ids_s = wh[order], ids[order]
-        change = np.r_[True, wh_s[1:] != wh_s[:-1]]
-        run_id = np.cumsum(change) - 1
-        # rows are distinct per (wh, doc), so run length == distinct docs
-        counts = np.bincount(run_id)
-        dup = (counts[run_id] >= 2).astype(np.int64)
-        out = (
-            pd.DataFrame({"doc_id": ids_s, "n_dup": dup})
-            .groupby("doc_id", sort=False)
-            .agg(n_spans=("n_dup", "size"), n_dup=("n_dup", "sum"))
-            .reset_index()
+        # hash-based, no sorts: rows are distinct per (wh, doc), so
+        # duplicated(keep=False) on wh == "window occurs in ≥2 docs"; the
+        # per-doc partial is factorize + bincount (an argsort-based
+        # run-length version cost ~3 s per 700k-row partition on this VM —
+        # 10× the hash path — and pandas named-agg another 1.8 s)
+        dup = g["wh"].duplicated(keep=False).to_numpy()
+        codes, uniq = pd.factorize(g["doc_id"].to_numpy(), sort=False)
+        ns = np.bincount(codes)
+        nd = np.bincount(codes, weights=dup).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": uniq, "n_spans": ns.astype(np.int64), "n_dup": nd}
         )
-        return out
 
     partials = ds.groupby("part").map_groups(count_part, batch_format="pandas")
 
-    def finish(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["sum(n_spans)"], pa.int64())
-        d = pc.cast(t["sum(n_dup)"], pa.int64())
-        pct = (100 * d.to_numpy(zero_copy_only=False)) // n.to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"doc_id": t["doc_id"], "n_spans": n, "n_dup": d,
-             "dup_pct": pa.array(pct.astype(np.int64))}
+    # per-doc merge of the ≤`parts` partials: coarse-partition on a doc
+    # hash and run ONE vectorized pandas groupby per partition — a fine-key
+    # `groupby(doc_id).sum()` here hits Ray's per-group aggregate overhead
+    # (~0.3 ms/group; 240k groups took 80 s on arrow blocks and hung on
+    # pandas blocks at bench scale)
+    def add_dpart(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "dpart", pa.array(((ids * np.uint64(2654435761)) % np.uint64(parts)).astype(np.int32))
         )
 
+    def merge_docs(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("doc_id", sort=False)[["n_spans", "n_dup"]].sum().reset_index()
+        )
+        out["dup_pct"] = (100 * out["n_dup"]) // out["n_spans"]
+        return out
+
     return (
-        partials.groupby("doc_id")
-        .sum(["n_spans", "n_dup"])
-        .map_batches(finish, batch_format="pyarrow")
+        partials.map_batches(add_dpart, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(merge_docs, batch_format="pandas")
     )
 
 
