@@ -68,6 +68,34 @@ def _global_sum(ds: rd.Dataset, keys: list[str], cols: list[str]) -> rd.Dataset:
     return ds.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in cols])
 
 
+def _global_sum_parted(ds: rd.Dataset, key: str, cols: list[str], nparts: int = 8) -> rd.Dataset:
+    """High-cardinality global sum over an integer key.
+
+    Ray's sort-based groupby-aggregate costs ~0.25 ms of per-group overhead
+    (measured on this box), so a 150k-group ``l_orderkey`` aggregate pays
+    tens of seconds for microseconds of arithmetic. Instead: hash the key
+    into a handful of coarse parts, shuffle on ``part`` (cardinality
+    ``nparts``, so the sort is trivial), and run a hash-based pandas groupby
+    inside each part — O(rows), insensitive to group count. ``nparts`` scales
+    with cluster size (each part must fit one worker's heap); same-key rows
+    always land in the same part, so the per-part sums are exact globals.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(nparts)
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, sort=False, as_index=False)[cols].sum()
+
+    return (
+        ds.map_batches(add_part, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sum_part, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------- Q1
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1 shape: filter → partial agg combiner → small groupby shuffle."""
@@ -466,7 +494,7 @@ def top_parts_by_revenue(sf_dir: str) -> rd.Dataset:
 
     ds = li.map_batches(prep, batch_format="pyarrow")
     ds = ds.map_batches(_partial_groupby(["l_partkey"], [("rev", "sum", "rev")]), batch_format="pyarrow")
-    agg = _global_sum(ds, ["l_partkey"], ["rev"])
+    agg = _global_sum_parted(ds, "l_partkey", ["rev"])
 
     # top-k FIRST (per-partkey aggregate → sort → 15 rows), THEN attach
     # names by prune-scanning the dimension for just those keys. The r1
@@ -722,9 +750,10 @@ def bulk_orders(sf_dir: str) -> rd.Dataset:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     ds = li.map_batches(
         _partial_groupby(["l_orderkey"], [("l_quantity", "sum", "l_quantity")]),
+        batch_size=65536,
         batch_format="pyarrow",
     )
-    agg = _global_sum(ds, ["l_orderkey"], ["l_quantity"])
+    agg = _global_sum_parted(ds, "l_orderkey", ["l_quantity"])
     return agg.map_batches(
         lambda t: (
             lambda f: pa.table(
