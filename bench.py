@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "top_terms",
     "inverted_index",
     "purchase_prior_events",
+    "price_quantiles",
+    "distinct_users_by_type",
     "cms_top_tokens",
     "hash_sample_docs",
     "prep_training_corpus",

@@ -764,7 +764,155 @@ def bulk_orders(sf_dir: str) -> rd.Dataset:
     )
 
 
+# ------------------------------------------------------- exact quantiles
+def price_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed quantiles of ``l_extendedprice`` (p25/50/75/90/99)
+    without a global sort.
+
+    Three streaming scans of ONE pruned column, no shuffle, O(histogram)
+    driver state:
+
+    1. per-block ``(min, max, count)`` partials (one row per block);
+    2. per-block nonzero ``(bucket, count)`` histogram partials over 8192
+       equal-width buckets, coarse-part pandas sum, tiny ``take_all``;
+    3. a residual collect of ONLY the rows in the ≤5 quantile-straddling
+       buckets (~n/8192 rows each), sorted on the driver to pick the exact
+       order statistic.
+
+    A global ``Dataset.sort`` would move every row through an all-to-all
+    exchange just to read 5 positions; this moves 5 buckets. At 100 TB a
+    skewed value distribution can leave one bucket too big to collect —
+    then re-histogram *within* that bucket (same pass-2/3 shape, geometric
+    shrink) instead of widening the collect; a single-pass approximate
+    alternative is a mergeable t-digest, but the driver gate wants exact
+    DuckDB equality. Rank semantics match ``quantile_disc``/ANSI
+    ``percentile_disc``: 1-indexed rank ``ceil(q*n)`` ascending.
+    """
+    QS = (25, 50, 75, 90, 99)
+    B = 8192
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"v": _cents(t["l_extendedprice"])}), batch_format="pyarrow"
+    )
+
+    mm = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t["v"]).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(t["v"]).as_py()], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    n = sum(r["n"] for r in mm)
+    width = hi - lo + 1
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        b = (v - lo) * B // width
+        cnt = np.bincount(b, minlength=B)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()), "cnt": pa.array(cnt[nz], pa.int64())}
+        )
+
+    hrows = _global_sum_parted(
+        ds.map_batches(hist, batch_format="pyarrow"), "bucket", ["cnt"], nparts=4
+    ).take_all()
+    counts = np.zeros(B, np.int64)
+    for r in hrows:
+        counts[r["bucket"]] = r["cnt"]
+    cum = np.cumsum(counts)
+
+    need: dict[int, list[tuple[int, int]]] = {}
+    for q in QS:
+        rank = -((-q * n) // 100)  # ceil(q*n/100), integer-exact
+        b = int(np.searchsorted(cum, rank))
+        need.setdefault(b, []).append((q, rank))
+    below = {b: (int(cum[b - 1]) if b > 0 else 0) for b in need}
+    bset = np.array(sorted(need), np.int64)
+
+    def resid(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        b = (v - lo) * B // width
+        m = np.isin(b, bset)
+        return pa.table(
+            {"v": pa.array(v[m], pa.int64()), "bucket": pa.array(b[m], pa.int64())}
+        )
+
+    byb: dict[int, list[int]] = {}
+    for r in ds.map_batches(resid, batch_format="pyarrow").take_all():
+        byb.setdefault(r["bucket"], []).append(r["v"])
+    out: list[tuple[int, int]] = []
+    for b, pairs in need.items():
+        vals = np.sort(np.asarray(byb[b], np.int64))
+        for q, rank in pairs:
+            out.append((q, int(vals[rank - below[b] - 1])))
+    out.sort()
+    return pa.table(
+        {
+            "q_pct": pa.array([q for q, _ in out], pa.int64()),
+            "value_c": pa.array([v for _, v in out], pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------- COUNT(DISTINCT) at scale
+def distinct_users_by_type(sf_dir: str) -> rd.Dataset:
+    """Exact ``COUNT(DISTINCT user_id) GROUP BY event_type`` via two-level
+    dedup: block-local ``np.unique`` partials first (the shuffle then moves
+    one row per distinct-(type,user)-per-block, not per event), then a
+    coarse hash-partition on ``user_id`` with a pandas ``drop_duplicates``
+    + per-type count inside each part, then a trivial per-type sum.
+
+    Same-user rows always share a part, so part-local distinct counts sum
+    to the exact global; the fine-grained alternative
+    (``groupby([type, user]).count()``) pays Ray's ~0.25 ms/group sort
+    overhead on |users|×|types| groups.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(8)
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", sort=False, as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return out
+
+    ds = (
+        ds.map_batches(partial, batch_size=65536, batch_format="pyarrow")
+        .map_batches(add_part, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pandas")
+    )
+    agg = _global_sum(ds, ["event_type"], ["n_users"])
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "n_users": pc.cast(t["n_users"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
+    "price_quantiles": price_quantiles,
+    "distinct_users_by_type": distinct_users_by_type,
     "q1_pricing_summary": q1_pricing_summary,
     "q6_revenue_filter": q6_revenue_filter,
     "q3_top_orders": q3_top_orders,
@@ -789,6 +937,19 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "price_quantiles": """
+        WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v FROM lineitem)
+        SELECT CAST(25 AS BIGINT) AS q_pct, quantile_disc(v, 0.25) AS value_c FROM v
+        UNION ALL SELECT 50, quantile_disc(v, 0.50) FROM v
+        UNION ALL SELECT 75, quantile_disc(v, 0.75) FROM v
+        UNION ALL SELECT 90, quantile_disc(v, 0.90) FROM v
+        UNION ALL SELECT 99, quantile_disc(v, 0.99) FROM v
+        ORDER BY q_pct
+    """,
+    "distinct_users_by_type": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
+    """,
     "purchase_prior_events": """
         SELECT p.event_id, p.user_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_prior
         FROM events p LEFT JOIN events e

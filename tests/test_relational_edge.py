@@ -1,0 +1,59 @@
+"""Edge cases for the histogram-refinement exact-quantile operator.
+
+The DuckDB oracle gate pins ``price_quantiles`` on the sf tables; these pin
+the degenerate shapes the sf data never produces: a single-value column
+(histogram width 1, every rank in one bucket) and n=1, plus rank placement
+on a tiny n where ceil(q*n) sits exactly on bucket boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from crawler_ray.pipelines.relational import price_quantiles
+
+QS = (25, 50, 75, 90, 99)
+
+
+def _write_lineitem(tmp_path, prices):
+    pq.write_table(
+        pa.table({"l_extendedprice": pa.array(prices, pa.float64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _expected(prices):
+    cents = np.sort(np.round(np.asarray(prices) * 100).astype(np.int64))
+    n = len(cents)
+    return {q: int(cents[-((-q * n) // 100) - 1]) for q in QS}
+
+
+def _check(tmp_path, prices):
+    out = price_quantiles(_write_lineitem(tmp_path, prices))
+    got = dict(zip(out["q_pct"].to_pylist(), out["value_c"].to_pylist()))
+    assert got == _expected(prices)
+
+
+def test_all_equal_values(ray_session, tmp_path):
+    _check(tmp_path, [7.77] * 100)
+
+
+def test_single_row(ray_session, tmp_path):
+    _check(tmp_path, [123.45])
+
+
+def test_tiny_n_boundary_ranks(ray_session, tmp_path):
+    # n=4: ceil(q*n) = 1,2,3,4,4 — exercises every boundary placement
+    _check(tmp_path, [40.0, 10.0, 30.0, 20.0])
+
+
+def test_skewed_two_cluster(ray_session, tmp_path):
+    # 99% of mass in one narrow cluster, the p99 rank in the far tail
+    rng = np.random.default_rng(7)
+    prices = np.concatenate(
+        [rng.uniform(10.0, 10.5, 990), rng.uniform(90000.0, 90001.0, 10)]
+    )
+    _check(tmp_path, prices.tolist())
