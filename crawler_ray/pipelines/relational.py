@@ -14,8 +14,9 @@ Scale patterns demonstrated (and the choices a 100 TB run would keep):
   all-to-all exchange moves pre-reduced rows, not raw lineitems;
 - **broadcast the small side**: dimension tables (nation, part, filtered
   customer keys) ship once via ``ray.put`` and resolve inside ``map_batches``
-  — no shuffle join for a lookup; the one genuinely large⋈large join
-  (orders ⋈ lineitem-aggregate) uses ``Dataset.join`` (hash shuffle);
+  — no shuffle join for a lookup; unique-keyed joins go through the
+  size-adaptive ``_lookup_inner_join`` (broadcast + searchsorted when the
+  right side is small, ``Dataset.join`` hash shuffle past the bound);
 - **integer-scaled money**: all float aggregates are emitted as
   ``round(x*100)``-cents BIGINTs so results hash identically across engines
   regardless of summation order.
@@ -68,8 +69,85 @@ def _global_sum(ds: rd.Dataset, keys: list[str], cols: list[str]) -> rd.Dataset:
     return ds.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in cols])
 
 
-def _global_sum_parted(ds: rd.Dataset, key: str, cols: list[str], nparts: int = 8) -> rd.Dataset:
+def _driver_sum(ds: rd.Dataset, keys: list[str], cols: list[str]) -> pd.DataFrame:
+    """Final reduce for cardinality-BOUNDED keys (≲100 distinct): collect
+    the per-block partials (≤ |key domain| rows per block) and sum on the
+    driver. A Ray Aggregate op costs ~1 s of fixed operator overhead here
+    regardless of data size; the collect is O(blocks × domain) rows, which
+    stays driver-safe at any corpus size for constant domains (the q6
+    scalar pattern, keyed). High-cardinality keys must use _global_sum /
+    _global_sum_parted instead."""
+    parts = pd.DataFrame(ds.take_all())
+    return parts.groupby(keys, as_index=False)[cols].sum()
+
+
+# adaptive-join broadcast ceiling: right sides at or below this many rows
+# ship once via ray.put (a few MB) instead of a hash-shuffle join. On a real
+# cluster this knob is bytes-per-worker-heap, not rows; both call sites
+# degrade gracefully to Dataset.join when the bound is exceeded.
+_BROADCAST_JOIN_ROWS = 2_000_000
+
+
+def _lookup_inner_join(
+    left: rd.Dataset, right: rd.Dataset, left_key: str, right_key: str, right_cols: list[str]
+) -> rd.Dataset:
+    """Size-adaptive inner join against a unique-keyed right side.
+
+    Materializes the right side (it is about to be shuffled or shipped
+    either way); when small and unique-keyed, broadcasts sorted key +
+    payload arrays once via ``ray.put`` and resolves each left batch with a
+    vectorized ``searchsorted`` — no all-to-all, no join-actor startup
+    (measured ~4 s of fixed Dataset.join overhead per query at sf0.1).
+    Falls back to ``Dataset.join``'s hash shuffle when the right side is
+    too big to broadcast or has duplicate keys.
+    """
+    rm = right.materialize()
+    use_join = rm.count() > _BROADCAST_JOIN_ROWS
+    if not use_join:
+        rt = pa.concat_tables(ray.get(rm.to_arrow_refs())).combine_chunks()
+        keys = rt[right_key].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        use_join = bool(len(ks) > 1 and not np.all(ks[1:] > ks[:-1]))
+    if use_join:
+        return left.join(
+            rm,
+            join_type="inner",
+            num_partitions=JOIN_PARTITIONS,
+            on=(left_key,),
+            right_on=(right_key,),
+        )
+    payload = {c: rt[c].to_numpy(zero_copy_only=False)[order] for c in right_cols}
+    ref = ray.put((ks, payload))
+
+    def fn(t: pa.Table, _ref=ref) -> pa.Table:
+        side_keys, side_cols = ray.get(_ref)  # shared-memory read, not a copy
+        v = t[left_key].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(side_keys, v)
+        idx = np.minimum(idx, len(side_keys) - 1)
+        hit = side_keys[idx] == v if len(side_keys) else np.zeros(len(v), bool)
+        kept = t.filter(pa.array(hit))
+        ii = idx[hit]
+        out = {c: kept[c] for c in kept.column_names}
+        for c, arr in side_cols.items():
+            out[c] = pa.array(arr[ii])
+        return pa.table(out)
+
+    return left.map_batches(fn, batch_format="pyarrow")
+
+
+def _global_sum_parted(
+    ds: rd.Dataset,
+    key: str,
+    cols: list[str],
+    nparts: int = 8,
+    extra_keys: tuple[str, ...] = (),
+) -> rd.Dataset:
     """High-cardinality global sum over an integer key.
+
+    ``extra_keys`` are functionally dependent on ``key`` (e.g. an order's
+    date) — they join the pandas groupby for the output schema but the
+    part routing hashes ``key`` alone.
 
     Ray's sort-based groupby-aggregate costs ~0.25 ms of per-group overhead
     (measured on this box), so a 150k-group ``l_orderkey`` aggregate pays
@@ -87,7 +165,7 @@ def _global_sum_parted(ds: rd.Dataset, key: str, cols: list[str], nparts: int = 
         return t.append_column("part", pa.array(part.astype(np.int32)))
 
     def sum_part(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key, sort=False, as_index=False)[cols].sum()
+        return df.groupby([key, *extra_keys], sort=False, as_index=False)[cols].sum()
 
     return (
         ds.map_batches(add_part, batch_size=65536, batch_format="pyarrow")
@@ -130,22 +208,18 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
-    out = _global_sum(ds, ["l_returnflag", "l_linestatus"], ["qty", "base", "disc_price", "charge", "n"])
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "sum_qty": pc.cast(t["qty"], pa.int64()),
-                "sum_base_price_c": _cents(t["base"]),
-                "sum_disc_price_c": _cents(t["disc_price"]),
-                "sum_charge_c": _cents(t["charge"]),
-                "count_order": pc.cast(t["n"], pa.int64()),
-            }
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    agg = _driver_sum(ds, ["l_returnflag", "l_linestatus"], ["qty", "base", "disc_price", "charge", "n"])
+    return pa.table(
+        {
+            "l_returnflag": pa.array(agg.l_returnflag, pa.string()),
+            "l_linestatus": pa.array(agg.l_linestatus, pa.string()),
+            "sum_qty": pa.array(agg.qty.to_numpy().astype(np.int64)),
+            "sum_base_price_c": _cents(pa.Array.from_pandas(agg.base)),
+            "sum_disc_price_c": _cents(pa.Array.from_pandas(agg.disc_price)),
+            "sum_charge_c": _cents(pa.Array.from_pandas(agg.charge)),
+            "count_order": pa.array(agg.n.to_numpy(), pa.int64()),
+        }
+    )
 
 
 # --------------------------------------------------------------------- Q6
@@ -231,39 +305,53 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
 
-    joined = li_pre.join(
-        sel, join_type="inner", num_partitions=JOIN_PARTITIONS,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    ).map_batches(
+    joined = _lookup_inner_join(li_pre, sel, "l_orderkey", "o_orderkey", ["o_orderdate_s"]).map_batches(
         lambda t: pa.table(
             {"o_orderkey": t["l_orderkey"], "o_orderdate_s": t["o_orderdate_s"], "rev": t["rev"]}
         ),
         batch_format="pyarrow",
     )
-    # the join hash-partitioned on l_orderkey == the grouping key, so every
-    # group is already co-located in one block: a per-block arrow group_by
-    # is the exact global aggregate — no second shuffle
+    # exact global sums need same-key co-location: one coarse hash-part
+    # exchange over the per-block partials. The top-10 is fused INTO the
+    # per-part pandas aggregate (each part's exact local top-10 bounds the
+    # global top-10), so only nparts×10 rows ever leave the exchange — a
+    # full sort of all orders to read 10 rows is the plan this replaces.
     agg = joined.map_batches(
         _partial_groupby(["o_orderkey", "o_orderdate_s"], [("rev", "sum", "rev")]),
         batch_format="pyarrow",
     )
 
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderkey": t["o_orderkey"],
-                "revenue_c": _cents(t["rev"]),
-                "o_orderdate_s": t["o_orderdate_s"],
-            }
-        )
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(8)
+        return t.append_column("part", pa.array(part.astype(np.int32)))
 
-    out = agg.map_batches(finish, batch_format="pyarrow")
-    return out.sort(["revenue_c", "o_orderkey"], descending=[True, False]).limit(10)
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderkey", "o_orderdate_s"], sort=False, as_index=False)["rev"].sum()
+        g["revenue_c"] = _cents(pa.Array.from_pandas(g["rev"])).to_numpy(zero_copy_only=False)
+        g = g.sort_values(["revenue_c", "o_orderkey"], ascending=[False, True]).head(10)
+        return g[["o_orderkey", "revenue_c", "o_orderdate_s"]]
+
+    top = (
+        agg.map_batches(add_part, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pandas")
+        .to_pandas()  # ≤ 8 parts × 10 rows
+        .sort_values(["revenue_c", "o_orderkey"], ascending=[False, True])
+        .head(10)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(top.o_orderkey.to_numpy(), pa.int64()),
+            "revenue_c": pa.array(top.revenue_c.to_numpy(), pa.int64()),
+            "o_orderdate_s": pa.array(top.o_orderdate_s, pa.string()),
+        }
+    )
 
 
 # ------------------------------------------------------------- join (hash)
 def nation_order_revenue(sf_dir: str) -> rd.Dataset:
-    """Large⋈large via ``Dataset.join`` (hash shuffle) + broadcast dim."""
+    """orders⋈customer via the size-adaptive lookup join + broadcast dim."""
     # identity coalesce to ~64k-row blocks: the hash shuffle's cost per
     # piece is scheduling, not bytes — 64 reader blocks/side is 128 pieces
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
@@ -272,13 +360,7 @@ def nation_order_revenue(sf_dir: str) -> rd.Dataset:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: t, batch_size=65536, batch_format="pyarrow"
     )
-    joined = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=JOIN_PARTITIONS,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
+    joined = _lookup_inner_join(orders, cust, "o_custkey", "c_custkey", ["c_nationkey"])
     ds = joined.map_batches(
         lambda t: pa.table({"c_nationkey": t["c_nationkey"], "price": t["o_totalprice"],
                             "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
@@ -288,23 +370,22 @@ def nation_order_revenue(sf_dir: str) -> rd.Dataset:
         _partial_groupby(["c_nationkey"], [("price", "sum", "price"), ("n", "sum", "n")]),
         batch_format="pyarrow",
     )
-    agg = _global_sum(ds, ["c_nationkey"], ["price", "n"])
+    # 25 nations → partials are ≤25 rows per block; the final reduce is a
+    # driver-side pandas groupby over (blocks × 25) tiny rows, which beats
+    # a Ray Aggregate op's ~1 s fixed cost. Cardinality-bounded keys only —
+    # high-cardinality keys go through _global_sum_parted instead.
+    parts = pd.DataFrame(ds.take_all())
+    agg = parts.groupby("c_nationkey", as_index=False)[["price", "n"]].sum()
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     names = dict(zip(nation.n_nationkey, nation.n_name))
-    names_ref = ray.put(names)
-
-    def finish(t: pa.Table, ref=names_ref) -> pa.Table:
-        nm = ray.get(ref)
-        return pa.table(
-            {
-                "n_name": pa.array([nm[k] for k in t["c_nationkey"].to_pylist()], pa.string()),
-                "revenue_c": _cents(t["price"]),
-                "n_orders": pc.cast(t["n"], pa.int64()),
-            }
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return pa.table(
+        {
+            "n_name": pa.array([names[k] for k in agg.c_nationkey], pa.string()),
+            "revenue_c": _cents(pa.Array.from_pandas(agg.price)),
+            "n_orders": pa.array(agg.n.to_numpy(), pa.int64()),
+        }
+    )
 
 
 # -------------------------------------------------------------- anti join
@@ -634,26 +715,36 @@ def events_daily(sf_dir: str) -> rd.Dataset:
         _partial_groupby(["window_s", "event_type"], [("value", "sum", "value"), ("n", "sum", "n")]),
         batch_format="pyarrow",
     )
-    agg = _global_sum(ds, ["window_s", "event_type"], ["value", "n"])
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "window_s": t["window_s"],
-                "event_type": t["event_type"],
-                "n": pc.cast(t["n"], pa.int64()),
-                "sum_value_c": _cents(t["value"]),
-            }
-        ),
-        batch_format="pyarrow",
+    # window×type domain is days×types — bounded, so driver-reduce
+    agg = _driver_sum(ds, ["window_s", "event_type"], ["value", "n"])
+    return pa.table(
+        {
+            "window_s": pa.array(agg.window_s, pa.string()),
+            "event_type": pa.array(agg.event_type, pa.string()),
+            "n": pa.array(agg.n.to_numpy(), pa.int64()),
+            "sum_value_c": _cents(pa.Array.from_pandas(agg.value)),
+        }
     )
 
 
 def top_events_by_value(sf_dir: str) -> rd.Dataset:
     ev = _read(sf_dir, "events", ["event_id", "value"])
-    out = ev.sort(["value", "event_id"], descending=[True, False]).limit(50)
-    return out.map_batches(
-        lambda t: pa.table({"event_id": t["event_id"], "value_c": _cents(t["value"])}),
-        batch_format="pyarrow",
+
+    # block-local top-50 partials bound the global top-50: the driver merge
+    # sees ≤ blocks×50 rows — no full sort of the events table
+    def blocktop(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -v))[:50]
+        return t.take(pa.array(order))
+
+    top = pd.DataFrame(ev.map_batches(blocktop, batch_format="pyarrow").take_all())
+    top = top.sort_values(["value", "event_id"], ascending=[False, True]).head(50)
+    return pa.table(
+        {
+            "event_id": pa.array(top.event_id.to_numpy(), pa.int64()),
+            "value_c": _cents(pa.Array.from_pandas(top.value)),
+        }
     )
 
 
@@ -669,34 +760,50 @@ def events_props_sum(sf_dir: str) -> rd.Dataset:
 
     ds = ev.map_batches(prep, batch_format="pyarrow")
     ds = ds.map_batches(_partial_groupby(["event_type"], [("k", "sum", "k")]), batch_format="pyarrow")
-    agg = _global_sum(ds, ["event_type"], ["k"])
-    return agg.map_batches(
-        lambda t: pa.table({"event_type": t["event_type"], "sum_k": pc.cast(t["k"], pa.int64())}),
-        batch_format="pyarrow",
+    agg = _driver_sum(ds, ["event_type"], ["k"])
+    return pa.table(
+        {
+            "event_type": pa.array(agg.event_type, pa.string()),
+            "sum_k": pa.array(agg.k.to_numpy(), pa.int64()),
+        }
     )
 
 
-def brand_size_stats(sf_dir: str) -> rd.Dataset:
-    from ray.data.aggregate import Count, Max, Min, Sum
-
+def brand_size_stats(sf_dir: str) -> pa.Table:
+    """Multi-aggregate (count/min/max/sum) per brand: per-block arrow
+    combiners, then a driver reduce over the 25-brand bounded domain with
+    the matching re-reducers (sum-of-counts, min-of-mins, ...)."""
     part = _read(sf_dir, "part", ["p_brand", "p_size"])
-    agg = part.groupby("p_brand").aggregate(
-        Count(alias_name="n_parts"),
-        Min("p_size", alias_name="min_size"),
-        Max("p_size", alias_name="max_size"),
-        Sum("p_size", alias_name="sum_size"),
-    )
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "p_brand": t["p_brand"],
-                "n_parts": pc.cast(t["n_parts"], pa.int64()),
-                "min_size": pc.cast(t["min_size"], pa.int64()),
-                "max_size": pc.cast(t["max_size"], pa.int64()),
-                "sum_size": pc.cast(t["sum_size"], pa.int64()),
-            }
+    ds = part.map_batches(
+        _partial_groupby(
+            ["p_brand"],
+            [
+                ("p_size", "count", "n_parts"),
+                ("p_size", "min", "min_size"),
+                ("p_size", "max", "max_size"),
+                ("p_size", "sum", "sum_size"),
+            ],
         ),
         batch_format="pyarrow",
+    )
+    agg = (
+        pd.DataFrame(ds.take_all())
+        .groupby("p_brand", as_index=False)
+        .agg(
+            n_parts=("n_parts", "sum"),
+            min_size=("min_size", "min"),
+            max_size=("max_size", "max"),
+            sum_size=("sum_size", "sum"),
+        )
+    )
+    return pa.table(
+        {
+            "p_brand": pa.array(agg.p_brand, pa.string()),
+            "n_parts": pa.array(agg.n_parts.to_numpy(), pa.int64()),
+            "min_size": pa.array(agg.min_size.to_numpy().astype(np.int64)),
+            "max_size": pa.array(agg.max_size.to_numpy().astype(np.int64)),
+            "sum_size": pa.array(agg.sum_size.to_numpy().astype(np.int64)),
+        }
     )
 
 
@@ -901,12 +1008,12 @@ def distinct_users_by_type(sf_dir: str) -> rd.Dataset:
         .groupby("part")
         .map_groups(count_part, batch_format="pandas")
     )
-    agg = _global_sum(ds, ["event_type"], ["n_users"])
-    return agg.map_batches(
-        lambda t: pa.table(
-            {"event_type": t["event_type"], "n_users": pc.cast(t["n_users"], pa.int64())}
-        ),
-        batch_format="pyarrow",
+    agg = _driver_sum(ds, ["event_type"], ["n_users"])
+    return pa.table(
+        {
+            "event_type": pa.array(agg.event_type, pa.string()),
+            "n_users": pa.array(agg.n_users.to_numpy(), pa.int64()),
+        }
     )
 
 
