@@ -50,6 +50,42 @@ def test_tiny_n_boundary_ranks(ray_session, tmp_path):
     _check(tmp_path, [40.0, 10.0, 30.0, 20.0])
 
 
+def test_lookup_join_paths(ray_session, monkeypatch):
+    """The adaptive join must produce identical results on its broadcast
+    path, its duplicate-key fallback, and its over-threshold fallback."""
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.pipelines import relational as rel
+
+    left = pa.table({"k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+                     "x": pa.array([10, 20, 21, 30, 50], pa.int64())})
+    right_uniq = pa.table({"rk": pa.array([2, 3, 4], pa.int64()),
+                           "p": pa.array(["b", "c", "d"], pa.string())})
+    right_dup = pa.table({"rk": pa.array([2, 2, 3], pa.int64()),
+                          "p": pa.array(["b1", "b2", "c"], pa.string())})
+
+    def run(right):
+        out = rel._lookup_inner_join(
+            rd.from_arrow(left), rd.from_arrow(right), "k", "rk", ["p"]
+        ).to_pandas()
+        return out.sort_values(["k", "x", "p"]).reset_index(drop=True)
+
+    def expected(right):
+        m = left.to_pandas().merge(
+            right.to_pandas(), left_on="k", right_on="rk"
+        )[["k", "x", "p"]]
+        return m.sort_values(["k", "x", "p"]).reset_index(drop=True)
+
+    # broadcast path (small, unique)
+    pd.testing.assert_frame_equal(run(right_uniq)[["k", "x", "p"]], expected(right_uniq))
+    # duplicate-key fallback must route through Dataset.join
+    pd.testing.assert_frame_equal(run(right_dup)[["k", "x", "p"]], expected(right_dup))
+    # over-threshold fallback
+    monkeypatch.setattr(rel, "_BROADCAST_JOIN_ROWS", 1)
+    pd.testing.assert_frame_equal(run(right_uniq)[["k", "x", "p"]], expected(right_uniq))
+
+
 def test_skewed_two_cluster(ray_session, tmp_path):
     # 99% of mass in one narrow cluster, the p99 rank in the far tail
     rng = np.random.default_rng(7)
