@@ -116,5 +116,64 @@ def cms_top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
     )
 
 
-QUERIES = {"cms_top_tokens": cms_top_tokens}
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized SplitMix64 finalizer (Steele et al., public domain) —
+    uniform uint64 hashes for integer keys, no per-element Python."""
+    x = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hll_users_by_type(sf_dir: str, p: int = 12) -> rd.Dataset:
+    """Per-key approximate COUNT(DISTINCT): HyperLogLog registers per
+    (batch, event_type), merged by elementwise max inside a per-key
+    groupby. The exact twin is ``distinct_users_by_type``
+    (relational.py); this is the shape that survives when the per-key
+    value sets are too big to dedup — the exchange moves one 2^p-byte
+    blob per (batch, key), never the values, and works unchanged for
+    millions of keys (per-host distinct URLs, per-domain distinct users)
+    where a driver-side merge could not hold blocks×keys blobs.
+    Rows-only: pytest pins the estimate against the exact count
+    (stderr ≈ 1.04/sqrt(2^p) ≈ 1.6% at p=12)."""
+    from crawler_ray.pipelines.text import _hll_estimate, _hll_partial
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(et, return_inverse=True)
+        h = _splitmix64(uid)
+        return pa.table(
+            {
+                "event_type": pa.array(list(uniq), pa.string()),
+                "regs": pa.array(
+                    [_hll_partial(h[inv == i], p).tobytes() for i in range(len(uniq))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    import pandas as pd
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        regs = np.zeros(1 << p, np.uint8)
+        for blob in df["regs"]:
+            regs = np.maximum(regs, np.frombuffer(blob, np.uint8))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_users_est": [int(round(_hll_estimate(regs)))],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+QUERIES = {"cms_top_tokens": cms_top_tokens, "hll_users_by_type": hll_users_by_type}
 ORACLE_SQL: dict[str, str] = {}

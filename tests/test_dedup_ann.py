@@ -315,3 +315,18 @@ def test_dup_spans_constructed(ray_session, tmp_path):
     assert list(out.n_spans) == [4, 4, 1]
     assert list(out.n_dup) == [1, 1, 0]
     assert list(out.dup_pct) == [25, 25, 0]
+
+
+def test_hll_users_by_type_vs_exact(ray_session):
+    """Per-key HLL merge: each type's estimate within the sketch error of
+    the exact per-type distinct user count."""
+    import pandas as pd
+
+    from crawler_ray.pipelines.sketches import hll_users_by_type
+
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["event_type", "user_id"])
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    got = hll_users_by_type(SF).to_pandas().set_index("event_type")["n_users_est"]
+    assert set(got.index) == set(exact.index)
+    for ty in exact.index:
+        assert abs(got[ty] - exact[ty]) / exact[ty] < 0.05, (ty, got[ty], exact[ty])
