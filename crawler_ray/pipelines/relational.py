@@ -76,8 +76,9 @@ def _driver_sum(ds: rd.Dataset, keys: list[str], cols: list[str]) -> pd.DataFram
     regardless of data size; the collect is O(blocks × domain) rows, which
     stays driver-safe at any corpus size for constant domains (the q6
     scalar pattern, keyed). High-cardinality keys must use _global_sum /
-    _global_sum_parted instead."""
-    parts = pd.DataFrame(ds.take_all())
+    _global_sum_parted instead. NB ``to_pandas``, never ``take_all`` —
+    take_all iterates per row/cell on the driver (~2 ms/row measured)."""
+    parts = ds.to_pandas()
     return parts.groupby(keys, as_index=False)[cols].sum()
 
 
@@ -374,8 +375,7 @@ def nation_order_revenue(sf_dir: str) -> rd.Dataset:
     # driver-side pandas groupby over (blocks × 25) tiny rows, which beats
     # a Ray Aggregate op's ~1 s fixed cost. Cardinality-bounded keys only —
     # high-cardinality keys go through _global_sum_parted instead.
-    parts = pd.DataFrame(ds.take_all())
-    agg = parts.groupby("c_nationkey", as_index=False)[["price", "n"]].sum()
+    agg = ds.to_pandas().groupby("c_nationkey", as_index=False)[["price", "n"]].sum()
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     names = dict(zip(nation.n_nationkey, nation.n_name))
@@ -738,7 +738,7 @@ def top_events_by_value(sf_dir: str) -> rd.Dataset:
         order = np.lexsort((ids, -v))[:50]
         return t.take(pa.array(order))
 
-    top = pd.DataFrame(ev.map_batches(blocktop, batch_format="pyarrow").take_all())
+    top = ev.map_batches(blocktop, batch_format="pyarrow").to_pandas()
     top = top.sort_values(["value", "event_id"], ascending=[False, True]).head(50)
     return pa.table(
         {
@@ -787,7 +787,7 @@ def brand_size_stats(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
     )
     agg = (
-        pd.DataFrame(ds.take_all())
+        ds.to_pandas()
         .groupby("p_brand", as_index=False)
         .agg(
             n_parts=("n_parts", "sum"),
@@ -881,7 +881,7 @@ def price_quantiles(sf_dir: str) -> pa.Table:
 
     1. per-block ``(min, max, count)`` partials (one row per block);
     2. per-block nonzero ``(bucket, count)`` histogram partials over 8192
-       equal-width buckets, coarse-part pandas sum, tiny ``take_all``;
+       equal-width buckets, coarse-part pandas sum, tiny collect;
     3. a residual collect of ONLY the rows in the ≤5 quantile-straddling
        buckets (~n/8192 rows each), sorted on the driver to pick the exact
        order statistic.
@@ -897,9 +897,14 @@ def price_quantiles(sf_dir: str) -> pa.Table:
     """
     QS = (25, 50, 75, 90, 99)
     B = 8192
+    # materialize the single int64 column once and share it across the
+    # three passes — re-reading parquet would pay decompression 3×. The
+    # cached column is 8 bytes/row (1/20th of the table); at a scale where
+    # even that can't be pinned, drop the materialize and let each pass
+    # re-scan — the algorithm is unchanged.
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
         lambda t: pa.table({"v": _cents(t["l_extendedprice"])}), batch_format="pyarrow"
-    )
+    ).materialize()
 
     mm = ds.map_batches(
         lambda t: pa.table(
@@ -910,10 +915,10 @@ def price_quantiles(sf_dir: str) -> pa.Table:
             }
         ),
         batch_format="pyarrow",
-    ).take_all()
-    lo = min(r["lo"] for r in mm)
-    hi = max(r["hi"] for r in mm)
-    n = sum(r["n"] for r in mm)
+    ).to_pandas()
+    lo = int(mm.lo.min())
+    hi = int(mm.hi.max())
+    n = int(mm.n.sum())
     width = hi - lo + 1
 
     def hist(t: pa.Table) -> pa.Table:
@@ -925,12 +930,11 @@ def price_quantiles(sf_dir: str) -> pa.Table:
             {"bucket": pa.array(nz, pa.int64()), "cnt": pa.array(cnt[nz], pa.int64())}
         )
 
-    hrows = _global_sum_parted(
+    hdf = _global_sum_parted(
         ds.map_batches(hist, batch_format="pyarrow"), "bucket", ["cnt"], nparts=4
-    ).take_all()
+    ).to_pandas()
     counts = np.zeros(B, np.int64)
-    for r in hrows:
-        counts[r["bucket"]] = r["cnt"]
+    counts[hdf.bucket.to_numpy()] = hdf.cnt.to_numpy()
     cum = np.cumsum(counts)
 
     need: dict[int, list[tuple[int, int]]] = {}
@@ -949,12 +953,12 @@ def price_quantiles(sf_dir: str) -> pa.Table:
             {"v": pa.array(v[m], pa.int64()), "bucket": pa.array(b[m], pa.int64())}
         )
 
-    byb: dict[int, list[int]] = {}
-    for r in ds.map_batches(resid, batch_format="pyarrow").take_all():
-        byb.setdefault(r["bucket"], []).append(r["v"])
+    rdf = ds.map_batches(resid, batch_format="pyarrow").to_pandas()
+    rv = rdf.v.to_numpy()
+    rb = rdf.bucket.to_numpy()
     out: list[tuple[int, int]] = []
     for b, pairs in need.items():
-        vals = np.sort(np.asarray(byb[b], np.int64))
+        vals = np.sort(rv[rb == b])
         for q, rank in pairs:
             out.append((q, int(vals[rank - below[b] - 1])))
     out.sort()

@@ -346,15 +346,13 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
             lambda t: pa.table({"token": t["token"], "df": pc.cast(t["sum(df)"], pa.int64())}),
             batch_format="pyarrow",
         )
-        .take_all()
+        .to_pandas()  # vocabulary-sized; take_all iterates per row/cell
     )
     import ray
 
-    vocab = np.array([r["token"] for r in df], dtype=object)
+    vocab = df["token"].to_numpy(dtype=object)
     order = np.argsort(vocab)
-    df_ref = ray.put(
-        (vocab[order], np.array([r["df"] for r in df], dtype=np.int64)[order])
-    )
+    df_ref = ray.put((vocab[order], df["df"].to_numpy(dtype=np.int64)[order]))
 
     def score_topn(t: pa.Table, ref=df_ref) -> pa.Table:
         vocab_s, dfs = ray.get(ref)
@@ -437,11 +435,11 @@ def inverted_index(sf_dir: str, min_df: int = 50, parts: int = 16) -> rd.Dataset
         .groupby("term")
         .sum("df")
         .map_batches(freq_only, batch_format="pyarrow")
-        .take_all()
+        .to_pandas()  # vocabulary-sized; take_all iterates per row/cell
     )
     import ray
 
-    freq_ref = ray.put(np.sort(np.array([r["term"] for r in freq_tbl], dtype=object)))
+    freq_ref = ray.put(np.sort(freq_tbl["term"].to_numpy(dtype=object)))
 
     def gate(t: pa.Table, ref=freq_ref) -> pa.Table:
         freq = ray.get(ref)
