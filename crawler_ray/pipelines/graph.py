@@ -480,9 +480,198 @@ def dedup_clusters(sf_dir: str, min_jacc: int = 50) -> rd.Dataset:
     )
 
 
-QUERIES = {"pagerank": pagerank, "dedup_clusters": dedup_clusters}
+def triangle_count_edges(edges: rd.Dataset, src: str = "src_url", dst: str = "dst_url") -> pa.Table:
+    """Distributed triangle count over an undirected edge list.
+
+    Node-iterator with degree orientation (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011):
+    orient every edge toward the higher (degree, id) endpoint, generate
+    wedges only from each node's *outgoing* (higher-ordered) neighbors —
+    bounding total wedge volume by O(m^1.5) even on power-law graphs where
+    the naive per-node pairs blow up on hubs — then close wedges against
+    the oriented edge set, co-located by a coarse hash partition of the
+    wedge endpoints (no Dataset.join).
+
+    Degrees are broadcast as sorted arrays (node-table-sized: fine for a
+    host graph; for a 10^10-node page graph attach degrees with the same
+    two coarse-partition passes the PageRank setup uses instead).
+    """
+    eds = edges.materialize()
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pd.util.hash_array(t[src].to_pandas().to_numpy(dtype=object)).astype(np.int64)
+        b = pd.util.hash_array(t[dst].to_pandas().to_numpy(dtype=object)).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        keep = u != v  # self-loops close no triangles
+        return pa.table(
+            {
+                "u": pa.array(u[keep]),
+                "v": pa.array(v[keep]),
+                "part": pa.array(_ipart(u[keep])),
+            }
+        )
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v", "part"]]
+
+    # distinct undirected edges, co-located by hash(u) (u==min endpoint, so
+    # a duplicate edge always lands in one partition)
+    und = (
+        eds.map_batches(canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
+        .materialize()
+    )
+
+    # global degrees: per-block endpoint counts, driver-reduced (node-sized)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [t["u"].to_numpy(zero_copy_only=False), t["v"].to_numpy(zero_copy_only=False)]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq), "deg": pa.array(cnt.astype(np.int64))})
+
+    degs = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("node", as_index=False)["deg"]
+        .sum()
+    )
+    import ray
+
+    deg_ref = ray.put((degs.node.to_numpy(), degs.deg.to_numpy()))
+
+    # orient toward higher (deg, id); re-partition by the LOWER-ordered
+    # endpoint so each center's outgoing neighbors co-locate
+    def orient(t: pa.Table, ref=deg_ref) -> pa.Table:
+        nodes, deg = ray.get(ref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = deg[np.searchsorted(nodes, u)]
+        dv = deg[np.searchsorted(nodes, v)]
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(fwd, u, v)  # lower-ordered center
+        b = np.where(fwd, v, u)
+        return pa.table({"a": pa.array(a), "b": pa.array(b), "part": pa.array(_ipart(a))})
+
+    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges: per center, all unordered pairs of outgoing neighbors, keyed
+    # (x, y) in (deg, id) order so they match the oriented edge exactly
+    def wedges(g: pd.DataFrame, ref=deg_ref) -> pd.DataFrame:
+        nodes, deg = ray.get(ref)
+        xs: list[np.ndarray] = []
+        ys: list[np.ndarray] = []
+        for _, nb in g.groupby("a", sort=False)["b"]:
+            n = nb.to_numpy()
+            if len(n) < 2:
+                continue
+            d = deg[np.searchsorted(nodes, n)]
+            n = n[np.lexsort((n, d))]  # ascending (deg, id)
+            i, j = np.triu_indices(len(n), k=1)
+            xs.append(n[i])
+            ys.append(n[j])
+        if not xs:
+            return pd.DataFrame({"x": np.empty(0, np.int64), "y": np.empty(0, np.int64)})
+        return pd.DataFrame({"x": np.concatenate(xs), "y": np.concatenate(ys)})
+
+    wedge_ds = (
+        oriented.groupby("part")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "part2", pa.array(_ipart(t["x"].to_numpy(zero_copy_only=False)))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    edge_keys = oriented.map_batches(
+        lambda t: pa.table(
+            {
+                "x": t["a"],
+                "y": t["b"],
+                "part2": pa.array(_ipart(t["a"].to_numpy(zero_copy_only=False))),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    # close wedges: oriented edges and wedges co-partition on hash(x)
+    # (x is the lower-ordered endpoint on both sides), so the match is a
+    # partition-local pandas merge — two marker columns distinguish the
+    # unioned sides without a join operator
+    def close_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["is_edge"].to_numpy() == 1
+        e = g[is_edge][["x", "y"]].drop_duplicates()
+        w = g[~is_edge]
+        n = int(w.merge(e, on=["x", "y"]).shape[0])
+        return pd.DataFrame({"n": [n]})
+
+    tagged = wedge_ds.map_batches(
+        lambda t: t.append_column("is_edge", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    ).union(
+        edge_keys.map_batches(
+            lambda t: t.append_column("is_edge", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+    )
+    total = int(
+        tagged.groupby("part2")
+        .map_groups(close_part, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def triangle_count(sf_dir: str) -> pa.Table:
+    """Triangles in the near-duplicate similarity graph
+    (``prefix_jaccard_pairs`` at ≥50% Jaccard) — a clique-ness audit of
+    the dedup clusters: transitive near-dup groups show up as triangle
+    mass, chains (A~B~C but A≁C) as its absence. (The crawl link graph is
+    generationally acyclic by construction, so it has no triangles —
+    pinned as such in the pytest.)"""
+    from crawler_ray.pipelines.dedup import prefix_jaccard_pairs
+
+    pairs = prefix_jaccard_pairs(sf_dir).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jacc_pct"], 50)),
+        batch_format="pyarrow",
+    )
+    return triangle_count_edges(pairs, src="a_id", dst="b_id")
+
+
+QUERIES = {
+    "pagerank": pagerank,
+    "dedup_clusters": dedup_clusters,
+    "triangle_count": triangle_count,
+}
+
+_TRIANGLE_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, SUBSTR(text, 1, 100) AS p,
+               LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[^ ]+')) AS toks
+        FROM documents
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY SUBSTR(text, 1, 100)
+                                   ORDER BY doc_id) <= 256),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM tok a JOIN tok b ON a.p = b.p AND a.doc_id < b.doc_id
+        WHERE CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) > 0
+              THEN (100 * LEN(LIST_INTERSECT(a.toks, b.toks)))
+                   // LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks)))
+              ELSE 0 END >= 50),
+    e AS (SELECT DISTINCT LEAST(a_id, b_id) AS u, GREATEST(a_id, b_id) AS v
+          FROM pairs WHERE a_id <> b_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
 
 ORACLE_SQL: dict[str, str] = {
+    "triangle_count": _TRIANGLE_ORACLE,
     "dedup_clusters": """
         WITH RECURSIVE tok AS (
             SELECT doc_id, SUBSTR(text, 1, 100) AS p,

@@ -96,3 +96,62 @@ def test_pagerank_matches_dense_power_iteration(ray_session, damping):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for u in want:
         assert got[u] == pytest.approx(want[u], rel=1e-9), u
+
+
+def _brute_triangles(edges: list[tuple[int, int]]) -> int:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    total = 0
+    seen = set()
+    for a, b in edges:
+        if a == b or (min(a, b), max(a, b)) in seen:
+            continue
+        seen.add((min(a, b), max(a, b)))
+        total += len(adj[a] & adj[b])
+    return total // 3
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    """Degree-oriented distributed count equals the adjacency-set brute
+    force, on a synthetic graph with hubs, duplicate and reversed edges,
+    and self-loops."""
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import triangle_count_edges
+
+    rng = np.random.default_rng(11)
+    m = 600
+    a = rng.integers(0, 60, m)
+    b = rng.integers(0, 60, m)
+    hub = np.zeros(40, dtype=np.int64)  # node 0 is a hub
+    hub_b = rng.integers(0, 60, 40)
+    src = np.concatenate([a, hub, a[:50]])  # duplicates included
+    dst = np.concatenate([b, hub_b, b[:50]])
+    names = np.array([f"u{i}" for i in range(60)], dtype=object)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array(names[src], pa.string()),
+                "dst_url": pa.array(names[dst], pa.string()),
+            }
+        )
+    ).repartition(6)
+
+    got = triangle_count_edges(edges)["n_triangles"][0].as_py()
+    want = _brute_triangles(list(zip(src.tolist(), dst.tolist())))
+    assert got == want, (got, want)
+
+
+def test_link_graph_is_triangle_free(ray_session):
+    """The generational crawl link graph is acyclic by construction —
+    its undirected triangle count must be exactly 0 (the headline
+    triangle_count query therefore runs over the similarity graph)."""
+    from crawler_ray.pipelines.crawl_queries import link_graph
+    from crawler_ray.pipelines.graph import triangle_count_edges
+
+    got = triangle_count_edges(link_graph("/root/testdata/sf0.001"))
+    assert got["n_triangles"][0].as_py() == 0
