@@ -146,13 +146,41 @@ def train_test_split(sf_dir: str) -> rd.Dataset:
     )
 
 
+# PPS pivot: a doc with n_chars >= this is always kept
+_PPS_PIVOT_CHARS = 400
+
+
+def weighted_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Probability-proportional-to-size Bernoulli sample of ``documents``:
+    ``P(keep) = min(1, n_chars / 400)`` — long documents always survive,
+    short ones proportionally to length (the curation shape for keeping
+    token mass rather than doc count). Pure integer hash-threshold
+    compare (``h32(doc_id) * 400 < n_chars * 2^32``), so it streams with
+    no shuffle and the DuckDB oracle reproduces it bit-for-bit."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = _h32(ids) * np.uint64(_PPS_PIVOT_CHARS) < n_chars * np.uint64(_M32)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 QUERIES = {
+    "weighted_sample_docs": weighted_sample_docs,
     "hash_sample_docs": hash_sample_docs,
     "stratified_sample_events": stratified_sample_events,
     "train_test_split": train_test_split,
 }
 
 ORACLE_SQL = {
+    "weighted_sample_docs": f"""
+        SELECT doc_id, n_chars
+        FROM documents
+        WHERE (doc_id * {_KNUTH}) % {_M32} * {_PPS_PIVOT_CHARS} < n_chars * {_M32}
+    """,
     "hash_sample_docs": f"""
         SELECT doc_id, source, n_chars
         FROM documents
