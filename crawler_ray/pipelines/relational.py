@@ -1021,7 +1021,44 @@ def distinct_users_by_type(sf_dir: str) -> rd.Dataset:
     )
 
 
+# -------------------------------------------------------------------- pivot
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_daily(sf_dir: str) -> pa.Table:
+    """Pivot: one row per day, one count column per event type (wide
+    format). Per-block (day, type) count partials keep the collect
+    O(blocks × days × types); the pivot itself happens on the driver over
+    the bounded domain. Unknown types are ignored (fixed output schema —
+    a pivot's column set must be declared, same as SQL's FILTER list)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        gb = pa.table(
+            {
+                "window_s": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "event_type": t["event_type"],
+            }
+        ).group_by(["window_s", "event_type"]).aggregate([([], "count_all")])
+        return gb.rename_columns(["window_s", "event_type", "n"])
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    wide = (
+        parts.pivot_table(
+            index="window_s", columns="event_type", values="n", aggfunc="sum", fill_value=0
+        )
+        .reindex(columns=list(_PIVOT_TYPES), fill_value=0)
+        .sort_index()
+        .reset_index()
+    )
+    cols = {"window_s": pa.array(wide.window_s, pa.string())}
+    for ty in _PIVOT_TYPES:
+        cols[f"n_{ty}"] = pa.array(wide[ty].to_numpy(), pa.int64())
+    return pa.table(cols)
+
+
 QUERIES = {
+    "events_pivot_daily": events_pivot_daily,
     "price_quantiles": price_quantiles,
     "distinct_users_by_type": distinct_users_by_type,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1048,6 +1085,15 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_pivot_daily": """
+        SELECT STRFTIME(ts, '%Y-%m-%d') AS window_s,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        FROM events GROUP BY 1
+    """,
     "price_quantiles": """
         WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v FROM lineitem)
         SELECT CAST(25 AS BIGINT) AS q_pct, quantile_disc(v, 0.25) AS value_c FROM v
