@@ -491,6 +491,15 @@ def run_crawl(
         # hundreds of tiny blocks that anti-scaled with core count)
         nxt = deferred.union(children)
         next_path = os.path.join(ckdir, "next_frontier")
+        if timing and os.environ.get("CRAWLER_RAY_SUBTICK") == "1":
+            td = time.time()
+            dm = deferred.materialize()
+            print(f"[crawl-timing] it{it}   deferred mat n={dm.count()} {time.time()-td:6.2f}s", flush=True)
+            td = time.time()
+            cm = children.materialize()
+            print(f"[crawl-timing] it{it}   children mat n={cm.count()} {time.time()-td:6.2f}s", flush=True)
+            td = time.time()
+            nxt = dm.union(cm)
         nxt.write_parquet(next_path)
         n_next = _parquet_rows(next_path)
         t0 = _tick(f"it{it} frontier write n={n_next}", t0)
