@@ -356,19 +356,32 @@ def run_crawl(
         # host-hash partition (every host in exactly one partition — the
         # politeness correctness requirement) rather than by host itself:
         # a real frontier has ~10^6+ hosts and per-host pandas groups are
-        # pure overhead; within a partition admission is one vectorized pass
+        # pure overhead; within a partition admission is one vectorized pass.
+        # Partition count scales with the session's CPUs (admitted sets are
+        # invariant to it — a host never straddles parts): the sort-shuffle
+        # moves #blocks × #parts pieces, and a fixed 64 cost ~2 s/generation
+        # of pure piece scheduling on an 8-core run
         usage: dict[str, int] | None = None
         if track_window and window:
             usage = {}
             for counts in window:
                 for h, n in counts.items():
                     usage[h] = usage.get(h, 0) + n
+        n_parts = int(os.environ.get("CRAWLER_RAY_ADMIT_PARTS", "0")) or max(
+            16, 2 * int(ray.cluster_resources().get("CPU", 8))
+        )
         fr = fr.map_batches(
-            lambda t: t.append_column(
-                "part", pa.array(host_partition_of(t["host"].to_pylist(), 64))
+            lambda t, _np=n_parts: t.append_column(
+                "part", pa.array(host_partition_of(t["host"].to_pylist(), _np))
             ),
             batch_format="pyarrow",
         )
+        # materialize-cut before the sort-based groupby: fused with the
+        # Sort, the streaming executor's sort reservation throttles the
+        # canonicalize/seen map chain to ~1 concurrent task (same effect
+        # measured on the dedup pipelines); the sort is a barrier anyway
+        if os.environ.get("CRAWLER_RAY_ADMIT_CUT", "1") != "0":
+            fr = fr.materialize()
         fr = fr.groupby("part").map_groups(admit_partition_fn(cfg, usage), batch_format="pandas")
         frontier_mat = fr.materialize()
         t0 = _tick(f"it{it} admission", t0)
