@@ -1021,6 +1021,62 @@ def distinct_users_by_type(sf_dir: str) -> rd.Dataset:
     )
 
 
+# ------------------------------------------------------------------- funnel
+def user_funnel(sf_dir: str) -> rd.Dataset:
+    """Conversion funnel per user: stage 1 = viewed, 2 = clicked after the
+    first view, 3 = purchased after that click. Per-block (user, type)
+    first-timestamp/count partials (arrow group_by) shrink the exchange to
+    one row per user-type-block; a coarse hash partition on user_id then
+    computes the stage vectorized (min-of-mins + two comparisons) — the
+    window-function-free formulation of a funnel, which at 100 TB beats
+    sorting every event by (user, ts)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(["view", "click", "purchase"])))
+        gb = t.group_by(["user_id", "event_type"]).aggregate([("ts", "min")])
+        return gb.rename_columns(["user_id", "event_type", "ts_min"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(8)
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def stage_part(df: pd.DataFrame) -> pd.DataFrame:
+        firsts = (
+            df.groupby(["user_id", "event_type"], sort=False)["ts_min"]
+            .min()
+            .unstack("event_type")
+        )
+        v = firsts.get("view")
+        c = firsts.get("click")
+        p = firsts.get("purchase")
+        import pandas as _pd
+
+        nat = _pd.Series(_pd.NaT, index=firsts.index)
+        v = nat if v is None else v
+        c = nat if c is None else c
+        p = nat if p is None else p
+        s1 = v.notna()
+        s2 = s1 & c.notna() & (c >= v)
+        s3 = s2 & p.notna() & (p >= c)
+        return pd.DataFrame(
+            {
+                "user_id": firsts.index.to_numpy(),
+                "stage": (
+                    s1.astype(np.int64) + s2.astype(np.int64) + s3.astype(np.int64)
+                ).to_numpy(),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_size=65536, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(stage_part, batch_format="pandas")
+    )
+
+
 # -------------------------------------------------------------------- pivot
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -1058,6 +1114,7 @@ def events_pivot_daily(sf_dir: str) -> pa.Table:
 
 
 QUERIES = {
+    "user_funnel": user_funnel,
     "events_pivot_daily": events_pivot_daily,
     "price_quantiles": price_quantiles,
     "distinct_users_by_type": distinct_users_by_type,
@@ -1085,6 +1142,23 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "user_funnel": """
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (event_type = 'view') AS v,
+                   MIN(ts) FILTER (event_type = 'click') AS c,
+                   MIN(ts) FILTER (event_type = 'purchase') AS p
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+            GROUP BY user_id)
+        SELECT user_id,
+               CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c >= v THEN 1 ELSE 0 END
+                  + CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c >= v
+                              AND p IS NOT NULL AND p >= c THEN 1 ELSE 0 END
+                 AS BIGINT) AS stage
+        FROM firsts
+    """,
     "events_pivot_daily": """
         SELECT STRFTIME(ts, '%Y-%m-%d') AS window_s,
                CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
