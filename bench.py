@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "purchase_prior_events",
     "price_quantiles",
     "distinct_users_by_type",
+    "user_funnel",
+    "events_pivot_daily",
+    "weighted_sample_docs",
+    "hll_users_by_type",
     "cms_top_tokens",
     "hash_sample_docs",
     "prep_training_corpus",
