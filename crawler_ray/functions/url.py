@@ -55,6 +55,23 @@ def url_hash64(urls: pa.Array | list[str], method: str = "GET") -> pa.Array:
     return pa.array(vals, type=pa.uint64())
 
 
+def url_identity(urls: pa.Array | list[str], method: str = "GET") -> tuple[pa.Array, pa.Array]:
+    """One md5 per url, both identity forms derived from it: (hex key,
+    uint64 shard hash). ``urlseen_key`` + ``url_hash64`` separately would
+    digest every url twice — at 1.5M frontier rows per generation that is
+    the admission stage's single biggest Python cost."""
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        urls = urls.to_pylist()
+    suffix = method.encode()
+    keys: list[str] = []
+    vals = np.empty(len(urls), dtype=np.uint64)
+    for i, u in enumerate(urls):
+        d = hashlib.md5(u.encode() + suffix).digest()
+        keys.append(d.hex())
+        vals[i] = int.from_bytes(d[:8], "big")
+    return pa.array(keys, type=pa.string()), pa.array(vals, type=pa.uint64())
+
+
 def host_of(urls: pa.Array) -> pa.Array:
     """Vectorized host extraction: strip scheme, take up to first '/'.
 

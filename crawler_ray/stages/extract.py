@@ -29,7 +29,7 @@ import json
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from crawler_ray.functions.url import canonicalize, host_of, url_hash64, urlseen_key
+from crawler_ray.functions.url import canonicalize, host_of, url_identity
 from crawler_ray.rules import BUILTIN_TASKS, CompiledRule, TaskSpec, compile_task
 
 FRONTIER_FIELDS = [
@@ -66,8 +66,7 @@ def canonicalize_fn(max_depth: int):
         cols = {name: batch.column(name) for name in batch.column_names}
         cols["url"] = urls
         cols["host"] = host_of(urls)
-        cols["key"] = urlseen_key(urls)
-        cols["h64"] = url_hash64(urls)
+        cols["key"], cols["h64"] = url_identity(urls)
         return pa.table(cols)
 
     return fn
