@@ -372,7 +372,7 @@ def run_crawl(
         )
         fr = fr.map_batches(
             lambda t, _np=n_parts: t.append_column(
-                "part", pa.array(host_partition_of(t["host"].to_pylist(), _np))
+                "part", pa.array(host_partition_of(t["host"], _np))
             ),
             batch_format="pyarrow",
         )

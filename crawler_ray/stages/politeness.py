@@ -246,14 +246,26 @@ def admit_fn(config: PolitenessConfig, window_usage: dict[str, int] | None = Non
 
 def host_partition_of(hosts, nparts: int):
     """Deterministic host → partition id (crc32 — stable across workers,
-    unlike Python's salted hash())."""
+    unlike Python's salted hash()). Hosts repeat heavily within a frontier
+    batch, so hash the dictionary of uniques and gather — O(uniques)
+    digests instead of O(rows)."""
     import zlib
 
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return np.fromiter(
-        (zlib.crc32(h.encode()) % nparts for h in hosts), np.int32, len(hosts)
+    if not isinstance(hosts, (pa.Array, pa.ChunkedArray)):
+        hosts = pa.array(list(hosts), pa.string())
+    enc = pc.dictionary_encode(hosts).combine_chunks()
+    uniq = np.fromiter(
+        (zlib.crc32(h.encode()) % nparts for h in enc.dictionary.to_pylist()),
+        np.int32,
+        len(enc.dictionary),
     )
+    if len(uniq) == 0:
+        return np.empty(0, np.int32)
+    return uniq[enc.indices.to_numpy(zero_copy_only=False)]
 
 
 def admit_partition_fn(config: PolitenessConfig, window_usage: dict[str, int] | None = None):
