@@ -453,9 +453,14 @@ def run_crawl(
         # items sink, per rule (dynamic schema from ItemFields — W2);
         # row counts come from the written Parquet footers, not re-executions
         n_items = 0
+        # materialize the item subset once: with R rules, the per-rule
+        # writes then scan the (much smaller) item set instead of R full
+        # passes over every ex_mat row kind
         items_all = ex_mat.map_batches(
             _keep("kind", "item"), batch_size=65536, batch_format="pyarrow"
         )
+        if len([s for s in task.rules.values() if s.item_fields]) > 1:
+            items_all = items_all.materialize()
         for rule_name, spec in task.rules.items():
             if not spec.item_fields:
                 continue
