@@ -118,7 +118,59 @@ def prep_training_corpus(sf_dir: str) -> rd.Dataset:
     )
 
 
-QUERIES = {"prep_training_corpus": prep_training_corpus}
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 2048) -> rd.Dataset:
+    """Greedy next-fit sequence packing: assign documents (in doc_id order
+    within each block) to fixed-``seq_len`` training sequences, emitting
+    the placement manifest ``(seq_id, doc_id, seq_offset_tok, n_tok)`` a
+    tokenizer-side packer would execute. Whole-doc placement (docs longer
+    than ``seq_len`` are truncated to it, counted in ``n_tok``); bins
+    never cross block boundaries, so packing is embarrassingly parallel —
+    the edge-of-block utilization loss is the price of zero shuffle and is
+    what production packers accept per shard. ``seq_id`` = doc_id of the
+    bin's first document (each doc starts exactly one bin → globally
+    unique without coordination). Rows-only: next-fit is sequential per
+    block, not SQL-expressible; invariants are pinned by pytest."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        order = pc.array_sort_indices(t["doc_id"])
+        t = t.take(order)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = np.minimum(
+            pc.count_substring_regex(t["text"], pattern=r"[A-Za-z0-9]+")
+            .to_numpy()
+            .astype(np.int64),
+            seq_len,
+        )
+        seq_ids = np.empty(len(ids), np.int64)
+        offsets = np.empty(len(ids), np.int64)
+        cur_seq = -1
+        fill = seq_len + 1  # force a new bin on the first doc
+        for i in range(len(ids)):
+            if fill + ntok[i] > seq_len:
+                cur_seq = ids[i]
+                fill = 0
+            seq_ids[i] = cur_seq
+            offsets[i] = fill
+            fill += ntok[i]
+        return pa.table(
+            {
+                "seq_id": pa.array(seq_ids),
+                "doc_id": pa.array(ids),
+                "seq_offset_tok": pa.array(offsets),
+                "n_tok": pa.array(ntok),
+            }
+        )
+
+    return ds.map_batches(pack, batch_format="pyarrow")
+
+
+QUERIES = {"prep_training_corpus": prep_training_corpus, "pack_sequences": pack_sequences}
 
 ORACLE_SQL = {
     "prep_training_corpus": r"""

@@ -626,7 +626,43 @@ def doc_embeddings(sf_dir: str) -> rd.Dataset:
     )
 
 
+def source_mixture(sf_dir: str) -> pa.Table:
+    """Per-source mixture statistics for corpus weighting: doc count,
+    token sum, and each source's token share in ppm (integer, so the
+    oracle hashes identically). Per-block (source, n_docs, n_tokens)
+    combiners shrink the collect to blocks × |sources|; the share needs
+    the global total, so the final reduce is driver-side over the bounded
+    source domain — the numbers a mixture-sampling config is written
+    from."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=r"[A-Za-z0-9]+"), pa.int64()
+        )
+        gb = pa.table({"source": t["source"], "n_tokens": ntok}).group_by("source").aggregate(
+            [("n_tokens", "sum"), ("n_tokens", "count")]
+        )
+        return gb.rename_columns(["source", "n_tokens", "n_docs"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")
+    )
+    total = int(agg.n_tokens.sum())
+    ppm = (agg.n_tokens.to_numpy() * 1_000_000) // max(total, 1)
+    return pa.table(
+        {
+            "source": pa.array(agg.source, pa.string()),
+            "n_docs": pa.array(agg.n_docs.to_numpy(), pa.int64()),
+            "n_tokens": pa.array(agg.n_tokens.to_numpy(), pa.int64()),
+            "token_ppm": pa.array(ppm.astype(np.int64)),
+        }
+    )
+
+
 QUERIES = {
+    "source_mixture": source_mixture,
     "token_stats": token_stats,
     "quality_score": quality_score,
     "lang_id": lang_id,
@@ -642,6 +678,18 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "source_mixture": """
+        WITH s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source)
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens * 1000000 // GREATEST(SUM(n_tokens) OVER (), 1) AS BIGINT)
+                   AS token_ppm
+        FROM s
+    """,
     "repetition_signals": """
         WITH t AS (
             SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS toks

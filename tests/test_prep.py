@@ -41,3 +41,32 @@ def test_prep_equals_composed_standalone_ops(ray_session):
 
     # sanity: the chain actually filters something at this sf
     assert 0 < len(got) < len(lang)
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Packing manifest: every doc placed exactly once, offsets contiguous
+    within a sequence, no sequence over seq_len, next-fit density (any two
+    consecutive bins in a block together exceed seq_len)."""
+    import pandas as pd
+
+    from crawler_ray.pipelines.prep import pack_sequences
+
+    L = 256
+    m = pack_sequences("/root/testdata/sf0.001", seq_len=L).to_pandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id"])
+    assert sorted(m.doc_id) == sorted(docs.doc_id)
+    assert m.doc_id.is_unique
+
+    for seq_id, g in m.groupby("seq_id"):
+        g = g.sort_values("seq_offset_tok")
+        assert g.seq_offset_tok.iloc[0] == 0
+        assert (g.seq_offset_tok.to_numpy()[1:]
+                == (g.seq_offset_tok + g.n_tok).to_numpy()[:-1]).all()
+        assert int((g.n_tok).sum()) <= L
+        assert seq_id == g.doc_id.iloc[0]
+
+    # determinism across runs
+    m2 = pack_sequences("/root/testdata/sf0.001", seq_len=L).to_pandas()
+    a = m.sort_values(["doc_id"]).reset_index(drop=True)
+    b = m2.sort_values(["doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
