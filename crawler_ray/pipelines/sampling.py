@@ -168,7 +168,57 @@ def weighted_sample_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# per-source balanced subset size
+_PER_SOURCE_K = 10
+
+
+def balanced_sample_docs(sf_dir: str) -> pa.Table:
+    """Deterministic K-docs-per-source balanced subset: within each source
+    keep the K docs with the smallest ``(h32(doc_id), doc_id)`` — a
+    reproducible "uniform draw" per stratum with no RNG. Block-local
+    per-source top-K partials bound the exchange at blocks × |sources| × K
+    rows; the final reduce merges on the driver over the bounded source
+    domain. The SQL twin is QUALIFY ROW_NUMBER() per source over the same
+    integer hash order."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = _h32(ids)
+        src = t["source"].to_pandas().to_numpy(dtype=object)
+        import pandas as pd
+
+        df = pd.DataFrame({"doc_id": ids, "source": src, "h": h})
+        df = df.sort_values(["source", "h", "doc_id"]).groupby("source", sort=False).head(
+            _PER_SOURCE_K
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df.doc_id.to_numpy(), pa.int64()),
+                "source": pa.array(df.source, pa.string()),
+                "h": pa.array(df.h.to_numpy(), pa.uint64()),
+            }
+        )
+
+    import pandas as pd
+
+    parts = ds.map_batches(partial, batch_size=65536, batch_format="pyarrow").to_pandas()
+    keep = (
+        parts.sort_values(["source", "h", "doc_id"])
+        .groupby("source", sort=False)
+        .head(_PER_SOURCE_K)
+        .sort_values(["source", "doc_id"])
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(keep.doc_id.to_numpy(), pa.int64()),
+            "source": pa.array(keep.source, pa.string()),
+        }
+    )
+
+
 QUERIES = {
+    "balanced_sample_docs": balanced_sample_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "hash_sample_docs": hash_sample_docs,
     "stratified_sample_events": stratified_sample_events,
@@ -176,6 +226,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "balanced_sample_docs": f"""
+        SELECT doc_id, source FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY (doc_id * {_KNUTH}) % {_M32}, doc_id) <= {_PER_SOURCE_K}
+    """,
     "weighted_sample_docs": f"""
         SELECT doc_id, n_chars
         FROM documents
