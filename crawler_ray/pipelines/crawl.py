@@ -228,6 +228,8 @@ def run_crawl(
     extract_concurrency: int | tuple = (1, 4),
     batch_size: int = 4096,
     resume: bool = False,
+    fetcher_factory=None,
+    fetcher_key: str = "simulated",
 ) -> CrawlResult:
     import dataclasses
 
@@ -298,10 +300,12 @@ def run_crawl(
     if track_window:
         for i in range(max(0, start_iter - cfg.sustained_window + 1), start_iter):
             window.append(_iter_host_counts(os.path.join(out_dir, f"iter_{i:04d}")))
-    # idempotent: covers corpora generated before the index existed
-    from crawler_ray.stages.fetch import build_fetch_index
+    if fetcher_factory is None:
+        # idempotent: covers corpora generated before the index existed
+        # (a live Fetcher needs no probe index — it may have no pages dir)
+        from crawler_ray.stages.fetch import build_fetch_index
 
-    build_fetch_index(corpus.pages)
+        build_fetch_index(corpus.pages)
     stats: list[dict] = []
     result = CrawlResult(out_dir=out_dir, iterations=start_iter)
 
@@ -420,7 +424,8 @@ def run_crawl(
         # object store — only derived rows (order/failed/frontier/item/text)
         # are materialized.
         ex_mat = admitted.map_batches(
-            make_fetch_extract_fn(corpus.pages, task, cfg.max_attempts),
+            make_fetch_extract_fn(corpus.pages, task, cfg.max_attempts,
+                                  fetcher_factory, fetcher_key),
             batch_size=batch_size,
             batch_format="pyarrow",
         ).materialize()

@@ -121,16 +121,21 @@ def link_graph(sf_dir: str) -> rd.Dataset:
         Extractor, fn_constructor_args=(SYNTH_TASK,), concurrency=(1, 8), batch_format="pyarrow"
     )
     def edges_fn(t: pa.Table) -> pa.Table:
-        # text rows hold src url + newline-joined extracted link targets
+        # text rows hold src url + newline-joined extracted link targets;
+        # vectorized explode: split_pattern → list lengths → repeat/flatten
+        # (this feeds pagerank/triangle/components — the graph-suite hot path)
+        import numpy as np
+
         f = t.filter(
             pc.and_(pc.equal(t["kind"], "text"), pc.is_in(t["rule"], value_set=pa.array(["tag", "list"])))
         )
-        src, dst = [], []
-        for u, payload in zip(f["url"].to_pylist(), f["payload"].to_pylist()):
-            for link in payload.split("\n") if payload else []:
-                src.append(u)
-                dst.append(link)
-        return pa.table({"src_url": pa.array(src, pa.string()), "dst_url": pa.array(dst, pa.string())})
+        parts = pc.split_pattern(pc.fill_null(f["payload"], "").combine_chunks(), "\n")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        src = f["url"].combine_chunks().take(pa.array(np.repeat(np.arange(len(parts)), lens)))
+        dst = pc.list_flatten(parts)
+        tbl = pa.table({"src_url": src, "dst_url": dst})
+        # an empty payload splits to [""] — drop those placeholder edges
+        return tbl.filter(pc.not_equal(tbl["dst_url"], ""))
 
     return ex.map_batches(edges_fn, batch_format="pyarrow")
 

@@ -51,11 +51,13 @@ def dedup_exact(sf_dir: str) -> rd.Dataset:
         fps = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(fps, pa.string())})
 
-    # Materialize before the groupby: the sort-based groupby is an
-    # all-to-all barrier anyway, and Ray's streaming executor reserves CPU
-    # for the downstream Sort, throttling a fused upstream map to ~1
-    # concurrent task (measured 31 s fused vs 5 s split at 8 cpus, 240k docs).
-    ds = docs.map_batches(fp, batch_format="pyarrow").materialize()
+    # Adaptive materialize-cut before the sort-based groupby (see
+    # common.shuffle_cut: the Sort's resource reservation throttles the
+    # fused fingerprint map at small CPU budgets; at large budgets the
+    # unconditional cut was itself a 2× bench regression).
+    from crawler_ray.pipelines.common import shuffle_cut
+
+    ds = shuffle_cut(docs.map_batches(fp, batch_format="pyarrow"))
     agg = ds.groupby("fingerprint").aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count")
     )
@@ -110,11 +112,12 @@ def dedup_keep_best(sf_dir: str) -> rd.Dataset:
             }
         )
 
+    from crawler_ray.pipelines.common import shuffle_cut
+
     agg = (
-        # materialize: keep the fingerprint map un-throttled by the Sort's
-        # resource reservation (see dedup_exact)
-        docs.map_batches(fp, batch_format="pyarrow")
-        .materialize()
+        # adaptive cut: keep the fingerprint map un-throttled by the Sort's
+        # resource reservation at small CPU budgets (see dedup_exact)
+        shuffle_cut(docs.map_batches(fp, batch_format="pyarrow"))
         .groupby("fingerprint")
         .aggregate(Max("best_key", alias_name="best_key"), Count(alias_name="dup_count"))
     )

@@ -549,15 +549,19 @@ def user_rolling_hour(sf_dir: str, nparts: int = 32) -> rd.Dataset:
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = g["event_id"].to_numpy()
         val = g["value"].to_numpy()
+        # accumulate in integer cents (round each value first, half away
+        # from zero to match DuckDB ROUND): a float cumsum difference can
+        # drift across long high-magnitude runs and flip the cent rounding
+        val_c = np.copysign(np.floor(np.abs(val * 100.0) + 0.5), val).astype(np.int64)
         out = np.empty(len(g), np.int64)
         starts = np.r_[0, np.nonzero(users[1:] != users[:-1])[0] + 1]
         ends = np.r_[starts[1:], len(users)]
         for s, e in zip(starts, ends):
             t_run = ts[s:e]
-            pre = np.r_[0.0, np.cumsum(val[s:e])]
+            pre = np.r_[0, np.cumsum(val_c[s:e])]
             lo = np.searchsorted(t_run, t_run - HOUR_US, side="left")
             hi = np.searchsorted(t_run, t_run, side="right")  # include ts peers
-            out[s:e] = np.round((pre[hi] - pre[lo]) * 100).astype(np.int64)
+            out[s:e] = pre[hi] - pre[lo]
         return pd.DataFrame({"event_id": eid, "roll_c": out})
 
     return ds.groupby("part").map_groups(roll, batch_format="pandas")
@@ -1203,9 +1207,9 @@ ORACLE_SQL = {
     """,
     "user_rolling_hour": """
         SELECT event_id,
-               CAST(ROUND(SUM(value) OVER (
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts
-                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) * 100)
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
                AS BIGINT) AS roll_c
         FROM events
     """,

@@ -84,9 +84,12 @@ def stratified_sample_events(sf_dir: str) -> rd.Dataset:
             ],
             dtype=np.uint64,
         )
-        thresholds = rates[enc.indices.to_numpy(zero_copy_only=False)] * np.uint64(
-            _M32 // 100
+        # rate 100 means keep-all: 100 * (2^32 // 100) = 4294967200 < 2^32
+        # would drop hashes in the top [2^32-96, 2^32) sliver (~2.2e-8)
+        per_type = np.where(
+            rates == 100, np.uint64(_M32), rates * np.uint64(_M32 // 100)
         )
+        thresholds = per_type[enc.indices.to_numpy(zero_copy_only=False)]
         kept = t.filter(pa.array(_h32(ids) < thresholds))
         # doubles don't hash stably across engines — cents convention
         return pa.table(
@@ -246,10 +249,12 @@ ORACLE_SQL = {
         SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS value_c
         FROM events
         WHERE (event_id * {_KNUTH}) % {_M32} <
-              CAST(CASE event_type
-                   WHEN 'click' THEN 50 WHEN 'view' THEN 10
-                   WHEN 'error' THEN 5 WHEN 'signup' THEN 20
-                   WHEN 'purchase' THEN 100 ELSE 10 END AS BIGINT) * {_M32 // 100}
+              CASE event_type
+                   WHEN 'purchase' THEN {_M32}  -- rate 100: keep-all, exactly
+                   ELSE CAST(CASE event_type
+                        WHEN 'click' THEN 50 WHEN 'view' THEN 10
+                        WHEN 'error' THEN 5 WHEN 'signup' THEN 20
+                        ELSE 10 END AS BIGINT) * {_M32 // 100} END
     """,
     "train_test_split": f"""
         SELECT CASE WHEN b < {_TRAIN_END} THEN 'train'

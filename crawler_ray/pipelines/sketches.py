@@ -15,7 +15,6 @@ at test scale is pinned by pytest against exact counts.
 
 from __future__ import annotations
 
-import hashlib
 import re
 from collections import Counter
 
@@ -30,14 +29,20 @@ CMS_WIDTH = 2048
 _CAND_PER_BATCH = 64  # local heavy-hitter candidates kept per batch
 
 
-def _cms_indices(tokens: list[str]) -> np.ndarray:
-    """d row-indices per token: the md5 digest sliced into d independent
-    4-byte lanes, each mod w — deterministic across processes."""
-    out = np.empty((len(tokens), CMS_DEPTH), dtype=np.int64)
-    for i, tok in enumerate(tokens):
-        d = hashlib.md5(tok.encode()).digest()
-        for j in range(CMS_DEPTH):
-            out[i, j] = int.from_bytes(d[4 * j : 4 * j + 4], "big") % CMS_WIDTH
+def _cms_indices(tokens: list[str] | np.ndarray) -> np.ndarray:
+    """d row-indices per token, fully vectorized: one SipHash pass over the
+    token array (``pd.util.hash_array`` — deterministic across processes),
+    then d independent lanes via salted SplitMix64 finalizers, each mod w.
+    No per-token Python hashing (the md5-per-token loop was the partial's
+    hot spot)."""
+    import pandas as pd
+
+    arr = np.asarray(tokens, dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    out = np.empty((len(arr), CMS_DEPTH), dtype=np.int64)
+    for j in range(CMS_DEPTH):
+        lane = _splitmix64(h + np.uint64(j) * np.uint64(0x9E3779B97F4A7C15))
+        out[:, j] = (lane % np.uint64(CMS_WIDTH)).astype(np.int64)
     return out
 
 
@@ -136,18 +141,27 @@ def hll_users_by_type(sf_dir: str, p: int = 12) -> rd.Dataset:
     where a driver-side merge could not hold blocks×keys blobs.
     Rows-only: pytest pins the estimate against the exact count
     (stderr ≈ 1.04/sqrt(2^p) ≈ 1.6% at p=12)."""
-    from crawler_ray.pipelines.text import _hll_estimate, _hll_partial
+    import pandas as pd
+
+    from crawler_ray.pipelines.text import _hll_partial
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    nparts = 32  # coarse partitions: the exchange is O(keys) blobs either way,
+    # but task count stays 32, not one pandas group per key (~100 µs/group
+    # overhead would dominate at 10^5+ keys — per-host distinct URLs scale)
 
     def partial(t: pa.Table) -> pa.Table:
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         et = np.asarray(t["event_type"].to_pylist(), dtype=object)
         uniq, inv = np.unique(et, return_inverse=True)
         h = _splitmix64(uid)
+        part = (pd.util.hash_array(uniq, categorize=False) % np.uint64(nparts)).astype(
+            np.int64
+        )
         return pa.table(
             {
                 "event_type": pa.array(list(uniq), pa.string()),
+                "part": pa.array(part),
                 "regs": pa.array(
                     [_hll_partial(h[inv == i], p).tobytes() for i in range(len(uniq))],
                     pa.binary(),
@@ -155,23 +169,32 @@ def hll_users_by_type(sf_dir: str, p: int = 12) -> rd.Dataset:
             }
         )
 
-    import pandas as pd
+    m = 1 << p
 
-    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
-        regs = np.zeros(1 << p, np.uint8)
-        for blob in df["regs"]:
-            regs = np.maximum(regs, np.frombuffer(blob, np.uint8))
+    def merge_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        # vectorized within the partition: sort by key, max-reduce register
+        # matrices at run boundaries, estimate all keys in one numpy pass
+        df = df.sort_values("event_type", kind="stable")
+        keys = df["event_type"].to_numpy()
+        mat = np.frombuffer(b"".join(df["regs"]), np.uint8).reshape(len(df), m)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.exp2(-merged.astype(np.float64)).sum(axis=1)
+        zeros = (merged == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)  # linear-counting correction
+        est[small] = m * np.log(m / zeros[small])
         return pd.DataFrame(
             {
-                "event_type": [df["event_type"].iloc[0]],
-                "n_users_est": [int(round(_hll_estimate(regs)))],
+                "event_type": keys[starts],
+                "n_users_est": np.rint(est).astype(np.int64),
             }
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .map_groups(merge, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
     )
 
 

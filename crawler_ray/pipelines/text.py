@@ -298,25 +298,46 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
     design hash-joined tf against DF and re-shuffled by doc partition —
     two corpus-sized all-to-alls this removes. If the vocabulary ever
     outgrew broadcast size, the fallback is that hash join (df is the only
-    global state; the top-N never needed a shuffle)."""
+    global state; the top-N never needed a shuffle).
+
+    Doc-contiguity guarantee: ``doc_tf`` *yields* doc-aligned sub-tables of
+    ~64k rows. Ray's block builder emits blocks at yielded-batch boundaries
+    and only slices a block mid-batch when one batch alone exceeds half of
+    ``target_max_block_size`` (BlockOutputBuffer, MAX_SAFE_BLOCK_SIZE_FACTOR
+    = 1.5) — a few-MB yield never does, so no block boundary can fall inside
+    a document's postings at any corpus size, not just when a map task's
+    whole output happens to fit one block."""
     import pandas as pd
 
-    def doc_tf(t: pa.Table) -> pa.Table:
+    def doc_tf(t: pa.Table):
         from collections import Counter
 
-        ids, toks, tfs = [], [], []
+        chunk_rows = 65536
+        ids: list[int] = []
+        toks: list[str] = []
+        tfs: list[int] = []
         for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             c = Counter(_TOKEN_RE.findall(s.lower()))
             ids.extend([i] * len(c))
             toks.extend(c.keys())
             tfs.extend(c.values())
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "token": pa.array(toks, pa.string()),
-                "tf": pa.array(tfs, pa.int64()),
-            }
-        )
+            if len(ids) >= chunk_rows:  # cut only at a doc boundary
+                yield pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "token": pa.array(toks, pa.string()),
+                        "tf": pa.array(tfs, pa.int64()),
+                    }
+                )
+                ids, toks, tfs = [], [], []
+        if ids:
+            yield pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "token": pa.array(toks, pa.string()),
+                    "tf": pa.array(tfs, pa.int64()),
+                }
+            )
 
     # materialize: tf is consumed TWICE (the DF aggregate and the join) —
     # without the cut the tokenize map re-executes per consumer, and fused

@@ -295,11 +295,15 @@ class FetchExtract:
     - ``item`` / ``text``: the extract outputs (ok rows)
     """
 
-    def __init__(self, pages_dir: str, task: TaskSpec, max_attempts: int = 2):
+    def __init__(self, pages_dir: str, task: TaskSpec, max_attempts: int = 2,
+                 fetcher_factory=None):
         from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES
         from crawler_ray.stages.fetch import SimulatedFetcher
 
-        self.fetcher = SimulatedFetcher(pages_dir)
+        # fetcher_factory: the Fetcher extension seam (fetch.py protocol) —
+        # e.g. lambda: HttpFetcher(session) for a live crawl; default is the
+        # Parquet probe (the primary path per BASELINE.json input_hint)
+        self.fetcher = fetcher_factory() if fetcher_factory else SimulatedFetcher(pages_dir)
         self.extractor = Extractor(task)
         self.ban = BAN_STRING
         self.min_bytes = MIN_BODY_BYTES
@@ -313,9 +317,12 @@ class FetchExtract:
         # vectorized outcome classification (engine/crawler.go:95-120)
         missing = pc.is_null(html)
         filled = pc.fill_null(html, b"")
+        # binary-direct match (UTF-8 bytes of the ban string): a cast to
+        # pa.string() raises ArrowInvalid on any non-UTF-8 body, and a live
+        # fetcher's transcode can legitimately fall back to raw bytes
         banned = pc.and_(
             pc.invert(missing),
-            pc.match_substring(pc.cast(filled, pa.string()), self.ban),
+            pc.match_substring(filled, self.ban),
         )
         short = pc.and_(
             pc.invert(pc.or_(missing, banned)),
@@ -359,17 +366,21 @@ class FetchExtract:
         return pa.concat_tables(parts)
 
 
-_FETCH_EXTRACT_CACHE: dict[tuple[str, str, int], FetchExtract] = {}
+_FETCH_EXTRACT_CACHE: dict[tuple[str, str, int, str], FetchExtract] = {}
 
 
-def make_fetch_extract_fn(pages_dir: str, task: TaskSpec, max_attempts: int = 2):
-    """Per-worker-process cached FetchExtract task fn."""
+def make_fetch_extract_fn(pages_dir: str, task: TaskSpec, max_attempts: int = 2,
+                          fetcher_factory=None, fetcher_key: str = "simulated"):
+    """Per-worker-process cached FetchExtract task fn. ``fetcher_key`` names
+    the fetcher variant in the worker cache (factories don't hash stably)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        key = (pages_dir, task.name, max_attempts)
+        key = (pages_dir, task.name, max_attempts, fetcher_key)
         fe = _FETCH_EXTRACT_CACHE.get(key)
         if fe is None:
-            fe = _FETCH_EXTRACT_CACHE[key] = FetchExtract(pages_dir, task, max_attempts)
+            fe = _FETCH_EXTRACT_CACHE[key] = FetchExtract(
+                pages_dir, task, max_attempts, fetcher_factory
+            )
         return fe(batch)
 
     return fn

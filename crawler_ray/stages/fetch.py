@@ -119,58 +119,170 @@ class SimulatedFetcher:
             raise ValueError(f"pages layout under {pages_dir} is not url-sorted")
         self.url_index = all_urls
         self.files: dict[str, pq.ParquetFile] = {}
-        self.lru: OrderedDict[tuple[str, int], dict[str, tuple[bytes, int]]] = OrderedDict()
+        self.lru: OrderedDict[int, tuple[pa.Array, pa.Array]] = OrderedDict()
         self.lru_groups = lru_groups
 
-    def _group_lookup(self, path: str, rg: int) -> dict[str, tuple[bytes, int]]:
-        lru_key = (path, rg)
-        hit = self.lru.get(lru_key)
+    def _group_arrays(self, g: int) -> tuple[pa.Array, pa.Array]:
+        """(html, warc_ts-as-int64) Arrow arrays for global row-group ``g``.
+        No url column read, no Python objects: the global index slice IS the
+        group's url order, so callers address rows by position directly."""
+        hit = self.lru.get(g)
         if hit is not None:
-            self.lru.move_to_end(lru_key)
+            self.lru.move_to_end(g)
             return hit
+        path, rg = self.groups[g]
         pf = self.files.get(path)
         if pf is None:
             pf = self.files[path] = pq.ParquetFile(path)
-        tbl = pf.read_row_group(rg, columns=["url", "html", "warc_ts"])
-        lookup = dict(
-            zip(
-                tbl.column("url").to_pylist(),
-                zip(
-                    tbl.column("html").to_pylist(),
-                    tbl.column("warc_ts").cast(pa.int64()).to_pylist(),
-                ),
-            )
+        tbl = pf.read_row_group(rg, columns=["html", "warc_ts"])
+        arrays = (
+            tbl.column("html").combine_chunks(),
+            tbl.column("warc_ts").cast(pa.int64()).combine_chunks(),
         )
-        self.lru[lru_key] = lookup
+        self.lru[g] = arrays
         while len(self.lru) > self.lru_groups:
             self.lru.popitem(last=False)
-        return lookup
+        return arrays
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        urls = batch.column("url").to_pylist()
-        htmls: list[bytes | None] = [None] * len(urls)
-        tss: list[int | None] = [None] * len(urls)
-        # vectorized membership probe: misses never touch row groups.
-        # Probe urls longer than the index width truncate silently — a
-        # truncated prefix can only false-positive into one group read,
-        # where the exact .get() still reports the miss.
+        n = batch.num_rows
+        # vectorized membership probe: misses never touch row groups. The
+        # global searchsorted position is the exact corpus row of a hit (the
+        # layout is globally url-sorted), so pos - group_start addresses the
+        # group's html/ts arrays directly — no per-row Python anywhere.
         width = self.url_index.dtype.itemsize
-        probe = np.array([u.encode("utf-8")[:width] for u in urls], dtype=f"S{width}")
+        url_bin = pc.cast(batch.column("url").combine_chunks(), pa.binary())
+        url_np = url_bin.to_numpy(zero_copy_only=False)
+        probe = url_np.astype(f"S{width}")  # > width truncates; rejected below
+        lens = pc.binary_length(url_bin).to_numpy()
         pos = np.searchsorted(self.url_index, probe)
         pos_c = np.minimum(pos, len(self.url_index) - 1)
-        exists = self.url_index[pos_c] == probe
-        # row position → row group, vectorized
-        gpos = np.searchsorted(self.offsets, pos_c, side="right")
-        for i in np.flatnonzero(exists):
-            path, rg = self.groups[int(gpos[i])]
-            entry = self._group_lookup(path, rg).get(urls[i])
-            if entry is not None:
-                htmls[i], tss[i] = entry
-        return batch.append_column(
-            "html", pa.array(htmls, type=pa.binary())
-        ).append_column("warc_ts", pa.array(tss, type=pa.int64()).cast(pa.timestamp("us")))
+        # lens <= width ⇒ probe is exact (NUL-padded), so equality is exact
+        # membership; a longer url can never be in a width-wide index.
+        exists = (self.url_index[pos_c] == probe) & (lens <= width)
+        hit_idx = np.flatnonzero(exists)
+        if hit_idx.size == 0:
+            return batch.append_column(
+                "html", pa.nulls(n, pa.binary())
+            ).append_column("warc_ts", pa.nulls(n, pa.timestamp("us")))
+        # group hits by row group; one Arrow take per touched group
+        gpos = np.searchsorted(self.offsets, pos_c[hit_idx], side="right")
+        order = np.argsort(gpos, kind="stable")
+        hit_sorted = hit_idx[order]
+        g_sorted = gpos[order]
+        bounds = np.flatnonzero(np.r_[True, g_sorted[1:] != g_sorted[:-1]])
+        sel = np.full(n, -1, dtype=np.int64)
+        html_parts: list[pa.Array] = []
+        ts_parts: list[pa.Array] = []
+        base = 0
+        for bi, lo in enumerate(bounds):
+            hi = bounds[bi + 1] if bi + 1 < len(bounds) else len(g_sorted)
+            g = int(g_sorted[lo])
+            rows = hit_sorted[lo:hi]
+            g_start = int(self.offsets[g - 1]) if g > 0 else 0
+            local = pa.array(pos_c[rows] - g_start)
+            html_g, ts_g = self._group_arrays(g)
+            html_parts.append(html_g.take(local))
+            ts_parts.append(ts_g.take(local))
+            sel[rows] = base + np.arange(rows.size)
+            base += rows.size
+        # scatter hits back into batch order; null index → null output
+        idx = pa.array(np.maximum(sel, 0), mask=sel < 0)
+        htmls = pc.take(pa.concat_arrays(html_parts), idx)
+        tss = pc.take(pa.concat_arrays(ts_parts), idx)
+        return batch.append_column("html", htmls).append_column(
+            "warc_ts", tss.cast(pa.timestamp("us"))
+        )
+
+
+class HttpFetcher:
+    """Live-HTTP ``Fetcher`` — the reference's ``BrowserFetch`` semantics
+    (``collect/collect.go:56-91``): per-request timeout, optional proxy,
+    per-task ``Cookie`` header, seeded random User-Agent, status check
+    (non-200 → fetch failure), charset sniff + transcode to UTF-8.
+
+    A stateful batch stage: openers and the thread pool are built once per
+    actor (``__init__``); per batch the urls fetch concurrently (network
+    I/O — threads, not CPU), and bodies land as UTF-8 bytes so every
+    downstream stage (ban match, extract) sees exactly what the simulated
+    Parquet probe serves. ``warc_ts`` is the response's ``Last-Modified``
+    (falling back to ``Date``) header — the live analogue of the WARC
+    capture timestamp — or null when absent/unparseable.
+
+    ``url_rewrite`` maps the logical url to a transport url (local test
+    server, mirror, cache); headers and outcome semantics always follow the
+    LOGICAL url, so rewritten fetches stay byte-identical to direct ones.
+    Proxies rotate round-robin by batch row index (deterministic twin of
+    the reference's atomic counter, ``proxy/proxy.go:12-42``).
+    """
+
+    def __init__(
+        self,
+        session=None,
+        *,
+        url_rewrite=None,
+        max_parallel: int = 16,
+    ):
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        from crawler_ray.functions.web import FetchSession
+
+        self.session = session or FetchSession()
+        self.url_rewrite = url_rewrite
+        if self.session.proxies:
+            self.openers = [
+                urllib.request.build_opener(
+                    urllib.request.ProxyHandler({"http": p, "https": p})
+                )
+                for p in self.session.proxies
+            ]
+        else:
+            self.openers = [urllib.request.build_opener()]
+        self.pool = ThreadPoolExecutor(max_workers=max_parallel)
+
+    def _fetch_one(self, url: str, row_index: int) -> tuple[bytes | None, int | None]:
+        import urllib.error
+        import urllib.request
+        from email.utils import parsedate_to_datetime
+
+        from crawler_ray.functions.web import transcode_utf8, user_agent_for
+
+        headers = {}
+        if self.session.random_ua:
+            headers["User-Agent"] = user_agent_for(url, self.session.ua_seed)
+        if self.session.cookie:
+            headers["Cookie"] = self.session.cookie
+        target = self.url_rewrite(url) if self.url_rewrite else url
+        opener = self.openers[row_index % len(self.openers)]
+        try:
+            req = urllib.request.Request(target, headers=headers)
+            with opener.open(req, timeout=self.session.timeout_s) as resp:
+                if resp.status != 200:  # collect.go:44-47 / 82-85
+                    return None, None
+                raw = resp.read()
+                stamp = resp.headers.get("Last-Modified") or resp.headers.get("Date")
+        except (urllib.error.URLError, OSError, TimeoutError):
+            return None, None
+        ts: int | None = None
+        if stamp:
+            try:
+                ts = int(parsedate_to_datetime(stamp).timestamp() * 1_000_000)
+            except (ValueError, TypeError):
+                ts = None
+        # F3: sniff + transcode, so downstream always sees UTF-8 bytes
+        return transcode_utf8(raw).encode("utf-8"), ts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        results = list(self.pool.map(self._fetch_one, urls, range(len(urls))))
+        htmls = pa.array([h for h, _ in results], type=pa.binary())
+        tss = pa.array([t for _, t in results], type=pa.int64())
+        return batch.append_column("html", htmls).append_column(
+            "warc_ts", tss.cast(pa.timestamp("us"))
+        )
 
 
 def build_fetch_index(pages_dir: str) -> None:
@@ -224,9 +336,12 @@ def split_fetch_outcome(batch: pa.Table) -> pa.Table:
 
     html = batch.column("html")
     missing = pc.is_null(html)
-    html_str = pc.cast(pc.fill_null(html, b""), pa.string())
-    banned = pc.match_substring(html_str, BAN_STRING)
-    short = pc.less(pc.binary_length(pc.fill_null(html, b"")), MIN_BODY_BYTES)
+    filled = pc.fill_null(html, b"")
+    # match on the binary column directly (compares the UTF-8 bytes of the
+    # ban string) — a cast to pa.string() would raise on non-UTF-8 bodies
+    # from a live fetcher whose transcode fell back to raw bytes
+    banned = pc.match_substring(filled, BAN_STRING)
+    short = pc.less(pc.binary_length(filled), MIN_BODY_BYTES)
     outcome = pc.if_else(
         missing,
         pa.scalar("missing"),

@@ -45,12 +45,12 @@ class SeenShard:
             self.filter = BloomFilter(capacity)
             self.failed_exact = SortedKeySet()  # bloom cannot delete
         self.exact: SortedKeySet | None = SortedKeySet() if exact else None
-        # per-generation delta log for incremental checkpoints; within one
-        # generation adds strictly precede removes for any key (mark-before-
-        # fetch happens in the fetch stage, unmark-on-failure after), so the
-        # net delta is (added - removed, removed - added)
-        self._d_added: list[np.ndarray] = []
-        self._d_removed: list[np.ndarray] = []
+        # per-generation delta log for incremental checkpoints: a
+        # chronological event log (keys, is_add), netted order-aware in
+        # dump_delta — a plain set-subtraction delta silently loses a key
+        # that is marked, unmarked and re-marked within one generation
+        # (ADVICE r2), even though today's driver never produces that order
+        self._d_events: list[tuple[np.ndarray, bool]] = []
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
         """Membership probe WITHOUT insert (cross-iteration pre-filter)."""
@@ -98,7 +98,7 @@ class SeenShard:
                 "cuckoo seen-shard full (capacity exceeded even with stash); "
                 "raise seen_capacity or num_seen_shards"
             )
-        self._d_added.append(new)
+        self._d_events.append((new, True))
         return out
 
     def remove(self, keys: np.ndarray) -> None:
@@ -113,7 +113,7 @@ class SeenShard:
                 self.filter.remove(int(k))
         else:
             self.failed_exact.add(keys[~self.failed_exact.contains(keys)])
-        self._d_removed.append(keys)
+        self._d_events.append((keys, False))
 
     def count(self) -> int:
         if self.exact is not None:
@@ -135,19 +135,36 @@ class SeenShard:
         if clear_delta:
             # a full dump subsumes pending deltas; clearing keeps the next
             # delta relative to THIS checkpoint
-            self._d_added.clear()
-            self._d_removed.clear()
+            self._d_events.clear()
         return state
 
     def dump_delta(self) -> dict:
-        """Net change since the previous dump/dump_delta, then reset."""
-        added = np.concatenate(self._d_added) if self._d_added else np.empty(0, np.uint64)
-        removed = np.concatenate(self._d_removed) if self._d_removed else np.empty(0, np.uint64)
-        self._d_added.clear()
-        self._d_removed.clear()
+        """Net change since the previous dump/dump_delta, then reset.
+
+        Order-aware netting: adds only ever log base-absent keys
+        (check_and_add inserts new keys only) and removes only base-present
+        ones, so per key the FIRST event tells whether it was in the base
+        and the LAST whether it is in the final state:
+
+        - first=add,    last=add    → net added   (incl. add→remove→re-add)
+        - first=add,    last=remove → no change   (never in the base)
+        - first=remove, last=remove → net removed
+        - first=remove, last=add    → no change   (back to base membership)
+        """
+        if not self._d_events:
+            return {"added": np.empty(0, np.uint64), "removed": np.empty(0, np.uint64)}
+        keys = np.concatenate([k for k, _ in self._d_events])
+        sign = np.concatenate(
+            [np.full(len(k), is_add, dtype=bool) for k, is_add in self._d_events]
+        )
+        self._d_events.clear()
+        uniq, first_idx = np.unique(keys, return_index=True)
+        first_sign = sign[first_idx]
+        _, rev_idx = np.unique(keys[::-1], return_index=True)  # same uniq order
+        last_sign = sign[::-1][rev_idx]
         return {
-            "added": np.setdiff1d(added, removed),
-            "removed": np.setdiff1d(removed, added),
+            "added": uniq[first_sign & last_sign],
+            "removed": uniq[~first_sign & ~last_sign],
         }
 
     def apply_delta(self, delta: dict) -> None:
