@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     "cms_top_tokens",
     "hash_sample_docs",
     "prep_training_corpus",
+    # graph/text shuffle-heavy stragglers (VERDICT r2 #5)
+    "pagerank",
+    "triangle_count",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "ngram_contamination",
+    "repetition_signals",
 ]
 
 

@@ -54,6 +54,7 @@ from crawler_ray.stages.politeness import (
     PolitenessConfig,
     admit_partition_fn,
     host_partition_of,
+    robots_config,
     robots_filter_fn,
 )
 from crawler_ray.stages.seen import SeenSet, seen_filter_fn
@@ -214,6 +215,61 @@ def _read_manifest(out_dir: str, it: int) -> dict:
         return json.load(fh)
 
 
+def _host_scheme_partial(t: pa.Table) -> pa.Table:
+    """Per-block distinct (host, scheme) pairs — the robots warm set is
+    host-cardinality-bounded, never row-bounded. ALL distinct pairs are
+    emitted (not a per-block first occurrence) so the driver's min-scheme
+    pick is block-layout-independent — the oracle reproduces it exactly."""
+    hosts = t["host"].to_numpy(zero_copy_only=False).astype(str)
+    urls = t["url"].to_numpy(zero_copy_only=False).astype(str)
+    part = np.char.partition(urls, "://")
+    schemes = np.where(np.char.not_equal(part[:, 1], ""), part[:, 0], "https")
+    # "\t" cannot occur in a host or scheme (numpy str arrays also cannot
+    # hold NUL, which silently truncates)
+    pairs = np.unique(np.char.add(np.char.add(hosts, "\t"), schemes))
+    split = np.char.partition(pairs, "\t")
+    return pa.table(
+        {
+            "host": pa.array(split[:, 0], pa.string()),
+            "scheme": pa.array(split[:, 2], pa.string()),
+        }
+    )
+
+
+def _fetch_robots_bodies(
+    pages_dir: str, new, fetcher_factory, fetcher_key: str
+) -> dict[str, str]:
+    """Fetch ``<scheme>://<host>/robots.txt`` for the given (host, scheme)
+    rows through the SAME Fetcher path page fetches use (Parquet probe or a
+    live HttpFetcher). Control-plane: no order rows, no seen marks. Returns
+    host → body for hits only; misses mean 'no robots' (allow-all)."""
+    from crawler_ray.stages.fetch import make_fetch_fn
+
+    urls = [f"{s}://{h}/robots.txt" for h, s in zip(new["host"], new["scheme"])]
+    tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "robots_host": pa.array(list(new["host"]), pa.string()),
+        }
+    )
+    if fetcher_factory is None:
+        fn = make_fetch_fn(pages_dir)
+    else:
+        def fn(batch: pa.Table, _cache=[None]) -> pa.Table:
+            if _cache[0] is None:
+                _cache[0] = fetcher_factory()
+            return _cache[0](batch)
+
+    fetched = (
+        ray.data.from_arrow(tbl).map_batches(fn, batch_format="pyarrow").to_pandas()
+    )
+    out: dict[str, str] = {}
+    for h, body in zip(fetched["robots_host"], fetched["html"]):
+        if body is not None:
+            out[h] = bytes(body).decode("utf-8", errors="replace")
+    return out
+
+
 def run_crawl(
     corpus: Corpus,
     task: TaskSpec = SYNTH_TASK,
@@ -230,6 +286,9 @@ def run_crawl(
     resume: bool = False,
     fetcher_factory=None,
     fetcher_key: str = "simulated",
+    robots_from_corpus: bool = False,
+    robots_agent: str = "*",
+    robots_window_s: float = 60.0,
 ) -> CrawlResult:
     import dataclasses
 
@@ -300,6 +359,26 @@ def run_crawl(
     if track_window:
         for i in range(max(0, start_iter - cfg.sustained_window + 1), start_iter):
             window.append(_iter_host_counts(os.path.join(out_dir, f"iter_{i:04d}")))
+
+    # robots-from-corpus warm cache (the north star's in-crawl robots.txt
+    # cache): hosts already probed + the rules they contributed, restored
+    # from the last complete iteration's robots.json on resume. The file is
+    # O(hosts) JSON — at 10^10-URL scale it becomes a partitioned Parquet
+    # side table with per-generation deltas, same as the seen shards.
+    robots_checked: set[str] = set()
+    if robots_from_corpus and resume and last is not None:
+        rpath = os.path.join(out_dir, f"iter_{last:04d}", "robots.json")
+        if os.path.exists(rpath):
+            with open(rpath) as fh:
+                rstate = json.load(fh)
+            robots_checked = set(rstate["checked"])
+            cfg = dataclasses.replace(
+                cfg,
+                disallow={**cfg.disallow,
+                          **{h: tuple(v) for h, v in rstate["disallow"].items()}},
+                host_budget={**cfg.host_budget,
+                             **{h: int(v) for h, v in rstate["budget"].items()}},
+            )
     if fetcher_factory is None:
         # idempotent: covers corpora generated before the index existed
         # (a live Fetcher needs no probe index — it may have no pages dir)
@@ -350,6 +429,30 @@ def run_crawl(
         fr = fr.map_batches(
             canonicalize_fn(cfg.max_depth), batch_size=32768, batch_format="pyarrow"
         )
+        if robots_from_corpus:
+            # warm the robots cache for hosts newly present in this
+            # generation's frontier BEFORE the robots gate: a host's
+            # Disallow / Crawl-delay apply from its first generation on.
+            # The materialize is reused by the admission chain below.
+            fr = fr.materialize()
+            hs = fr.map_batches(_host_scheme_partial, batch_format="pyarrow").to_pandas()
+            if len(hs):
+                # deterministic scheme per host regardless of block order
+                hs = hs.sort_values(["host", "scheme"]).drop_duplicates("host")
+                new = hs[~hs["host"].isin(robots_checked)]
+                if len(new):
+                    bodies = _fetch_robots_bodies(
+                        corpus.pages, new, fetcher_factory, fetcher_key
+                    )
+                    robots_checked.update(new["host"])
+                    if bodies:
+                        cfg = robots_config(
+                            bodies,
+                            window_seconds=robots_window_s,
+                            agent=robots_agent,
+                            base=cfg,
+                        )
+            t0 = _tick(f"it{it} robots warm", t0)
         fr = fr.map_batches(robots_filter_fn(cfg), batch_format="pyarrow")
         # Task.Reload bypasses the visited check entirely (the reference
         # skips HasVisited when Reload is set, engine/crawler.go:85,
@@ -542,6 +645,17 @@ def run_crawl(
                 np.savez(os.path.join(seendir, f"delta_{s}.npz"),
                          added=d["added"], removed=d["removed"])
         t0 = _tick(f"it{it} seen dump ({seen_kind})", t0)
+
+        if robots_from_corpus:
+            with open(os.path.join(ckdir, "robots.json"), "w") as fh:
+                json.dump(
+                    {
+                        "checked": sorted(robots_checked),
+                        "disallow": {h: list(v) for h, v in cfg.disallow.items()},
+                        "budget": cfg.host_budget,
+                    },
+                    fh,
+                )
 
         iter_stats = {
             "iteration": it,

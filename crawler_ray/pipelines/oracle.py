@@ -58,10 +58,16 @@ def run_oracle(
     corpus: Corpus,
     task: TaskSpec = SYNTH_TASK,
     max_iterations: int = 64,
+    robots_from_corpus: bool = False,
+    robots_agent: str = "*",
+    robots_window_s: float = 60.0,
 ) -> OracleResult:
+    from crawler_ray.stages.politeness import robots_config
+
     cfg = PolitenessConfig.from_json(corpus.politeness)
     max_depth = min(cfg.max_depth, task.max_depth)
     rules = compile_task(task)
+    robots_checked: set[str] = set()
 
     pages = pq.read_table(corpus.pages)
     page_map = {
@@ -100,6 +106,32 @@ def run_oracle(
         if not frontier:
             break
         res.iterations = it + 1
+        if robots_from_corpus:
+            # warm the robots cache for hosts newly in this generation's
+            # depth-passing frontier (mirrors the engine: min scheme per
+            # host, misses = allow-all, rules apply from this generation on)
+            pairs: dict[str, str] = {}
+            for r in frontier:
+                if r["depth"] > max_depth:
+                    continue
+                url = _canon(r["url"])
+                scheme = url.split("://", 1)[0] if "://" in url else "https"
+                host = _host(url)
+                if host not in pairs or scheme < pairs[host]:
+                    pairs[host] = scheme
+            bodies: dict[str, str] = {}
+            for host, scheme in pairs.items():
+                if host in robots_checked:
+                    continue
+                robots_checked.add(host)
+                page = page_map.get(f"{scheme}://{host}/robots.txt")
+                if page is not None:
+                    bodies[host] = page[0].decode("utf-8", errors="replace")
+            if bodies:
+                cfg = robots_config(
+                    bodies, window_seconds=robots_window_s,
+                    agent=robots_agent, base=cfg,
+                )
         # canonicalize + depth + robots + cross-iteration seen
         rows = []
         for r in frontier:
