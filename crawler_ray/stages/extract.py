@@ -358,8 +358,8 @@ class FetchExtract:
         ok_idx = np.flatnonzero(np.asarray(pc.equal(outcome, "ok").combine_chunks()))
         if ok_idx.size:
             slim = fetched.select(_BASE_COLS + ["warc_ts"])
-            htmls = fetched.column("html").to_pylist()
-            bodies = [htmls[j].decode("utf-8", errors="replace") for j in ok_idx]
+            ok_html = fetched.column("html").take(pa.array(ok_idx)).to_pylist()
+            bodies = [h.decode("utf-8", errors="replace") for h in ok_html]
             parts.extend(
                 _extract_parts(self.extractor.rules, slim.take(ok_idx), bodies)
             )
