@@ -211,6 +211,79 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
     )
 
 
+def ngram_jaccard_pairs(sf_dir: str, k: int = 3, block_cap: int = 256) -> rd.Dataset:
+    """Blocked word-k-gram (shingle) Jaccard similarity join — the n-gram
+    twin of ``prefix_jaccard_pairs``: similarity is over distinct k-token
+    shingles (order-sensitive, the resemblance measure MinHash estimates,
+    Broder '97), so reordered boilerplate scores low where a bag-of-tokens
+    Jaccard scores high.
+
+    Blocking key = the document's first k tokens (its first shingle): any
+    pair sharing it is a candidate. Same scale shape as the prefix join —
+    blocks co-located by hash (coarse partition, not one pandas group per
+    block), membership capped at the ``block_cap`` smallest doc_ids, and
+    the oracle applies the identical cap."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    NPARTS = 64
+
+    def blocked(t: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = t["text"].to_pylist()
+        blocks = [" ".join(_TOKEN_RE.findall(s)[:k]) for s in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "block": pa.array(blocks, pa.string()),
+                "part": pa.array(
+                    np.fromiter(
+                        (zlib.crc32(b.encode()) % NPARTS for b in blocks),
+                        np.int32, len(blocks),
+                    )
+                ),
+                "text": t["text"],
+            }
+        )
+
+    ds = docs.map_batches(blocked, batch_format="pyarrow").materialize()
+
+    def pairs(g: pd.DataFrame, cap=block_cap) -> pd.DataFrame:
+        g = g.sort_values(["block", "doc_id"], kind="mergesort")
+        blocks = g["block"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        texts = g["text"].to_numpy()
+        starts = np.r_[0, np.nonzero(blocks[1:] != blocks[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(blocks)]
+        multi = ends - starts >= 2
+        a_ids, b_ids, inter_l, union_l, jpct = [], [], [], [], []
+        for s, e in zip(starts[multi], ends[multi]):
+            e = min(e, s + cap)
+            shingles = []
+            for t in texts[s:e]:
+                toks = _TOKEN_RE.findall(t)
+                shingles.append(set(zip(*(toks[j:] for j in range(k)))))
+            for i in range(e - s):
+                for j in range(i + 1, e - s):
+                    inter = len(shingles[i] & shingles[j])
+                    union = len(shingles[i] | shingles[j])
+                    a_ids.append(ids[s + i])
+                    b_ids.append(ids[s + j])
+                    inter_l.append(inter)
+                    union_l.append(union)
+                    jpct.append((100 * inter) // union if union else 0)
+        return pd.DataFrame(
+            {
+                "a_id": np.array(a_ids, np.int64),
+                "b_id": np.array(b_ids, np.int64),
+                "inter_3grams": np.array(inter_l, np.int64),
+                "union_3grams": np.array(union_l, np.int64),
+                "jacc_pct": np.array(jpct, np.int64),
+            }
+        )
+
+    return ds.groupby("part").map_groups(pairs, batch_format="pandas")
+
+
 # --------------------------------------------------------------- MinHash+LSH
 
 _MERSENNE = (1 << 61) - 1
@@ -760,6 +833,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keep_best": dedup_keep_best,
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_dups": minhash_lsh_dups,
     "simhash_dups": simhash_dups,
     "embedding_dup_pairs": embedding_dup_pairs,
@@ -796,6 +870,30 @@ ORACLE_SQL = {
                          // LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks)))
                     ELSE 0 END AS BIGINT) AS jacc_pct
         FROM tok a JOIN tok b ON a.p = b.p AND a.doc_id < b.doc_id
+    """,
+    "ngram_jaccard_pairs": """
+        WITH tok AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS t
+            FROM documents),
+        tris AS (
+            SELECT doc_id,
+                   ARRAY_TO_STRING(t[1:3], ' ') AS block,
+                   LIST_DISTINCT(LIST_TRANSFORM(
+                       RANGE(1, GREATEST(LEN(t) - 3 + 2, 1)),
+                       i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS g
+            FROM tok
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY ARRAY_TO_STRING(t[1:3], ' ')
+                                       ORDER BY doc_id) <= 256)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS BIGINT) AS inter_3grams,
+               CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.g, b.g))) AS BIGINT)
+                   AS union_3grams,
+               CAST(CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.g, b.g))) > 0
+                    THEN (100 * LEN(LIST_INTERSECT(a.g, b.g)))
+                         // LEN(LIST_DISTINCT(LIST_CONCAT(a.g, b.g)))
+                    ELSE 0 END AS BIGINT) AS jacc_pct
+        FROM tris a JOIN tris b ON a.block = b.block AND a.doc_id < b.doc_id
     """,
     "embedding_dup_pairs": _EMB_COS_CTE
     + """

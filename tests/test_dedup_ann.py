@@ -196,6 +196,38 @@ def test_exact_dedup_on_constructed_dups(ray_session, tmp_path):
     ]
 
 
+def test_ngram_jaccard_constructed(ray_session, tmp_path):
+    """Shingle Jaccard on hand-computed trigram overlaps: order sensitivity
+    (a reordered doc shares the blocking shingle but few trigrams) is what
+    distinguishes it from bag-of-tokens prefix Jaccard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "a b c d e",      # trigrams {abc, bcd, cde}
+        "a b c x y",      # {abc, bcx, cxy} → inter 1, union 5, pct 20
+        "a b c d e",      # dup of doc 0   → inter 3, union 3, pct 100
+        "z b c d e",      # different block → never paired with the above
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        ngram_jaccard_pairs(str(tmp_path))
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    got = {(r.a_id, r.b_id): (r.inter_3grams, r.union_3grams, r.jacc_pct)
+           for r in out.itertuples()}
+    assert got == {
+        (0, 1): (1, 5, 20),
+        (0, 2): (3, 3, 100),
+        (1, 2): (1, 5, 20),
+    }
+
+
 def test_megablock_pair_fanout_bounded(ray_session, tmp_path):
     """A boilerplate corpus (every doc shares one 100-char prefix / LSH
     bucket) must not explode into O(n²) pairs: block/bucket caps bound the
