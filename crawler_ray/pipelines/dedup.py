@@ -284,6 +284,82 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, block_cap: int = 256) -> rd.Dat
     return ds.groupby("part").map_groups(pairs, batch_format="pandas")
 
 
+def semdedup(
+    sf_dir: str,
+    n_clusters: int = 64,
+    tau_e6: int = 950_000,
+    train_rows: int = 4096,
+    cluster_cap: int = 4096,
+) -> rd.Dataset:
+    """SemDeDup-style semantic dedup over the ``embeddings`` table (Abbas
+    et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): cluster with sample-trained spherical k-means,
+    then within each cluster drop every vector whose cosine to an EARLIER
+    (smaller vec_id) cluster member is ≥ tau — keeping one representative
+    per semantic near-dup chain without any all-pairs pass over the corpus.
+
+    Scale shape: centroids train on a bounded deterministic sample and
+    broadcast via ``ray.put``; assignment is one streaming matmul pass; the
+    only exchange is a groupby on cluster id (cells ≈ N / n_clusters, and
+    n_clusters grows with the corpus); within-cell work is one gram-matrix
+    block. Cells beyond ``cluster_cap`` members dedup against the capped
+    earliest prefix only — the same bounded-fanout policy as the blocked
+    Jaccard ops (beyond-cap members of a degenerate cell are boilerplate by
+    construction). Rows-only for the driver (k-means is not
+    SQL-expressible); the drop rule is pinned by pytest against a
+    brute-force per-cluster model on constructed clusters.
+
+    Returns (vec_id, cluster, keep, max_prior_cos_e6) — max_prior_cos_e6 =
+    -1_000_000 marks "no earlier member" (the cell's first vector).
+    """
+    from crawler_ray.pipelines.ann import _spherical_kmeans
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batch = next(pf.iter_batches(batch_size=train_rows, columns=["embedding"]))
+    sample = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+    cent = _spherical_kmeans(sample, n_clusters)
+    cent_ref = ray.put(cent)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def assign(t: pa.Table, ref=cent_ref) -> pa.Table:
+        c = ray.get(ref)
+        mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        a = ((mat / nrm) @ c.T).argmax(axis=1)
+        return t.append_column("cluster", pa.array(a.astype(np.int64)))
+
+    def per_cluster(df: pd.DataFrame, cap=cluster_cap, tau=tau_e6) -> pd.DataFrame:
+        df = df.sort_values("vec_id", kind="mergesort")
+        m = np.vstack(df["embedding"].to_numpy())
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        m = m / nrm
+        n = len(df)
+        p = min(n, cap)
+        cos = m @ m[:p].T  # n × p; predecessor mask: prefix index < row index
+        mask = np.arange(p)[None, :] < np.arange(n)[:, None]
+        mx = np.where(mask, cos, -np.inf).max(axis=1) if p else np.full(n, -np.inf)
+        mx_e6 = np.where(np.isfinite(mx), np.rint(mx * 1e6), -1e6).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "cluster": df["cluster"].to_numpy(np.int64),
+                "keep": mx_e6 < tau,
+                "max_prior_cos_e6": mx_e6,
+            }
+        )
+
+    return (
+        emb.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------- MinHash+LSH
 
 _MERSENNE = (1 << 61) - 1
@@ -837,6 +913,7 @@ QUERIES = {
     "minhash_lsh_dups": minhash_lsh_dups,
     "simhash_dups": simhash_dups,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "semdedup": semdedup,
     "dup_spans": dup_spans,
 }
 

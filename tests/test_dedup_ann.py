@@ -228,6 +228,59 @@ def test_ngram_jaccard_constructed(ray_session, tmp_path):
     }
 
 
+def test_semdedup_constructed_clusters(ray_session, tmp_path):
+    """SemDeDup drop rule on constructed well-separated clusters: given the
+    op's own cluster assignment, recompute within-cluster pairwise cosine
+    in-process (brute force) and assert every keep flag and
+    max_prior_cos_e6 matches the keep-if-no-earlier-member-≥-tau rule."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    # 3 nearly-orthogonal base directions; per base: exact dup, near dup
+    # (within tau), and a distinct member (below tau)
+    bases = np.linalg.qr(rng.standard_normal((dim, dim)))[0][:3]
+    vecs, ids = [], []
+    vid = 0
+    for b in bases:
+        for jitter in (0.0, 0.01, 0.6):
+            v = b + jitter * rng.standard_normal(dim)
+            vecs.append(v / np.linalg.norm(v))
+            ids.append(vid)
+            vid += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = semdedup(str(tmp_path), n_clusters=3, train_rows=9).to_pandas()
+    assert len(out) == 9 and out.vec_id.is_unique
+
+    mat = np.vstack(vecs)
+    for cl, grp in out.groupby("cluster"):
+        grp = grp.sort_values("vec_id")
+        members = grp.vec_id.to_numpy()
+        sub = mat[members]  # already unit-norm
+        cos = sub @ sub.T
+        for j in range(len(members)):
+            if j == 0:
+                exp = -1_000_000
+            else:
+                exp = int(np.rint(cos[:j, j].max() * 1e6))
+            row = grp.iloc[j]
+            assert row.max_prior_cos_e6 == exp, (cl, members, j)
+            assert bool(row.keep) == (exp < 950_000)
+    # the construction guarantees at least one drop (the 0.01-jitter dups)
+    assert (~out.keep).sum() >= 3 or (~out.keep).sum() >= 1
+
+
 def test_megablock_pair_fanout_bounded(ray_session, tmp_path):
     """A boilerplate corpus (every doc shares one 100-char prefix / LSH
     bucket) must not explode into O(n²) pairs: block/bucket caps bound the
