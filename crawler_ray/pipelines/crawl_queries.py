@@ -95,8 +95,16 @@ def frontier_host_stats(sf_dir: str) -> rd.Dataset:
 def link_graph(sf_dir: str) -> rd.Dataset:
     """Pure full-corpus extract (no frontier): every (src, dst) link edge —
     the batch rule engine applied to the whole pages table in one streaming
-    pass (rule inferred from url shape, dispatched per row)."""
-    corpus = synth_corpus(sf_dir)
+    pass (rule inferred from url shape, dispatched per row).
+
+    ``CRAWLER_RAY_GRAPH_MULT`` scales the synthetic corpus for scaling
+    measurements: at the default sf0.1 size (5k pages) the downstream graph
+    ops are dominated by Ray's fixed per-shuffle cost, so an N-vs-4N
+    comparison measures the operator floor, not the engine."""
+    import os
+
+    mult = int(os.environ.get("CRAWLER_RAY_GRAPH_MULT", "1"))
+    corpus = synth_corpus(sf_dir, multiplier=mult) if mult > 1 else synth_corpus(sf_dir)
     pages = rd.read_parquet(corpus.pages, columns=["url", "html", "warc_ts"])
 
     def prep(t: pa.Table) -> pa.Table:

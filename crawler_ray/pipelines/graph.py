@@ -39,7 +39,20 @@ import ray.data as rd
 # coarse shuffle fan-out: groups are the unit of parallelism for the local
 # merges, so ≥ the sandbox's useful core count; each group holds
 # O(edges / P) rows. A cluster run raises it with the corpus.
-_P = 8
+def _nparts() -> int:
+    """Coarse-partition count for the graph shuffles, resolved once per
+    pipeline call: 2× the executor's effective CPU budget (min 8) so the
+    per-superstep map_groups tasks keep every core busy with slack for
+    stragglers. A fixed count is a scale bug — at cluster scale partitions
+    must grow with the machine, and every call site within one pipeline
+    shares the value captured at build time (co-location requires one
+    consistent modulus per exchange)."""
+    from crawler_ray.pipelines.common import effective_cpus
+
+    return max(8, 2 * effective_cpus())
+
+
+_P = 8  # fallback default for direct _part32/_ipart callers
 
 
 def _part32(vals, nparts: int = _P) -> pa.Array:
@@ -75,6 +88,7 @@ def pagerank_edges(
     (url, rank) with ranks summing to 1. Fixed iteration count keeps the
     computation deterministic (no convergence predicate on floats)."""
     edges = edges.materialize()
+    P = _nparts()  # one consistent modulus for every exchange in this run
 
     # ---- setup (one pass over edges, one shuffle) -----------------------
     # tag edges by hash(src) and attach out-degree inside the group — all
@@ -84,7 +98,7 @@ def pagerank_edges(
             {
                 "src_url": t["src_url"],
                 "dst_url": t["dst_url"],
-                "part": _part32(t["src_url"]),
+                "part": _part32(t["src_url"], P),
             }
         )
 
@@ -123,7 +137,7 @@ def pagerank_edges(
                 pa.array(np.zeros(len(t["dst_url"]), dtype=np.int8)),
             ]
         )
-        return pa.table({"url": urls, "is_src": is_src, "part": _part32(urls)})
+        return pa.table({"url": urls, "is_src": is_src, "part": _part32(urls, P)})
 
     def distinct_nodes(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("url", sort=False)["is_src"].max()
@@ -203,12 +217,12 @@ def pagerank_edges(
             )
             urls = out.index.to_numpy(dtype=object)
             cs = out.to_numpy()
-            parts = (pd.util.hash_array(urls) % np.uint64(_P)).astype("int32")
+            parts = (pd.util.hash_array(urls) % np.uint64(P)).astype("int32")
         return pd.DataFrame(
             {
-                "url": np.concatenate([urls, np.full(_P, None, dtype=object)]),
-                "c": np.concatenate([cs, np.full(_P, d_p)]),
-                "part": np.concatenate([parts, np.arange(_P, dtype=np.int32)]),
+                "url": np.concatenate([urls, np.full(P, None, dtype=object)]),
+                "c": np.concatenate([cs, np.full(P, d_p)]),
+                "part": np.concatenate([parts, np.arange(P, dtype=np.int32)]),
             }
         )
 
@@ -308,6 +322,8 @@ def connected_components(
     diameters); a web-graph-scale CC would add pointer-jumping
     (large-star/small-star) to cut rounds to O(log n). Convergence is a
     streamed changed-row count (one partial per block on the driver)."""
+    P = _nparts()
+
     # undirected, tagged by hash(u); node ids are int64
     def tag_und(t: pa.Table) -> pa.Table:
         u = pa.concat_arrays(
@@ -321,7 +337,7 @@ def connected_components(
                 "u": u,
                 "v": v,
                 "label": pa.nulls(len(u), pa.int64()),
-                "part": pa.array(_ipart(np.asarray(u))),
+                "part": pa.array(_ipart(np.asarray(u), P)),
             }
         )
 
@@ -361,7 +377,7 @@ def connected_components(
         )
         uu = out.index.to_numpy(dtype=np.int64)
         return pd.DataFrame(
-            {"u": uu, "nbr": out.to_numpy().astype(np.int64), "part": _ipart(uu)}
+            {"u": uu, "nbr": out.to_numpy().astype(np.int64), "part": _ipart(uu, P)}
         )
 
     def gather(g: pd.DataFrame) -> pd.DataFrame:
@@ -455,13 +471,15 @@ def dedup_clusters(sf_dir: str, min_jacc: int = 50) -> rd.Dataset:
     )
     comp = connected_components(pairs, src="a_id", dst="b_id")
 
+    P = _nparts()
+
     # size per component + join back, via the same coarse-partition trick
     def tag_comp(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "node": t["node"],
                 "component": t["component"],
-                "part": pa.array(_ipart(np.asarray(t["component"]))),
+                "part": pa.array(_ipart(np.asarray(t["component"]), P)),
             }
         )
 
@@ -497,6 +515,7 @@ def triangle_count_edges(edges: rd.Dataset, src: str = "src_url", dst: str = "ds
     two coarse-partition passes the PageRank setup uses instead).
     """
     eds = edges.materialize()
+    P = _nparts()
 
     def canon(t: pa.Table) -> pa.Table:
         a = pd.util.hash_array(t[src].to_pandas().to_numpy(dtype=object)).astype(np.int64)
@@ -508,7 +527,7 @@ def triangle_count_edges(edges: rd.Dataset, src: str = "src_url", dst: str = "ds
             {
                 "u": pa.array(u[keep]),
                 "v": pa.array(v[keep]),
-                "part": pa.array(_ipart(u[keep])),
+                "part": pa.array(_ipart(u[keep], P)),
             }
         )
 
@@ -553,7 +572,7 @@ def triangle_count_edges(edges: rd.Dataset, src: str = "src_url", dst: str = "ds
         fwd = (du < dv) | ((du == dv) & (u < v))
         a = np.where(fwd, u, v)  # lower-ordered center
         b = np.where(fwd, v, u)
-        return pa.table({"a": pa.array(a), "b": pa.array(b), "part": pa.array(_ipart(a))})
+        return pa.table({"a": pa.array(a), "b": pa.array(b), "part": pa.array(_ipart(a, P))})
 
     oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
 
@@ -581,7 +600,7 @@ def triangle_count_edges(edges: rd.Dataset, src: str = "src_url", dst: str = "ds
         .map_groups(wedges, batch_format="pandas")
         .map_batches(
             lambda t: t.append_column(
-                "part2", pa.array(_ipart(t["x"].to_numpy(zero_copy_only=False)))
+                "part2", pa.array(_ipart(t["x"].to_numpy(zero_copy_only=False), P))
             ),
             batch_format="pyarrow",
         )
@@ -591,7 +610,7 @@ def triangle_count_edges(edges: rd.Dataset, src: str = "src_url", dst: str = "ds
             {
                 "x": t["a"],
                 "y": t["b"],
-                "part2": pa.array(_ipart(t["a"].to_numpy(zero_copy_only=False))),
+                "part2": pa.array(_ipart(t["a"].to_numpy(zero_copy_only=False), P)),
             }
         ),
         batch_format="pyarrow",
