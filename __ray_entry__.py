@@ -65,12 +65,13 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(crawl_queries.ORACLE_SQL)
     try:
-        from crawler_ray.pipelines import ann, dedup, graph, prep, sampling, text
+        from crawler_ray.pipelines import ann, dedup, graph, prep, sampling, sketches, text
 
         out.update(text.ORACLE_SQL)
         out.update(dedup.ORACLE_SQL)
         out.update(ann.ORACLE_SQL)
         out.update(sampling.ORACLE_SQL)
+        out.update(sketches.ORACLE_SQL)
         out.update(graph.ORACLE_SQL)
         out.update(prep.ORACLE_SQL)
     except ImportError:

@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "cms_top_tokens",
     "hash_sample_docs",
     "prep_training_corpus",
+    "knn_graph",
+    "urgent_order_revenue",
+    "rollup_revenue",
+    "approx_price_quantiles",
     # graph/text shuffle-heavy stragglers (VERDICT r2 #5)
     "pagerank",
     "triangle_count",

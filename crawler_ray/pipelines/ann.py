@@ -275,10 +275,88 @@ def ann_ivf_topk(
     return _merge_topk(partial)
 
 
+KNN_K = 5
+
+
+@ray.remote
+def _knn_block(ta: pa.Table, block_refs: list, k: int) -> pa.Table:
+    """Exact top-k neighbors for ONE source block against the whole corpus,
+    streamed one corpus block at a time: memory is two blocks plus k
+    candidates per source row, never the corpus. Similarities are ranked on
+    the ROUNDED integer ``cos_e6`` (ties broken by neighbor id) so the
+    ordering is bit-stable across engines — a float rank would be at the
+    mercy of summation order."""
+    ids_a = ta["vec_id"].to_numpy()
+    mat_a = np.vstack(ta["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    norm_a = np.linalg.norm(mat_a, axis=1)
+    src_l, nbr_l, cos_l = [], [], []
+    for ref in block_refs:  # nested refs: fetched one at a time, not all at once
+        tb = ray.get(ref)
+        if tb.num_rows == 0:
+            continue
+        ids_b = tb["vec_id"].to_numpy()
+        mat_b = np.vstack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        cos = (mat_a @ mat_b.T) / np.outer(norm_a, np.linalg.norm(mat_b, axis=1))
+        cos_e6 = np.round(cos * 1e6).astype(np.int64)
+        cos_e6[ids_a[:, None] == ids_b[None, :]] = np.iinfo(np.int64).min  # self
+        kk = min(k, len(ids_b))
+        part = np.argpartition(-cos_e6, kk - 1, axis=1)[:, :kk]  # local top-k
+        rows = np.repeat(np.arange(len(ids_a)), kk)
+        cols = part.ravel()
+        src_l.append(rows)
+        nbr_l.append(np.broadcast_to(ids_b, (len(ids_a), len(ids_b)))[rows, cols])
+        cos_l.append(cos_e6[rows, cols])
+    if not src_l:
+        return pa.table({"vec_id": pa.array([], pa.int64()), "nn_rank": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()), "cos_e6": pa.array([], pa.int64())})
+    src = np.concatenate(src_l)
+    nbr = np.concatenate(nbr_l).astype(np.int64)
+    ce6 = np.concatenate(cos_l)
+    keep = ce6 != np.iinfo(np.int64).min
+    src, nbr, ce6 = src[keep], nbr[keep], ce6[keep]
+    # global top-k per source row: sort (src asc, cos desc, nbr asc), then
+    # rank-within-run via position minus run start
+    order = np.lexsort((nbr, -ce6, src))
+    src, nbr, ce6 = src[order], nbr[order], ce6[order]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    runs = np.diff(np.r_[starts, len(src)])
+    rank = np.arange(len(src)) - np.repeat(starts, runs) + 1
+    sel = rank <= k
+    return pa.table(
+        {
+            "vec_id": pa.array(ids_a[src[sel]].astype(np.int64)),
+            "nn_rank": pa.array(rank[sel].astype(np.int64)),
+            "neighbor_id": pa.array(nbr[sel]),
+            "cos_e6": pa.array(ce6[sel]),
+        }
+    )
+
+
+def knn_graph(sf_dir: str, k: int = KNN_K, num_blocks: int | None = None) -> rd.Dataset:
+    """Exact k-nearest-neighbor graph over the embedding corpus (cosine,
+    k=5): the building block SemDeDup-style clustering and graph-based
+    curation consume. One Ray task per source block streams the corpus
+    block-by-block (same block-grid discipline as ``embedding_dup_pairs``:
+    the driver holds refs only, O(N²) arithmetic runs distributed with
+    bounded memory). For sub-quadratic scale use the IVF/LSH variants —
+    this is the exact baseline the pytest recall gates compare against."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if num_blocks:
+        emb = emb.repartition(num_blocks)
+    blocks = emb.to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()), "nn_rank": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()), "cos_e6": pa.array([], pa.int64())})
+        )
+    return rd.from_arrow_refs([_knn_block.remote(b, blocks, k) for b in blocks])
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "knn_graph": knn_graph,
 }
 
 ORACLE_SQL = {
@@ -303,4 +381,27 @@ ORACLE_SQL = {
                CAST(ROUND(c*1e6) AS BIGINT) AS cos_e6
         FROM ranked WHERE rank <= {k}
     """.format(nq=NUM_QUERIES, k=TOP_K),
+    "knn_graph": """
+        WITH e AS (
+            SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+                   GENERATE_SUBSCRIPTS(embedding, 1) AS i
+            FROM embeddings),
+        n AS (SELECT vec_id, SQRT(SUM(x*x)) AS nrm FROM e GROUP BY vec_id),
+        d AS (
+            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, SUM(a.x*b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id != b.vec_id
+            GROUP BY a.vec_id, b.vec_id),
+        cos AS (
+            SELECT d.vec_id, d.neighbor_id,
+                   CAST(ROUND(1e6 * d.dot / (na.nrm * nb.nrm)) AS BIGINT) AS cos_e6
+            FROM d JOIN n na ON na.vec_id = d.vec_id
+                   JOIN n nb ON nb.vec_id = d.neighbor_id),
+        ranked AS (
+            SELECT vec_id, neighbor_id, cos_e6,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_e6 DESC, neighbor_id) AS nn_rank
+            FROM cos)
+        SELECT vec_id, CAST(nn_rank AS BIGINT) AS nn_rank, neighbor_id, cos_e6
+        FROM ranked WHERE nn_rank <= {k}
+    """.format(k=KNN_K),
 }

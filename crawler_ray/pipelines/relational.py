@@ -1117,6 +1117,127 @@ def events_pivot_daily(sf_dir: str) -> pa.Table:
     return pa.table(cols)
 
 
+# ------------------------------------------------ bloom semi-join pushdown
+def urgent_order_revenue(sf_dir: str) -> pa.Table:
+    """Semi-join (lineitems of ``1-URGENT`` orders → revenue per return
+    flag) via a **mergeable broadcast Bloom pre-filter**: the reference has
+    no joins, but a 100 TB curation run constantly needs "keep fact rows
+    whose key appears in a filtered dimension" without shuffling the fact
+    table.
+
+    Scale shape: each filtered-orders block folds its keys into a
+    fixed-size Bloom bitmap (per-block partials, OR-merged on the driver —
+    the driver sees O(blocks) bitmaps, never the key set); the merged
+    bitmap ships once via ``ray.put`` and every lineitem batch drops ~4/5
+    of its rows with a vectorized probe BEFORE any exchange. Bloom
+    positives (incl. ~1% false positives) then get exact confirmation
+    through the size-adaptive lookup join, whose input is now
+    pre-filter-sized. Revenue is per-row integer cents
+    (``floor(x*100+0.5)`` — exact same double op on both engines) so sums
+    are order-independent."""
+    from crawler_ray.state.filters import BloomFilter
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    sel = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_orderkey"]),
+        batch_size=65536,
+        batch_format="pyarrow",
+    ).materialize()
+    capacity = max(1024, sel.count())
+    _MIX64 = np.uint64(0x9E3779B97F4A7C15)
+
+    def bloom_partial(t: pa.Table, cap=capacity) -> pa.Table:
+        f = BloomFilter(cap)  # same capacity ⇒ same geometry ⇒ OR-mergeable
+        f.add_many(t["o_orderkey"].to_numpy().astype(np.uint64) * _MIX64)
+        return pa.table({"bits": pa.array([f.bits.tobytes()], pa.binary())})
+
+    merged = BloomFilter(capacity)
+    for b in sel.map_batches(bloom_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["bits"].to_pylist():
+            merged.bits |= np.frombuffer(blob, dtype=np.uint64)
+    bloom_ref = ray.put(merged.dump())
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def prefilter(t: pa.Table, ref=bloom_ref) -> pa.Table:
+        f = BloomFilter.load(ray.get(ref))
+        keys = t["l_orderkey"].to_numpy().astype(np.uint64) * _MIX64
+        t = t.filter(pa.array(f.contains_many(keys)))
+        # left-assoc p*(1-d)*100 + 0.5 then floor: bit-identical to the SQL
+        rev = pc.multiply(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 100.0)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_returnflag": t["l_returnflag"],
+                "rev_c": pc.cast(pc.floor(pc.add(rev, 0.5)), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    cand = li.map_batches(prefilter, batch_size=65536, batch_format="pyarrow")
+    # exact confirm: join input is bloom-survivor-sized, not fact-sized
+    confirmed = _lookup_inner_join(cand, sel, "l_orderkey", "o_orderkey", [])
+    parts = confirmed.map_batches(
+        _partial_groupby(["l_returnflag"], [("rev_c", "sum", "rev_c"), ("n", "sum", "n")]),
+        batch_format="pyarrow",
+    )
+    agg = _driver_sum(parts, ["l_returnflag"], ["rev_c", "n"])
+    agg = agg.sort_values("l_returnflag")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(agg.l_returnflag, pa.string()),
+            "revenue_c": pa.array(agg.rev_c.to_numpy(), pa.int64()),
+            "n_items": pa.array(agg.n.to_numpy(), pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------ rollup re-aggregate
+def rollup_revenue(sf_dir: str) -> pa.Table:
+    """``GROUP BY ROLLUP(o_orderpriority, year)`` — revenue + order counts
+    at three granularities. The 100-TB point: the fact table is read ONCE
+    for the finest level (per-batch combiner → bounded driver sum, the q1
+    shape); the coarser rollup levels re-aggregate the finest RESULT
+    (|priorities| × |years| rows), never the input. Rolled-up group keys
+    use sentinels (``'ALL'`` / ``-1``) so the value hash is
+    engine-agnostic."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "c": c,
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    parts = orders.map_batches(prep, batch_size=65536, batch_format="pyarrow").map_batches(
+        _partial_groupby(["o_orderpriority", "o_year"], [("c", "sum", "c"), ("n", "sum", "n")]),
+        batch_format="pyarrow",
+    )
+    fine = _driver_sum(parts, ["o_orderpriority", "o_year"], ["c", "n"])
+    mid = fine.groupby("o_orderpriority", as_index=False)[["c", "n"]].sum()
+    mid["o_year"] = np.int64(-1)
+    top = pd.DataFrame(
+        {"o_orderpriority": ["ALL"], "o_year": np.array([-1], np.int64),
+         "c": [fine.c.sum()], "n": [fine.n.sum()]}
+    )
+    allrows = pd.concat([fine, mid, top], ignore_index=True)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(allrows.o_orderpriority, pa.string()),
+            "o_year": pa.array(allrows.o_year.to_numpy().astype(np.int64)),
+            "revenue_c": pa.array(allrows.c.to_numpy().astype(np.int64)),
+            "n_orders": pa.array(allrows.n.to_numpy().astype(np.int64)),
+        }
+    )
+
+
 QUERIES = {
     "user_funnel": user_funnel,
     "events_pivot_daily": events_pivot_daily,
@@ -1143,9 +1264,31 @@ QUERIES = {
     "click_attribution": click_attribution,
     "user_rolling_hour": user_rolling_hour,
     "purchase_prior_events": purchase_prior_events,
+    "urgent_order_revenue": urgent_order_revenue,
+    "rollup_revenue": rollup_revenue,
 }
 
 ORACLE_SQL = {
+    "urgent_order_revenue": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """,
+    "rollup_revenue": """
+        WITH base AS (
+            SELECT o_orderpriority AS prio,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c
+            FROM orders)
+        SELECT COALESCE(prio, 'ALL') AS o_orderpriority,
+               CAST(COALESCE(yr, -1) AS BIGINT) AS o_year,
+               CAST(SUM(c) AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM base GROUP BY ROLLUP(prio, yr)
+    """,
     "user_funnel": """
         WITH firsts AS (
             SELECT user_id,

@@ -41,7 +41,10 @@ def _cms_indices(tokens: list[str] | np.ndarray) -> np.ndarray:
     h = pd.util.hash_array(arr, categorize=False)
     out = np.empty((len(arr), CMS_DEPTH), dtype=np.int64)
     for j in range(CMS_DEPTH):
-        lane = _splitmix64(h + np.uint64(j) * np.uint64(0x9E3779B97F4A7C15))
+        # salt precomputed mod 2^64 in Python ints: numpy warns on uint64
+        # scalar wraparound even though the wrap is exactly what we want
+        salt = np.uint64((j * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        lane = _splitmix64(h + salt)
         out[:, j] = (lane % np.uint64(CMS_WIDTH)).astype(np.int64)
     return out
 
@@ -198,5 +201,71 @@ def hll_users_by_type(sf_dir: str, p: int = 12) -> rd.Dataset:
     )
 
 
-QUERIES = {"cms_top_tokens": cms_top_tokens, "hll_users_by_type": hll_users_by_type}
-ORACLE_SQL: dict[str, str] = {}
+# ----------------------------------------------- histogram quantile sketch
+HIST_BIN_C = 500_000  # $5,000 bins over order totalprice cents
+HIST_QS = (25, 50, 75, 90, 99)
+
+
+def approx_price_quantiles(sf_dir: str) -> pa.Table:
+    """Approximate order-value quantiles from a **mergeable fixed-width
+    histogram** — the streaming counterpart of the exact distributed
+    ``price_quantiles``: each batch folds into (bin → count) partials, the
+    driver merge is O(blocks × bins) small integers, and the quantile
+    estimate is the upper edge of the first bin whose cumulative count
+    reaches ``ceil(q·n/100)``. All integer arithmetic, so unlike t-digest
+    the estimate is deterministic and SQL-checkable; error is bounded by
+    the bin width. At 100 TB nothing changes: the histogram is a
+    fixed-size partial regardless of row count."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64()
+        ).to_numpy()
+        bins, counts = np.unique(c // HIST_BIN_C, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(bins, pa.int64()), "cnt": pa.array(counts.astype(np.int64))}
+        )
+
+    merged: dict[int, int] = {}
+    for b in orders.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for bi, ct in zip(b["bin"].to_pylist(), b["cnt"].to_pylist()):
+            merged[bi] = merged.get(bi, 0) + ct
+    bins = np.array(sorted(merged), dtype=np.int64)
+    cum = np.cumsum([merged[b] for b in bins])
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in HIST_QS:
+        thr = (n * q + 99) // 100
+        i = int(np.searchsorted(cum, thr))
+        out_q.append(q)
+        out_v.append(int(bins[i] + 1) * HIST_BIN_C)
+    return pa.table(
+        {"q_pct": pa.array(out_q, pa.int64()), "value_hi_c": pa.array(out_v, pa.int64())}
+    )
+
+
+QUERIES = {
+    "cms_top_tokens": cms_top_tokens,
+    "hll_users_by_type": hll_users_by_type,
+    "approx_price_quantiles": approx_price_quantiles,
+}
+ORACLE_SQL: dict[str, str] = {
+    "approx_price_quantiles": """
+        WITH c AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) // {w} AS bin
+                   FROM orders),
+             b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY bin),
+             t AS (SELECT SUM(cnt) AS n FROM b),
+             cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM b),
+             qs AS (SELECT UNNEST([25, 50, 75, 90, 99]) AS q)
+        SELECT CAST(q AS BIGINT) AS q_pct,
+               CAST((MIN(bin) + 1) * {w} AS BIGINT) AS value_hi_c
+        FROM qs, cum, t
+        WHERE cum >= (n * q + 99) // 100
+        GROUP BY q
+    """.format(w=HIST_BIN_C),
+}

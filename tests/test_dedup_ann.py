@@ -471,3 +471,72 @@ def test_hll_users_by_type_vs_exact(ray_session):
     assert set(got.index) == set(exact.index)
     for ty in exact.index:
         assert abs(got[ty] - exact[ty]) / exact[ty] < 0.05, (ty, got[ty], exact[ty])
+
+
+def test_knn_graph_vs_bruteforce(ray_session):
+    """knn_graph equals an in-memory float64 brute force on sf0.001 — ranks
+    are int-cos ordered (cos_e6 desc, neighbor_id asc), self excluded."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.ann import KNN_K, knn_graph
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    cos_e6 = np.round((mat @ mat.T) / np.outer(nrm, nrm) * 1e6).astype(np.int64)
+    truth = {}
+    for i, vid in enumerate(ids):
+        order = sorted(
+            ((int(cos_e6[i, j]), int(ids[j])) for j in range(len(ids)) if j != i),
+            key=lambda p: (-p[0], p[1]),
+        )[:KNN_K]
+        truth[int(vid)] = [(r + 1, nb, c) for r, (c, nb) in enumerate(order)]
+
+    got = knn_graph(SF, num_blocks=4).to_pandas()
+    assert len(got) == len(ids) * KNN_K
+    for vid, grp in got.groupby("vec_id"):
+        rows = sorted(zip(grp.nn_rank, grp.neighbor_id, grp.cos_e6))
+        assert rows == truth[int(vid)], f"vec {vid}"
+
+
+def test_bloom_partials_merge_equals_single_build(ray_session):
+    """Per-block bloom bitmaps OR-merged == one bloom built from all keys
+    (the mergeability urgent_order_revenue relies on); probes agree."""
+    from crawler_ray.state.filters import BloomFilter
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    whole = BloomFilter(5000)
+    whole.add_many(keys)
+    merged = BloomFilter(5000)
+    for chunk in np.array_split(keys, 7):
+        part = BloomFilter(5000)
+        part.add_many(chunk)
+        merged.bits |= part.bits
+    assert np.array_equal(whole.bits, merged.bits)
+    assert merged.contains_many(keys).all()
+    other = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    novel = ~np.isin(other, keys)
+    fp = merged.contains_many(other)[novel].mean()
+    assert fp < 0.05
+
+
+def test_approx_price_quantiles_error_bound(ray_session):
+    """Histogram-sketch quantiles are within one bin width above the exact
+    discrete quantile, never below it."""
+    import duckdb
+
+    from crawler_ray.pipelines.sketches import HIST_BIN_C, HIST_QS, approx_price_quantiles
+
+    got = approx_price_quantiles(SF).to_pandas().set_index("q_pct")["value_hi_c"]
+    con = duckdb.connect()
+    exact = {
+        q: con.sql(
+            f"SELECT quantile_disc(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT), {q/100}) "
+            f"FROM read_parquet('{SF}/orders.parquet')"
+        ).fetchone()[0]
+        for q in HIST_QS
+    }
+    for q in HIST_QS:
+        assert exact[q] <= got[q] <= exact[q] + 2 * HIST_BIN_C
