@@ -38,9 +38,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(relational.QUERIES)
     out.update(crawl_queries.QUERIES)
     try:
-        from crawler_ray.pipelines import ann, dedup, graph, prep, sampling, sketches, text
+        from crawler_ray.pipelines import ann, curate, dedup, graph, prep, sampling, sketches, text
 
         out.update(text.QUERIES)
+        out.update(curate.QUERIES)
         out.update(dedup.QUERIES)
         out.update(ann.QUERIES)
         out.update(sampling.QUERIES)
@@ -65,9 +66,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(crawl_queries.ORACLE_SQL)
     try:
-        from crawler_ray.pipelines import ann, dedup, graph, prep, sampling, sketches, text
+        from crawler_ray.pipelines import ann, curate, dedup, graph, prep, sampling, sketches, text
 
         out.update(text.ORACLE_SQL)
+        out.update(curate.ORACLE_SQL)
         out.update(dedup.ORACLE_SQL)
         out.update(ann.ORACLE_SQL)
         out.update(sampling.ORACLE_SQL)

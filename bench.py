@@ -87,6 +87,12 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "ngram_contamination",
     "repetition_signals",
+    # curation suite (round 3)
+    "pii_scrub",
+    "chunk_documents",
+    "encode_tokens",
+    "brand_price_quantiles",
+    "cube_revenue",
 ]
 
 

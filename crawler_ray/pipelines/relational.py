@@ -1238,6 +1238,96 @@ def rollup_revenue(sf_dir: str) -> pa.Table:
     )
 
 
+def cube_revenue(sf_dir: str) -> pa.Table:
+    """``GROUP BY CUBE(o_orderpriority, year)`` — the rollup's 2-D cousin
+    (adds the year-only margin).  Same 100-TB shape as ``rollup_revenue``:
+    the fact table is read once for the finest level; all three margins
+    re-aggregate the finest RESULT (|priorities| × |years| rows)."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "c": c,
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    parts = orders.map_batches(prep, batch_size=65536, batch_format="pyarrow").map_batches(
+        _partial_groupby(["o_orderpriority", "o_year"], [("c", "sum", "c"), ("n", "sum", "n")]),
+        batch_format="pyarrow",
+    )
+    fine = _driver_sum(parts, ["o_orderpriority", "o_year"], ["c", "n"])
+    by_prio = fine.groupby("o_orderpriority", as_index=False)[["c", "n"]].sum()
+    by_prio["o_year"] = np.int64(-1)
+    by_year = fine.groupby("o_year", as_index=False)[["c", "n"]].sum()
+    by_year["o_orderpriority"] = "ALL"
+    top = pd.DataFrame(
+        {"o_orderpriority": ["ALL"], "o_year": np.array([-1], np.int64),
+         "c": [fine.c.sum()], "n": [fine.n.sum()]}
+    )
+    allrows = pd.concat([fine, by_prio, by_year, top], ignore_index=True)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(allrows.o_orderpriority, pa.string()),
+            "o_year": pa.array(allrows.o_year.to_numpy().astype(np.int64)),
+            "revenue_c": pa.array(allrows.c.to_numpy().astype(np.int64)),
+            "n_orders": pa.array(allrows.n.to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def brand_price_quantiles(sf_dir: str, nparts: int = 8) -> rd.Dataset:
+    """Exact per-key quantiles (p50/p90 retail price per brand, in cents).
+
+    Scale shape: brands hash into ``nparts`` coarse partitions (same-key
+    rows co-locate; the shuffle sorts ``nparts`` keys, not brand count),
+    then within a partition ONE vectorized pass: sort by (brand, price),
+    find run boundaries, and index ``start + ceil(q·n) − 1`` — the
+    percentile_disc rule (smallest value with cume_dist ≥ q), matching
+    DuckDB's ``quantile_disc``.  No per-key Python loop, so the partition
+    pass is O(rows log rows) regardless of key cardinality."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["p_retailprice"], 100.0), 0.5)), pa.int64())
+        h = pd.util.hash_array(t["p_brand"].to_numpy(zero_copy_only=False)) % np.uint64(nparts)
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "c": c,
+                "part": pa.array(h.astype(np.int32)),
+            }
+        )
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["p_brand", "c"], kind="mergesort", ignore_index=True)
+        brand = df["p_brand"].to_numpy()
+        vals = df["c"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, brand[1:] != brand[:-1]])
+        ends = np.r_[starts[1:], len(brand)]
+        n = ends - starts
+        i50 = starts + np.ceil(0.5 * n).astype(np.int64) - 1
+        i90 = starts + np.ceil(0.9 * n).astype(np.int64) - 1
+        return pd.DataFrame(
+            {
+                "p_brand": brand[starts],
+                "p50_c": vals[i50].astype(np.int64),
+                "p90_c": vals[i90].astype(np.int64),
+                "n": n.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "user_funnel": user_funnel,
     "events_pivot_daily": events_pivot_daily,
@@ -1266,6 +1356,8 @@ QUERIES = {
     "purchase_prior_events": purchase_prior_events,
     "urgent_order_revenue": urgent_order_revenue,
     "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
+    "brand_price_quantiles": brand_price_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1288,6 +1380,28 @@ ORACLE_SQL = {
                CAST(SUM(c) AS BIGINT) AS revenue_c,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM base GROUP BY ROLLUP(prio, yr)
+    """,
+    "cube_revenue": """
+        WITH base AS (
+            SELECT o_orderpriority AS prio,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c
+            FROM orders)
+        SELECT COALESCE(prio, 'ALL') AS o_orderpriority,
+               CAST(COALESCE(yr, -1) AS BIGINT) AS o_year,
+               CAST(SUM(c) AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM base GROUP BY CUBE(prio, yr)
+    """,
+    "brand_price_quantiles": """
+        WITH base AS (
+            SELECT p_brand, CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS c
+            FROM part)
+        SELECT p_brand,
+               CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_c,
+               CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY p_brand
     """,
     "user_funnel": """
         WITH firsts AS (

@@ -93,3 +93,32 @@ def test_skewed_two_cluster(ray_session, tmp_path):
         [rng.uniform(10.0, 10.5, 990), rng.uniform(90000.0, 90001.0, 10)]
     )
     _check(tmp_path, prices.tolist())
+
+
+def _write_part(tmp_path, brands, prices):
+    pq.write_table(
+        pa.table(
+            {
+                "p_brand": pa.array(brands, pa.string()),
+                "p_retailprice": pa.array(prices, pa.float64()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_brand_quantiles_disc_rule(ray_session, tmp_path):
+    """percentile_disc rule: idx = ceil(q*n) (1-based) within each key."""
+    from crawler_ray.pipelines.relational import brand_price_quantiles
+
+    sf = _write_part(
+        tmp_path,
+        ["A"] * 4 + ["B"],
+        [0.10, 0.20, 0.30, 0.40, 0.05],
+    )
+    df = brand_price_quantiles(sf).to_pandas().set_index("p_brand")
+    # A: n=4 -> p50 = 2nd value (20c), p90 = ceil(3.6)=4th (40c)
+    assert df.loc["A", "p50_c"] == 20 and df.loc["A", "p90_c"] == 40
+    assert df.loc["B", "p50_c"] == 5 and df.loc["B", "p90_c"] == 5
+    assert df.loc["A", "n"] == 4 and df.loc["B", "n"] == 1
