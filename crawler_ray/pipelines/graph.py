@@ -3,19 +3,29 @@ connected components.
 
 The iterative-algorithm shape on Ray Data, without per-iteration joins:
 all per-node and per-edge state is tagged ONCE with a coarse partition id
-(``part = hash(key) % P``), and each power/label iteration is then
+(``part = hash(key) % P``).  For PageRank the static edge partitions are
+then PINNED in the object store (``_PartCache``) and each power iteration
+is two node-sized exchanges:
 
-    union(edges_part, state_part) → groupby("part") → map_groups(local merge)
+    state_part → groupby("part") → map_groups(scatter over pinned edges)
+    contrib ∪ nodes → groupby("part") → map_groups(gather)
 
-run twice (scatter by src, gather by dst) inside one lazy pipeline — two
-hash shuffles per iteration and zero ``Dataset.join``s. A local merge sees
-*every* edge of a given src together with that src's state row (both hash to
-the same partition), so out-degree, contribution and the partial aggregate
-are all computed vectorized inside the group; the second groupby co-locates
-contributions with their destination node rows the same way. This replaces
-the round-1 join/groupby/join/repartition loop, whose per-iteration fixed
-cost (4 shuffle barriers + the Acero empty-partition schema workaround)
-dominated wall time ~10:1 over useful compute.
+A scatter task sees every edge of its srcs (same hash partition) plus the
+src rank rows, so out-degree, contribution and the partial aggregate are
+all vectorized inside the group; gather co-locates contributions with
+their destination node rows the same way.  Measured trade-off at sf0.1
+(interleaved A/B, 32 cpus): re-shuffling edges through the exchange every
+iteration is ~1 s FASTER locally (7.6 vs 8.8 s — the tiny edge table costs
+less than the pin-load barrier + per-group plasma reads), but it ships the
+edge table iters× through the network where pinning ships it once and
+edges:nodes is ~10:1 on web graphs — at the 10^10-URL north-star scale the
+pinned layout is the only one that survives, so it is the default.  This
+replaces the round-1 join/groupby/join/repartition loop, whose
+per-iteration fixed cost (4 shuffle barriers + the Acero empty-partition
+schema workaround) dominated wall time ~10:1 over useful compute.  A
+fused gather+scatter single-shuffle-per-iteration variant was also
+measured SLOWER (9.3 vs 7.3 s) — the extra execution per iteration costs
+more than the saved barrier.
 
 Driver-side values stay scalar: the dangling mass / changed-row count are
 read from one-row-per-block partials (O(blocks) driver traffic, never the
@@ -34,7 +44,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
+
+
+@ray.remote
+class _PartCache:
+    """Pins per-partition Arrow tables in the object store for iterative
+    algorithms: a one-time load pass ``put``s each partition, and iteration
+    tasks then read their partition zero-copy from the local store via the
+    returned refs (fetched once per node on a cluster). The actor owns the
+    ``ray.put`` objects, so their lifetime is the pipeline's — not any
+    transient worker's — and dropping the actor handle frees everything."""
+
+    def __init__(self) -> None:
+        self._refs: dict[int, "ray.ObjectRef"] = {}
+
+    def put(self, part: int, tbl: pa.Table) -> None:
+        self._refs[part] = ray.put(tbl)
+
+    def get_all(self) -> dict[int, "ray.ObjectRef"]:
+        return dict(self._refs)
 
 # coarse shuffle fan-out: groups are the unit of parallelism for the local
 # merges, so ≥ the sandbox's useful core count; each group holds
@@ -86,13 +116,27 @@ def pagerank_edges(
 ) -> rd.Dataset:
     """PageRank over an (src_url, dst_url) edge dataset; returns
     (url, rank) with ranks summing to 1. Fixed iteration count keeps the
-    computation deterministic (no convergence predicate on floats)."""
+    computation deterministic (no convergence predicate on floats).
+
+    Iteration shape: the edge table is partitioned by hash(src) ONCE and
+    each partition pinned in the object store (a zero-CPU cache actor owns
+    the ``ray.put`` refs, so worker churn can't drop them).  Per power
+    iteration only the node-sized rank state rides the two exchanges —
+    scatter tasks read their static edge partition zero-copy from plasma
+    (fetched once per node on a cluster, then served from the local
+    store).  Re-shuffling the edges every iteration — the previous design
+    — moved the edge table 10× for no information gain; edges:nodes is
+    ~10:1 on web graphs, so this cuts per-iteration exchange bytes ~10×.
+    """
+    import ray
+
     edges = edges.materialize()
     P = _nparts()  # one consistent modulus for every exchange in this run
 
     # ---- setup (one pass over edges, one shuffle) -----------------------
-    # tag edges by hash(src) and attach out-degree inside the group — all
-    # out-edges of a src land in the same partition, so outdeg needs no join
+    # tag edges by hash(src); inside each partition group, attach per-src
+    # out-degree (all out-edges of a src co-locate, so no join) and pin the
+    # partition's edge table in plasma via the cache actor
     def tag_edges(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -102,28 +146,29 @@ def pagerank_edges(
             }
         )
 
-    def attach_outdeg(g: pd.DataFrame) -> pd.DataFrame:
+    cache = _PartCache.options(num_cpus=0).remote()
+
+    def load_part(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iat[0])
         od = g.groupby("src_url")["dst_url"].transform("size").astype("float64")
-        return pd.DataFrame(
+        tbl = pa.table(
             {
-                "src_url": g["src_url"],
-                "dst_url": g["dst_url"],
-                "outdeg": od,
-                "rank": np.nan,
-                "m": np.nan,
-                "part": g["part"],
+                "src_url": pa.array(g["src_url"].to_numpy(), pa.string()),
+                "dst_url": pa.array(g["dst_url"].to_numpy(), pa.string()),
+                "outdeg": pa.array(od.to_numpy()),
             }
         )
+        ray.get(cache.put.remote(p, tbl))
+        return pd.DataFrame({"part": [p], "n_edges": [len(g)]})
 
-    edges_p = (
+    edge_meta = (
         edges.map_batches(tag_edges, batch_size=65536, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(attach_outdeg, batch_format="pandas")
-        # identity arrow pass: map_groups emits pandas blocks, and a union
-        # of pandas + arrow blocks breaks the sort sampler in 2.49
-        .map_batches(lambda t: t, batch_format="pyarrow")
-        .materialize()
+        .map_groups(load_part, batch_format="pandas")
+        .to_pandas()  # P rows — forces the load pass
     )
+    del edge_meta
+    refs = ray.get(cache.get_all.remote())  # {part: ObjectRef(arrow table)}
 
     # node table with dangling mask m (1.0 for nodes with no outlinks),
     # built by one shuffle: src/dst occurrences keyed by the node url
@@ -187,31 +232,38 @@ def pagerank_edges(
         batch_format="pyarrow",
     ).materialize()
 
-    # ---- power iterations (2 shuffles each, no joins, ONE execution) ----
+    # ---- power iterations (two node-sized shuffles, ONE execution each) -
     # the driver never reads a per-iteration scalar: each scatter group
     # replicates its partial dangling mass to every gather partition as
     # marker rows (url null), so gather reconstructs the global dangling
-    # sum and applies `base` locally — the whole fixed-count power loop is
-    # a single lazy pipeline materialized once at the end
+    # sum and applies `base` locally.  (A fused gather+scatter single-
+    # shuffle variant was measured SLOWER here — 9.3 s vs 7.3 s at sf0.1 —
+    # the extra execution per iteration costs more than the saved barrier.)
     def scatter(g: pd.DataFrame) -> pd.DataFrame:
-        """rank rows (dst null) + edge rows, same hash(src) partition:
-        map src→rank, contribute rank/outdeg, pre-aggregate by dst; append
-        one dangling-partial summary row per gather partition."""
-        is_rank = g["dst_url"].isna()
-        r = g[is_rank]
-        e = g[~is_rank]
-        d_p = float(np.nansum(r["rank"].to_numpy() * r["m"].to_numpy()))
-        if e.empty:
+        """rank rows of one hash(url) partition: fetch the partition's
+        pinned edge table, map src→rank, contribute rank/outdeg,
+        pre-aggregate by dst; append one dangling-partial summary row per
+        gather partition."""
+        p = int(g["part"].iat[0])
+        d_p = float(np.nansum(g["rank"].to_numpy() * g["m"].to_numpy()))
+        ref = refs.get(p)
+        if ref is None:
             urls = np.empty(0, dtype=object)
             cs = np.empty(0, dtype=np.float64)
             parts = np.empty(0, dtype=np.int32)
         else:
-            src_rank = e["src_url"].map(
-                pd.Series(r["rank"].to_numpy(), index=r["src_url"].to_numpy())
+            e = ray.get(ref)  # zero-copy arrow read from the local store
+            src = e["src_url"].to_numpy(zero_copy_only=False)
+            src_rank = (
+                pd.Series(src)
+                .map(pd.Series(g["rank"].to_numpy(), index=g["url"].to_numpy()))
+                .to_numpy()
             )
-            c = src_rank.to_numpy() / e["outdeg"].to_numpy()
+            c = src_rank / e["outdeg"].to_numpy()
             out = (
-                pd.DataFrame({"url": e["dst_url"].to_numpy(), "c": c})
+                pd.DataFrame(
+                    {"url": e["dst_url"].to_numpy(zero_copy_only=False), "c": c}
+                )
                 .groupby("url", sort=False)["c"]
                 .sum()
             )
@@ -248,22 +300,8 @@ def pagerank_edges(
         )
 
     for _ in range(iters):
-        ranks_a = ranks.map_batches(
-            lambda t: pa.table(
-                {
-                    "src_url": t["url"],
-                    "dst_url": pa.nulls(t.num_rows, pa.string()),
-                    "outdeg": pa.nulls(t.num_rows, pa.float64()),
-                    "rank": t["rank"],
-                    "m": t["m"],
-                    "part": t["part"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
         contrib = (
-            edges_p.union(ranks_a)
-            .groupby("part")
+            ranks.groupby("part")
             .map_groups(scatter, batch_format="pandas")
             .map_batches(
                 lambda t: pa.table(
@@ -279,8 +317,8 @@ def pagerank_edges(
         )
         # materialize per iteration: one execution each (the dangling
         # summaries remove the driver-scalar pass), and a flat lineage —
-        # a 10-iteration fully-lazy plan compiles ~20 chained shuffles and
-        # is measurably slower than 10 flat executions on 2.49
+        # a fully-lazy multi-iteration plan compiles chained shuffles and
+        # is measurably slower than flat executions on 2.49
         ranks = (
             contrib.union(nodes_b)
             .groupby("part")
@@ -289,6 +327,7 @@ def pagerank_edges(
             .materialize()
         )
     return ranks.select_columns(["url", "rank"])
+
 
 
 def pagerank(sf_dir: str, iters: int = 10, damping: float = 0.85) -> rd.Dataset:
