@@ -143,40 +143,92 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
     """Blocked similarity join: block on the first 100 chars, compute
     distinct-token Jaccard within each block (pairs a<b).
 
+    Two-pass candidate shape: pass 1 shuffles only 8-byte block hashes
+    (coarse-partition counts) to find blocks with ≥2 members — singleton
+    blocks (the vast majority of a real corpus) can produce no pairs, so
+    their TEXT never rides an exchange.  The multi-block hash set is
+    broadcast once (``ray.put``); pass 2 filters the materialized blocked
+    table to candidate docs and co-locates each surviving block by hash
+    for the within-block pair pass.  The candidate set is dup-family-sized —
+    if a corpus ever grew it beyond broadcast size, the fallback is the
+    hash-partitioned join the dedup_clusters loser-removal already uses.
+    A 64-bit block-hash collision only merges two blocks into one pandas
+    group — pair generation re-checks block-string equality, so results
+    are unaffected.
+
     Block membership is capped at the ``block_cap`` smallest doc_ids — a
     boilerplate-heavy corpus can put millions of docs behind one shared
     prefix, and an uncapped block is O(n²) Python in a single task. The
     SQL oracle applies the identical cap (QUALIFY ROW_NUMBER ≤ cap), so
     the semantics stay oracle-exact; beyond-cap members of a degenerate
     block are by construction near-identical boilerplate."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    import ray
+
     NPARTS = 64  # blocks co-located by hash — most blocks are singletons,
     # and one pandas group per distinct prefix would be one tiny group per
     # document at corpus scale
 
-    def blocked(t: pa.Table) -> pa.Table:
-        import zlib
+    def _bh(texts: np.ndarray) -> np.ndarray:
+        blocks = pd.Series(texts).str.slice(0, 100).to_numpy(dtype=object)
+        return pd.util.hash_array(blocks)
 
-        texts = t["text"].to_pylist()
-        blocks = [s[:100] for s in texts]
+    # ---- one corpus pass: blocked table materialized, hash-only counts --
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def blocked(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_numpy(zero_copy_only=False)
+        blocks = pd.Series(texts).str.slice(0, 100).to_numpy(dtype=object)
+        bh = pd.util.hash_array(blocks)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "block": pa.array(blocks, pa.string()),
-                "part": pa.array(
-                    np.fromiter(
-                        (zlib.crc32(b.encode()) % NPARTS for b in blocks),
-                        np.int32, len(blocks),
-                    )
-                ),
+                "bh": pa.array(bh.astype(np.int64)),
+                "part": pa.array((bh % np.uint64(NPARTS)).astype(np.int32)),
                 "text": t["text"],
             }
         )
 
-    # materialize before the sort-groupby (Sort-reservation throttling —
-    # see dedup_exact); the blocked table is corpus-sized but the groupby
-    # is an all-to-all that would hold it all anyway
     ds = docs.map_batches(blocked, batch_format="pyarrow").materialize()
+
+    # pass 1 over the materialized table: 8-byte hash counts only
+    def count_partial(t: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(t["bh"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "bh": pa.array(uniq),
+                "c": pa.array(cnt.astype(np.int64)),
+                "part": pa.array((uniq.astype(np.uint64) % np.uint64(NPARTS)).astype(np.int32)),
+            }
+        )
+
+    def multi_blocks(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("bh", sort=False)["c"].sum()
+        s = s[s >= 2]
+        return pd.DataFrame({"bh": s.index.to_numpy(np.int64)})
+
+    cand = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(multi_blocks, batch_format="pandas")
+        .to_pandas()["bh"]  # dup-family-sized; see docstring for fallback
+        .to_numpy(np.int64)
+    )
+    cand = np.sort(cand)  # copy: to_numpy may hand back a read-only view
+    cand_ref = ray.put(cand)
+
+    # pass 2: only candidate docs' text enters the exchange
+    def gate(t: pa.Table, ref=cand_ref) -> pa.Table:
+        cand = ray.get(ref)
+        bh = t["bh"].to_numpy()
+        pos = np.searchsorted(cand, bh)
+        hit = np.zeros(len(bh), bool)
+        if len(cand):
+            inb = pos < len(cand)
+            hit[inb] = cand[pos[inb]] == bh[inb]
+        return t.filter(pa.array(hit)).drop_columns(["bh"])
+
+    ds = ds.map_batches(gate, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame, cap=block_cap) -> pd.DataFrame:
         g = g.sort_values(["block", "doc_id"], kind="mergesort")
@@ -209,7 +261,6 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
         ds.groupby("part")
         .map_groups(pairs, batch_format="pandas")
     )
-
 
 def ngram_jaccard_pairs(sf_dir: str, k: int = 3, block_cap: int = 256) -> rd.Dataset:
     """Blocked word-k-gram (shingle) Jaccard similarity join — the n-gram
