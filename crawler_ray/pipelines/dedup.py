@@ -694,6 +694,23 @@ def _simhash64(tokens: list[str]) -> int:
     return int(weights.sum(dtype=np.uint64))
 
 
+def _simhash64_batch(rows: np.ndarray, hs: np.ndarray, ndocs: int) -> np.ndarray:
+    """Vectorized Charikar simhash for a whole batch: per-bit token votes
+    accumulated per doc via bincount over the flat token array — 64 array
+    passes per BATCH instead of a (tokens × 64) matrix per DOCUMENT.
+    Bit-identical to ``_simhash64`` applied per document (the pytest pins
+    that equivalence)."""
+    out = np.zeros(ndocs, np.uint64)
+    for b in range(64):
+        v = (((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1).astype(
+            np.float64
+        )
+        # float64 weights are exact for any realistic token count (< 2^53)
+        acc = np.bincount(rows, weights=v, minlength=ndocs)
+        out |= (acc > 0).astype(np.uint64) << np.uint64(b)
+    return out
+
+
 def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     """SimHash near-dup pairs: 64-bit simhash, pigeonhole blocking on 4
     16-bit chunks (hamming ≤ 3 ⇒ one chunk identical), hamming
@@ -704,21 +721,30 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     NPARTS = 64
 
     def sh(t: pa.Table) -> pa.Table:
-        ids, keys, hashes = [], [], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            h = _simhash64(_TOKEN_RE.findall(s.lower()))
-            for c in range(4):
-                chunk = (h >> (16 * c)) & 0xFFFF
-                ids.append(did)
-                keys.append((c << 16) | chunk)
-                hashes.append(h)
-        karr = np.array(keys, dtype=np.int64)
+        # batch tokenize (same token set as _TOKEN_RE.findall on lowered
+        # text: RE2 complement-split + empty filter), then one vectorized
+        # simhash pass and a vectorized 4-band explode
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        keep = vals != ""
+        hs = _token_hashes(vals[keep])
+        h64 = _simhash64_batch(rows[keep], hs, len(n))
+        dids = t["doc_id"].to_numpy()
+        ids = np.repeat(dids, 4)
+        h_rep = np.repeat(h64, 4)
+        c = np.tile(np.arange(4, dtype=np.uint64), len(dids))
+        chunk = (h_rep >> (np.uint64(16) * c)) & np.uint64(0xFFFF)
+        karr = (c.astype(np.int64) << 16) | chunk.astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "block": pa.array(karr),
                 "part": pa.array((karr % NPARTS).astype(np.int32)),
-                "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
+                "simhash": pa.array(h_rep),
             }
         )
 
