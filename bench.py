@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "encode_tokens",
     "brand_price_quantiles",
     "cube_revenue",
+    "hopping_window_counts",
 ]
 
 

@@ -1280,6 +1280,64 @@ def cube_revenue(sf_dir: str) -> pa.Table:
     )
 
 
+def hopping_window_counts(
+    sf_dir: str, size_s: int = 3600, hop_s: int = 900, nparts: int = 8
+) -> rd.Dataset:
+    """Hopping-window aggregate (1 h windows advancing every 15 min): each
+    event lands in ``size/hop`` overlapping windows — the streaming-window
+    shape Ray Data lacks natively, expressed as a vectorized 1→N explode
+    with a per-batch combiner, then a coarse-partition global sum (window
+    cardinality grows with the time range, so the key is high-cardinality
+    at scale — the ``_global_sum_parted`` argument).  All arithmetic is
+    integer microseconds, so the oracle hashes identically."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    k = size_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = (us // hop_us) * hop_us
+        ws = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64) * hop_us, len(us))
+        et = np.repeat(t["event_type"].to_numpy(zero_copy_only=False), k)
+        c = np.repeat(
+            pc.cast(
+                pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64()
+            ).to_numpy(),
+            k,
+        )
+        # per-batch combiner: one row per (window, type) per batch
+        part = pa.table({"ws": ws, "event_type": et, "c": c, "n": np.ones(len(ws), np.int64)})
+        gb = part.group_by(["ws", "event_type"]).aggregate([("c", "sum"), ("n", "sum")])
+        wsu = gb["ws"].to_numpy()
+        p = ((wsu.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(nparts)
+        return pa.table(
+            {
+                "ws": gb["ws"],
+                "event_type": gb["event_type"],
+                "c": gb["c_sum"],
+                "n": gb["n_sum"],
+                "part": pa.array(p.astype(np.int32)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["ws", "event_type"], sort=False, as_index=False)[["c", "n"]].sum()
+        return pd.DataFrame(
+            {
+                "window_start": (out["ws"] // 1_000_000).astype(np.int64),
+                "event_type": out["event_type"],
+                "n_events": out["n"].astype(np.int64),
+                "sum_value_c": out["c"].astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(explode, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def brand_price_quantiles(sf_dir: str, nparts: int = 8) -> rd.Dataset:
     """Exact per-key quantiles (p50/p90 retail price per brand, in cents).
 
@@ -1358,6 +1416,7 @@ QUERIES = {
     "rollup_revenue": rollup_revenue,
     "cube_revenue": cube_revenue,
     "brand_price_quantiles": brand_price_quantiles,
+    "hopping_window_counts": hopping_window_counts,
 }
 
 ORACLE_SQL = {
@@ -1392,6 +1451,21 @@ ORACLE_SQL = {
                CAST(SUM(c) AS BIGINT) AS revenue_c,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM base GROUP BY CUBE(prio, yr)
+    """,
+    "hopping_window_counts": """
+        WITH e AS (
+            SELECT epoch_us(ts) AS us, event_type,
+                   CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c
+            FROM events),
+        x AS (
+            SELECT (us // 900000000) * 900000000 - UNNEST(range(0, 4)) * 900000000
+                       AS ws_us,
+                   event_type, c
+            FROM e)
+        SELECT ws_us // 1000000 AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(c) AS BIGINT) AS sum_value_c
+        FROM x GROUP BY 1, 2
     """,
     "brand_price_quantiles": """
         WITH base AS (

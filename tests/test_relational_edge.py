@@ -122,3 +122,21 @@ def test_brand_quantiles_disc_rule(ray_session, tmp_path):
     assert df.loc["A", "p50_c"] == 20 and df.loc["A", "p90_c"] == 40
     assert df.loc["B", "p50_c"] == 5 and df.loc["B", "p90_c"] == 5
     assert df.loc["A", "n"] == 4 and df.loc["B", "n"] == 1
+
+
+def test_hopping_window_membership(ray_session, tmp_path):
+    """An event belongs to exactly size/hop windows whose starts are the
+    preceding hop-aligned instants."""
+    from crawler_ray.pipelines.relational import hopping_window_counts
+
+    ts = pa.array([np.datetime64("2024-01-01T01:07:30.000000", "us")],
+                  pa.timestamp("us"))
+    pq.write_table(
+        pa.table({"ts": ts, "event_type": pa.array(["view"]),
+                  "value": pa.array([2.0], pa.float64())}),
+        str(tmp_path / "events.parquet"),
+    )
+    df = hopping_window_counts(str(tmp_path)).to_pandas().sort_values("window_start")
+    base = int(np.datetime64("2024-01-01T01:00:00", "s").astype("int64"))
+    assert list(df.window_start) == [base - 2700, base - 1800, base - 900, base]
+    assert (df.n_events == 1).all() and (df.sum_value_c == 200).all()
