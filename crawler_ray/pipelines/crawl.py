@@ -31,8 +31,10 @@ short body → dropped but stays visited.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass, field
 
@@ -61,6 +63,10 @@ from crawler_ray.stages.seen import SeenSet, seen_filter_fn
 
 # full seen-set compaction cadence; iterations in between checkpoint deltas
 SEEN_COMPACT_EVERY = 8
+
+# sitemap <loc> extraction (sitemaps are machine-generated; a regex parse
+# is the standard fast path and matches the oracle byte-for-byte)
+_LOC_RE = re.compile(r"<loc>(.*?)</loc>")
 
 FRONTIER_COLS = ["url", "host", "key", "h64", "depth", "priority", "seq", "attempt", "rule", "carry"]
 _FRONTIER_TYPES = {
@@ -236,16 +242,17 @@ def _host_scheme_partial(t: pa.Table) -> pa.Table:
     )
 
 
-def _fetch_robots_bodies(
-    pages_dir: str, new, fetcher_factory, fetcher_key: str
+def _fetch_control_bodies(
+    pages_dir: str, new, fetcher_factory, fetcher_key: str, path: str = "/robots.txt"
 ) -> dict[str, str]:
-    """Fetch ``<scheme>://<host>/robots.txt`` for the given (host, scheme)
-    rows through the SAME Fetcher path page fetches use (Parquet probe or a
-    live HttpFetcher). Control-plane: no order rows, no seen marks. Returns
-    host → body for hits only; misses mean 'no robots' (allow-all)."""
+    """Fetch ``<scheme>://<host><path>`` (robots.txt / sitemap.xml) for the
+    given (host, scheme) rows through the SAME Fetcher path page fetches use
+    (Parquet probe or a live HttpFetcher). Control-plane: no order rows, no
+    seen marks. Returns host → body for hits only; misses mean 'absent'
+    (allow-all for robots, no extra seeds for sitemaps)."""
     from crawler_ray.stages.fetch import make_fetch_fn
 
-    urls = [f"{s}://{h}/robots.txt" for h, s in zip(new["host"], new["scheme"])]
+    urls = [f"{s}://{h}{path}" for h, s in zip(new["host"], new["scheme"])]
     tbl = pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -287,6 +294,10 @@ def run_crawl(
     fetcher_factory=None,
     fetcher_key: str = "simulated",
     robots_from_corpus: bool = False,
+    sitemaps_from_corpus: bool = False,
+    sitemap_rule: str = "detail",
+    sitemap_depth: int = 1,
+    sitemap_priority: int = 0,
     robots_agent: str = "*",
     robots_window_s: float = 60.0,
 ) -> CrawlResult:
@@ -366,6 +377,14 @@ def run_crawl(
     # O(hosts) JSON — at 10^10-URL scale it becomes a partitioned Parquet
     # side table with per-generation deltas, same as the seen shards.
     robots_checked: set[str] = set()
+    # sitemap warm cache: hosts whose /sitemap.xml has been ingested. Same
+    # O(hosts) JSON checkpoint/restore story as robots.json.
+    sitemap_checked: set[str] = set()
+    if sitemaps_from_corpus and resume and last is not None:
+        spath = os.path.join(out_dir, f"iter_{last:04d}", "sitemaps.json")
+        if os.path.exists(spath):
+            with open(spath) as fh:
+                sitemap_checked = set(json.load(fh)["checked"])
     if robots_from_corpus and resume and last is not None:
         rpath = os.path.join(out_dir, f"iter_{last:04d}", "robots.json")
         if os.path.exists(rpath):
@@ -429,19 +448,21 @@ def run_crawl(
         fr = fr.map_batches(
             canonicalize_fn(cfg.max_depth), batch_size=32768, batch_format="pyarrow"
         )
-        if robots_from_corpus:
-            # warm the robots cache for hosts newly present in this
-            # generation's frontier BEFORE the robots gate: a host's
-            # Disallow / Crawl-delay apply from its first generation on.
+        if robots_from_corpus or sitemaps_from_corpus:
+            # warm the robots/sitemap caches for hosts newly present in
+            # this generation's frontier BEFORE the robots gate: a host's
+            # Disallow / Crawl-delay apply from its first generation on,
+            # and its sitemap URLs compete in this generation's admission.
             # The materialize is reused by the admission chain below.
             fr = fr.materialize()
             hs = fr.map_batches(_host_scheme_partial, batch_format="pyarrow").to_pandas()
             if len(hs):
                 # deterministic scheme per host regardless of block order
                 hs = hs.sort_values(["host", "scheme"]).drop_duplicates("host")
+            if robots_from_corpus and len(hs):
                 new = hs[~hs["host"].isin(robots_checked)]
                 if len(new):
-                    bodies = _fetch_robots_bodies(
+                    bodies = _fetch_control_bodies(
                         corpus.pages, new, fetcher_factory, fetcher_key
                     )
                     robots_checked.update(new["host"])
@@ -452,7 +473,48 @@ def run_crawl(
                             agent=robots_agent,
                             base=cfg,
                         )
-            t0 = _tick(f"it{it} robots warm", t0)
+                t0 = _tick(f"it{it} robots warm", t0)
+            if sitemaps_from_corpus and len(hs):
+                new = hs[~hs["host"].isin(sitemap_checked)]
+                if len(new):
+                    bodies = _fetch_control_bodies(
+                        corpus.pages, new, fetcher_factory, fetcher_key,
+                        path="/sitemap.xml",
+                    )
+                    sitemap_checked.update(new["host"])
+                    locs: list[str] = []
+                    for h in sorted(bodies):
+                        locs.extend(_LOC_RE.findall(bodies[h]))
+                    if locs:
+                        # sitemap URLs enter THIS generation's frontier and
+                        # ride the normal canonicalize → robots → seen →
+                        # admission path; seq = md5(url) is deterministic,
+                        # so the single-process oracle reproduces ordering
+                        inj = pa.Table.from_arrays(
+                            [
+                                pa.array(locs, pa.string()),
+                                pa.array([""] * len(locs), pa.string()),
+                                pa.array([""] * len(locs), pa.string()),
+                                pa.array([0] * len(locs), pa.uint64()),
+                                pa.array([sitemap_depth] * len(locs), pa.int32()),
+                                pa.array([sitemap_priority] * len(locs), pa.int32()),
+                                pa.array(
+                                    [hashlib.md5(u.encode()).digest() for u in locs],
+                                    pa.binary(),
+                                ),
+                                pa.array([0] * len(locs), pa.int32()),
+                                pa.array([sitemap_rule] * len(locs), pa.string()),
+                                pa.array(["{}"] * len(locs), pa.string()),
+                            ],
+                            schema=FRONTIER_SCHEMA,
+                        )
+                        fr = fr.union(
+                            ray.data.from_arrow(inj).map_batches(
+                                canonicalize_fn(cfg.max_depth),
+                                batch_format="pyarrow",
+                            )
+                        )
+                t0 = _tick(f"it{it} sitemap warm", t0)
         fr = fr.map_batches(robots_filter_fn(cfg), batch_format="pyarrow")
         # Task.Reload bypasses the visited check entirely (the reference
         # skips HasVisited when Reload is set, engine/crawler.go:85,
@@ -646,6 +708,9 @@ def run_crawl(
                          added=d["added"], removed=d["removed"])
         t0 = _tick(f"it{it} seen dump ({seen_kind})", t0)
 
+        if sitemaps_from_corpus:
+            with open(os.path.join(ckdir, "sitemaps.json"), "w") as fh:
+                json.dump({"checked": sorted(sitemap_checked)}, fh)
         if robots_from_corpus:
             with open(os.path.join(ckdir, "robots.json"), "w") as fh:
                 json.dump(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
@@ -59,6 +60,10 @@ def run_oracle(
     task: TaskSpec = SYNTH_TASK,
     max_iterations: int = 64,
     robots_from_corpus: bool = False,
+    sitemaps_from_corpus: bool = False,
+    sitemap_rule: str = "detail",
+    sitemap_depth: int = 1,
+    sitemap_priority: int = 0,
     robots_agent: str = "*",
     robots_window_s: float = 60.0,
 ) -> OracleResult:
@@ -68,6 +73,8 @@ def run_oracle(
     max_depth = min(cfg.max_depth, task.max_depth)
     rules = compile_task(task)
     robots_checked: set[str] = set()
+    sitemap_checked: set[str] = set()
+    loc_re = re.compile(r"<loc>(.*?)</loc>")
 
     pages = pq.read_table(corpus.pages)
     page_map = {
@@ -132,6 +139,38 @@ def run_oracle(
                     bodies, window_seconds=robots_window_s,
                     agent=robots_agent, base=cfg,
                 )
+        if sitemaps_from_corpus:
+            # ingest /sitemap.xml for hosts newly in this generation's
+            # depth-passing frontier (pre-injection, same as the engine);
+            # <loc> URLs join THIS generation's frontier with seq=md5(url)
+            pairs: dict[str, str] = {}
+            for r in frontier:
+                if r["depth"] > max_depth:
+                    continue
+                url = _canon(r["url"])
+                scheme = url.split("://", 1)[0] if "://" in url else "https"
+                host = _host(url)
+                if host not in pairs or scheme < pairs[host]:
+                    pairs[host] = scheme
+            for host in sorted(pairs):
+                if host in sitemap_checked:
+                    continue
+                sitemap_checked.add(host)
+                page = page_map.get(f"{pairs[host]}://{host}/sitemap.xml")
+                if page is None:
+                    continue
+                for loc in loc_re.findall(page[0].decode("utf-8", errors="replace")):
+                    frontier.append(
+                        {
+                            "url": loc,
+                            "depth": sitemap_depth,
+                            "priority": sitemap_priority,
+                            "seq": hashlib.md5(loc.encode()).digest(),
+                            "attempt": 0,
+                            "rule": sitemap_rule,
+                            "carry": {},
+                        }
+                    )
         # canonicalize + depth + robots + cross-iteration seen
         rows = []
         for r in frontier:

@@ -43,7 +43,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 4
+GEN_VERSION = 5
 FANOUT = 8
 NUM_HOSTS = 64
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
@@ -170,9 +170,30 @@ def synth_corpus(
         url = f"https://{_host_for(k * 13 + 1, skew)}/tag/{k}"
         add_desc(url, "tag", k)
         seed_urls.append(url)
+    # orphan detail pages: valid details reachable ONLY through each host's
+    # /sitemap.xml (ids live above n_docs, so no list's link range can ever
+    # cover them) — the sitemap-ingestion feature's demonstrable frontier
+    # gain. Ban/short fractions apply to them like any detail page.
+    n_orphans = max(2, n_docs // 16)
+    orphans_by_host: dict[str, list[str]] = {}
+    for i in range(n_docs, n_docs + n_orphans):
+        h = _host_for(i, skew)
+        u = f"https://{h}/detail/{i}"
+        orphans_by_host.setdefault(h, []).append(u)
+        add_desc(u, "detail", i)
+    sitemap_hosts = sorted(orphans_by_host)
+    for hi, h in enumerate(sitemap_hosts):
+        add_desc(f"https://{h}/sitemap.xml", "sitemap", hi)
 
     def render(kind: str, ident: int) -> tuple[str, str, int]:
         """→ (html, golden_text, filter_index) for one page."""
+        if kind == "sitemap":
+            h = sitemap_hosts[ident]
+            body = "".join(f"<url><loc>{u}</loc></url>" for u in orphans_by_host[h])
+            html = '<?xml version="1.0" encoding="UTF-8"?><urlset>' + body + "</urlset>"
+            # fi=1: never ban-marked; the short-page padding appends an
+            # XML-comment tail, harmless to the <loc> regex parse
+            return html, "", 1
         if kind == "detail":
             i = ident
             f = _detail_fields(i, _clean_text(doc_text[i % n_base]))
