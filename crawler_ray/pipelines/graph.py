@@ -356,11 +356,14 @@ def connected_components(
     """Connected components by min-label propagation; returns
     (node, component) with component = min node id in the component.
 
-    Same two-shuffle union/coarse-groupby iteration as ``pagerank_edges``
-    — O(diameter) rounds, the right trade for near-dup clusters (tiny
-    diameters); a web-graph-scale CC would add pointer-jumping
-    (large-star/small-star) to cut rounds to O(log n). Convergence is a
-    streamed changed-row count (one partial per block on the driver)."""
+    Same pinned-edge iteration shape as ``pagerank_edges``: the undirected
+    edge partitions are loaded into the object store ONCE (the same pass
+    also seeds the label table, so setup is a single groupby), and each
+    superstep is two node-sized exchanges — O(diameter) rounds, the right
+    trade for near-dup clusters (tiny diameters); a web-graph-scale CC
+    would add pointer-jumping (large-star/small-star) to cut rounds to
+    O(log n). Convergence is a streamed changed-row count (one partial per
+    block on the driver)."""
     P = _nparts()
 
     # undirected, tagged by hash(u); node ids are int64
@@ -375,42 +378,57 @@ def connected_components(
             {
                 "u": u,
                 "v": v,
-                "label": pa.nulls(len(u), pa.int64()),
                 "part": pa.array(_ipart(np.asarray(u), P)),
             }
         )
 
-    und = edges.map_batches(tag_und, batch_size=65536, batch_format="pyarrow").materialize()
+    cache = _PartCache.options(num_cpus=0).remote()
 
-    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+    def load_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Pin this partition's edges AND seed its labels in one pass."""
+        p = int(g["part"].iat[0])
+        tbl = pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy().astype(np.int64)),
+                "v": pa.array(g["v"].to_numpy().astype(np.int64)),
+            }
+        )
+        ray.get(cache.put.remote(p, tbl))
         uu = np.unique(g["u"].to_numpy())
         return pd.DataFrame(
-            {"u": uu, "label": uu, "part": np.full(len(uu), g["part"].iat[0], dtype=np.int32)}
+            {"u": uu.astype(np.int64), "label": uu.astype(np.int64),
+             "part": np.full(len(uu), p, dtype=np.int32)}
         )
 
     labels = (
-        und.groupby("part").map_groups(init_labels, batch_format="pandas").materialize()
+        edges.map_batches(tag_und, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(load_part, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
     )
     if labels.count() == 0:
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
         )
+    refs = ray.get(cache.get_all.remote())  # {part: ObjectRef(arrow edges)}
 
     def scatter(g: pd.DataFrame) -> pd.DataFrame:
-        """label rows (v null) + edge rows in one hash(u) partition: send
-        each node's label to its neighbors, pre-aggregated by min."""
-        is_lab = g["v"].isna()
-        lab = g[is_lab]
-        e = g[~is_lab]
-        if e.empty:
+        """label rows of one hash(u) partition: read the pinned edge
+        partition, send each node's label to its neighbors, pre-aggregated
+        by min."""
+        p = int(g["part"].iat[0])
+        ref = refs.get(p)
+        if ref is None:
             return pd.DataFrame({"u": [], "nbr": [], "part": []}).astype(
                 {"u": "int64", "nbr": "int64", "part": "int32"}
             )
-        nbr = e["u"].map(
-            pd.Series(lab["label"].to_numpy(), index=lab["u"].to_numpy())
+        e = ray.get(ref)  # zero-copy arrow read from the local store
+        nbr = pd.Series(e["u"].to_numpy()).map(
+            pd.Series(g["label"].to_numpy(), index=g["u"].to_numpy())
         )
         out = (
-            pd.DataFrame({"u": e["v"].to_numpy().astype(np.int64), "nbr": nbr.to_numpy()})
+            pd.DataFrame({"u": e["v"].to_numpy(), "nbr": nbr.to_numpy()})
             .groupby("u", sort=False)["nbr"]
             .min()
         )
@@ -437,20 +455,8 @@ def connected_components(
         )
 
     for _ in range(max_iters):
-        lab_a = labels.map_batches(
-            lambda t: pa.table(
-                {
-                    "u": t["u"],
-                    "v": pa.nulls(t.num_rows, pa.int64()),
-                    "label": t["label"],
-                    "part": t["part"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
         inc = (
-            und.union(lab_a)
-            .groupby("part")
+            labels.groupby("part")
             .map_groups(scatter, batch_format="pandas")
             .map_batches(
                 lambda t: pa.table(
