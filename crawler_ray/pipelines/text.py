@@ -528,21 +528,35 @@ def ngram_contamination(sf_dir: str, n: int = 5, parts: int = 16) -> rd.Dataset:
     import pandas as pd
 
     def grams(t: pa.Table) -> pa.Table:
+        # eval rows keep (doc, gram); train rows only need the DISTINCT
+        # gram set (membership is "in ANY train doc"), so cross-doc train
+        # repeats are combined per batch before anything shuffles and the
+        # train side ships no doc ids (sentinel -1)
         ids: list[int] = []
         gs: list[str] = []
-        ev: list[int] = []
+        train: set[str] = set()
         for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             toks = _TOKEN_RE.findall(s.lower())
             seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            ids.extend([did] * len(seen))
-            gs.extend(seen)
-            ev.extend([1 if did % 10 == 0 else 0] * len(seen))
+            if did % 10 == 0:
+                ids.extend([did] * len(seen))
+                gs.extend(seen)
+            else:
+                train.update(seen)
+        n_ev = len(gs)
+        gs.extend(train)
+        all_ids = np.concatenate(
+            [np.asarray(ids, np.int64), np.full(len(train), -1, np.int64)]
+        )
+        ev = np.concatenate(
+            [np.ones(n_ev, np.int8), np.zeros(len(train), np.int8)]
+        )
         h = pd.util.hash_array(np.asarray(gs, dtype=object))
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": pa.array(all_ids),
                 "gram": pa.array(gs, pa.string()),
-                "is_eval": pa.array(ev, pa.int8()),
+                "is_eval": pa.array(ev),
                 "part": pa.array((h % np.uint64(parts)).astype(np.int32)),
             }
         )
@@ -558,7 +572,7 @@ def ngram_contamination(sf_dir: str, n: int = 5, parts: int = 16) -> rd.Dataset:
                     "n_hit": pd.Series([], dtype="int64"),
                 }
             )
-        hit = e["gram"].isin(set(train)).to_numpy().astype(np.int64)
+        hit = e["gram"].isin(train).to_numpy().astype(np.int64)
         out = (
             pd.DataFrame({"doc_id": e["doc_id"].to_numpy(), "n_grams": 1, "n_hit": hit})
             .groupby("doc_id", sort=False, as_index=False)
