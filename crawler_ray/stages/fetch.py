@@ -58,7 +58,18 @@ class Fetcher(Protocol):
 
 
 class SimulatedFetcher:
-    """Actor-pool ``map_batches`` stage: stateful setup once per actor."""
+    """Actor-pool ``map_batches`` stage: stateful setup once per actor.
+
+    ``deterministic = True`` declares that fetching the same url always
+    yields the same bytes (the corpus is immutable) — the fused crawl stage
+    uses this to resolve retry rows from the membership probe alone (a url
+    that failed as *banned* is still present and still banned; one that
+    failed as *missing* is still absent), skipping the row-group decompress
+    a retry would otherwise repeat. A live fetcher must leave this False:
+    its retries exist precisely because the outcome may change.
+    """
+
+    deterministic = True
 
     def __init__(self, pages_dir: str, lru_groups: int = 64):
         import json
@@ -144,14 +155,14 @@ class SimulatedFetcher:
             self.lru.popitem(last=False)
         return arrays
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def membership(self, batch: pa.Table):
+        """Vectorized membership probe: (exists mask, clamped corpus
+        positions). Misses never touch row groups; the global searchsorted
+        position of a hit is its exact corpus row (the layout is globally
+        url-sorted), so pos - group_start addresses the group's html/ts
+        arrays directly — no per-row Python anywhere."""
         import numpy as np
 
-        n = batch.num_rows
-        # vectorized membership probe: misses never touch row groups. The
-        # global searchsorted position is the exact corpus row of a hit (the
-        # layout is globally url-sorted), so pos - group_start addresses the
-        # group's html/ts arrays directly — no per-row Python anywhere.
         width = self.url_index.dtype.itemsize
         url_bin = pc.cast(batch.column("url").combine_chunks(), pa.binary())
         url_np = url_bin.to_numpy(zero_copy_only=False)
@@ -162,6 +173,13 @@ class SimulatedFetcher:
         # lens <= width ⇒ probe is exact (NUL-padded), so equality is exact
         # membership; a longer url can never be in a width-wide index.
         exists = (self.url_index[pos_c] == probe) & (lens <= width)
+        return exists, pos_c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        exists, pos_c = self.membership(batch)
         hit_idx = np.flatnonzero(exists)
         if hit_idx.size == 0:
             return batch.append_column(
