@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "ngram_contamination",
     "repetition_signals",
+    "bigram_familiarity",
     # curation suite (round 3)
     "pii_scrub",
     "chunk_documents",

@@ -609,6 +609,98 @@ def ngram_contamination(sf_dir: str, n: int = 5, parts: int = 16) -> rd.Dataset:
     )
 
 
+def bigram_familiarity(sf_dir: str, parts: int = 16) -> rd.Dataset:
+    """Corpus-LM fluency proxy (the integer-exact stand-in for an n-gram
+    LM perplexity filter, CCNet-style): for every document, how common are
+    its consecutive token bigrams across the WHOLE corpus? Emits
+    ``(doc_id, n_bigrams, fam_sum, fam_avg_c)`` where ``fam_sum`` is the
+    sum over the doc's bigram occurrences of that bigram's corpus-wide
+    occurrence count and ``fam_avg_c = 1e6 * fam_sum // n_bigrams``.
+    Low-familiarity docs are gibberish/boilerplate candidates; all
+    arithmetic is integer so the DuckDB oracle hashes identically.
+
+    Scale shape (same skeleton as ``ngram_contamination``): per-batch
+    combine to (doc, bigram, count) rows, ONE hash-partition-by-bigram
+    exchange; the corpus-wide count per bigram is a within-partition
+    transform (all rows of a bigram share its partition — no join, no
+    driver-held vocabulary), per-doc partials are partition-local, and the
+    final reduce is a doc-sized groupby-sum. At 100 TB the bigram string
+    column becomes a 128-bit hash with identical partitioning."""
+    import pandas as pd
+
+    def grams(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids: list[int] = []
+        gs: list[str] = []
+        cs: list[int] = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(s.lower())
+            if len(toks) < 2:
+                continue
+            cnt = Counter(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            )
+            ids.extend([did] * len(cnt))
+            gs.extend(cnt.keys())
+            cs.extend(cnt.values())
+        h = pd.util.hash_array(np.asarray(gs, dtype=object))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "gram": pa.array(gs, pa.string()),
+                "cnt": pa.array(cs, pa.int64()),
+                "part": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", sort=False)["cnt"].transform("sum").to_numpy()
+        cnt = g["cnt"].to_numpy()
+        out = (
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "n_bigrams": cnt,
+                    "fam_sum": cnt * tot,
+                }
+            )
+            .groupby("doc_id", sort=False, as_index=False)
+            .sum()
+        )
+        return out.astype(
+            {"doc_id": "int64", "n_bigrams": "int64", "fam_sum": "int64"}
+        )
+
+    partials = (
+        _docs(sf_dir)
+        .map_batches(grams, batch_size=1024, batch_format="pyarrow")
+        # cut the expensive explode map out of the sort-groupby's resource
+        # reservation (same measured rationale as ngram_contamination)
+        .materialize()
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nb = pc.cast(t["sum(n_bigrams)"], pa.int64()).to_numpy()
+        fs = pc.cast(t["sum(fam_sum)"], pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(nb),
+                "fam_sum": pa.array(fs),
+                "fam_avg_c": pa.array((1_000_000 * fs) // np.maximum(nb, 1)),
+            }
+        )
+
+    return (
+        partials.groupby("doc_id")
+        .sum(["n_bigrams", "fam_sum"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 class DocEmbedder:
     """Batched-inference actor stage: the 'model' (a seeded random
     projection over hashed token features — a deterministic stand-in for a
@@ -710,6 +802,7 @@ QUERIES = {
     "inverted_index": inverted_index,
     "repetition_signals": repetition_signals,
     "ngram_contamination": ngram_contamination,
+    "bigram_familiarity": bigram_familiarity,
 }
 
 ORACLE_SQL = {
@@ -856,5 +949,23 @@ ORACLE_SQL = {
         SELECT doc_id,
                MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint
         FROM documents
+    """,
+    "bigram_familiarity": """
+        WITH t AS (
+            SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, GREATEST(LEN(toks), 1)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM t),
+        c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1),
+        d AS (SELECT g.doc_id, COUNT(*) AS n_bigrams, SUM(c.cnt) AS fam_sum
+              FROM g JOIN c USING (gram) GROUP BY 1)
+        SELECT doc_id,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(fam_sum AS BIGINT) AS fam_sum,
+               CAST((1000000 * fam_sum) // n_bigrams AS BIGINT) AS fam_avg_c
+        FROM d
     """,
 }

@@ -112,3 +112,29 @@ def test_tfidf_and_inverted_index_multiblock(ray_session, tmp_path):
         scored = sorted(scored, key=lambda s: (-s[0], s[1]))[:3]
         want.extend((i, w, s) for s, w in scored)
     assert sorted(zip(got.doc_id, got.token, got.tfidf_c)) == sorted(want)
+
+
+def test_bigram_familiarity_common_vs_rare(ray_session, tmp_path):
+    from crawler_ray.pipelines.text import bigram_familiarity
+
+    # docs 0 and 1 share the bigram stream "a b a b ..."; doc 2 is unique;
+    # doc 3 has a single token (no bigrams -> absent from the output)
+    sf = _write_docs(
+        tmp_path,
+        [
+            "a b " * 10,         # 19 bigrams: 10x "a b", 9x "b a"
+            "a b " * 10,         # identical twin
+            "x y z",             # 2 bigrams seen once each
+            "solo",              # no bigrams
+        ],
+    )
+    df = bigram_familiarity(sf, parts=4).to_pandas().set_index("doc_id")
+    assert sorted(df.index) == [0, 1, 2]
+    # corpus counts: "a b" -> 20, "b a" -> 18
+    for d in (0, 1):
+        assert df.loc[d, "n_bigrams"] == 19
+        assert df.loc[d, "fam_sum"] == 10 * 20 + 9 * 18
+        assert df.loc[d, "fam_avg_c"] == 1_000_000 * (10 * 20 + 9 * 18) // 19
+    assert df.loc[2, "n_bigrams"] == 2
+    assert df.loc[2, "fam_sum"] == 2
+    assert df.loc[2, "fam_avg_c"] == 1_000_000
