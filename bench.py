@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "brand_price_quantiles",
     "cube_revenue",
     "hopping_window_counts",
+    "late_data_window_counts",
 ]
 
 

@@ -46,6 +46,18 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
 
 
+def _parquet_int_bounds(path: str, column: str) -> tuple[int, int]:
+    """(min, max) of an integer column from Parquet row-group statistics —
+    a driver-side metadata read (bytes per row group, no data scan)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    idx = md.schema.names.index(column)
+    lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+    hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+    return int(lo), int(hi)
+
+
 def _partial_groupby(keys: list[str], aggs: list[tuple[str, str, str]]):
     """Per-batch combiner: arrow group_by inside map_batches.
 
@@ -1338,6 +1350,100 @@ def hopping_window_counts(
     )
 
 
+def late_data_window_counts(
+    sf_dir: str, size_s: int = 3600, lateness_s: int = 600, nparts: int = 8
+) -> rd.Dataset:
+    """Event-time tumbling windows with a watermark and allowed lateness —
+    the out-of-order-stream semantics (Flink/Beam style) batch engines
+    lack: events are processed in ARRIVAL order (``event_id``), the
+    watermark before each event is the max event-time seen so far, and an
+    event whose timestamp lags the watermark by more than ``lateness_s``
+    is dropped from its window. Emits per (1 h window, event_type)
+    ``n_kept`` / ``n_late`` — integer-exact vs the oracle's window-function
+    formulation.
+
+    Scale shape: the watermark is a global running max over arrival order,
+    i.e. an associative prefix scan — pass 1 reads only (event_id, ts) and
+    reduces each arrival-range partition to ONE max (tiny driver-side
+    exclusive-prefix combine, ``nparts`` scalars); pass 2 co-locates each
+    range partition, resumes the scan from its carry-in, and emits
+    per-(window, type) partials that a coarse-partition sum finishes. At
+    stream scale the range partitions are the ingest shards (e.g. Kafka
+    partitions per time range) and the carry chain is the only sequential
+    dependency — O(nparts) scalars, not O(rows)."""
+    lo, hi = _parquet_int_bounds(f"{sf_dir}/events.parquet", "event_id")
+    span = hi - lo + 1
+    late_us = lateness_s * 1_000_000
+    size_us = size_s * 1_000_000
+
+    def _part_of(ids: np.ndarray) -> np.ndarray:
+        return ((ids - lo) * nparts // span).astype(np.int64)
+
+    # ---- pass 1: per-range-partition max event-time (16 bytes/row read)
+    ev_ids = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def premax(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        p = _part_of(ids)
+        out = pa.table({"part": p, "mx": us}).group_by("part").aggregate([("mx", "max")])
+        return out.rename_columns(["part", "mx"])
+
+    partials = ev_ids.map_batches(premax, batch_format="pyarrow").to_pandas()
+    pmax = np.full(nparts, np.iinfo(np.int64).min, dtype=np.int64)
+    agg = partials.groupby("part")["mx"].max()
+    pmax[agg.index.to_numpy()] = agg.to_numpy()
+    # carry[p] = max ts over all partitions strictly before p (exclusive)
+    carry = np.r_[np.int64(np.iinfo(np.int64).min), np.maximum.accumulate(pmax)[:-1]]
+
+    # ---- pass 2: resume the scan per partition, window-count partials
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        return t.append_column("part", pa.array(_part_of(ids)))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("event_id", kind="mergesort", ignore_index=True)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        p = int(df["part"].iloc[0])
+        # exclusive running max with the carry-in from earlier partitions
+        run = np.maximum.accumulate(np.r_[carry[p], us[:-1]])
+        late = (us < run - late_us) & (run != np.iinfo(np.int64).min)
+        ws = (us // size_us) * size_s
+        out = (
+            pd.DataFrame(
+                {
+                    "window_start": ws,
+                    "event_type": df["event_type"].to_numpy(),
+                    "n_kept": (~late).astype(np.int64),
+                    "n_late": late.astype(np.int64),
+                }
+            )
+            .groupby(["window_start", "event_type"], sort=False, as_index=False)
+            .sum()
+        )
+        h = pd.util.hash_array(out["window_start"].to_numpy().astype(np.uint64))
+        out["wpart"] = (h % np.uint64(nparts)).astype(np.int32)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["window_start", "event_type"], sort=False, as_index=False)[
+            ["n_kept", "n_late"]
+        ].sum()
+        return out.astype(
+            {"window_start": "int64", "n_kept": "int64", "n_late": "int64"}
+        )
+
+    return (
+        ev.map_batches(tag, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(scan, batch_format="pandas")
+        .groupby("wpart")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def brand_price_quantiles(sf_dir: str, nparts: int = 8) -> rd.Dataset:
     """Exact per-key quantiles (p50/p90 retail price per brand, in cents).
 
@@ -1417,6 +1523,7 @@ QUERIES = {
     "cube_revenue": cube_revenue,
     "brand_price_quantiles": brand_price_quantiles,
     "hopping_window_counts": hopping_window_counts,
+    "late_data_window_counts": late_data_window_counts,
 }
 
 ORACLE_SQL = {
@@ -1466,6 +1573,25 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(c) AS BIGINT) AS sum_value_c
         FROM x GROUP BY 1, 2
+    """,
+    "late_data_window_counts": """
+        WITH w AS (
+            SELECT ts, event_type,
+                   MAX(ts) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS wm
+            FROM events),
+        l AS (
+            SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   event_type,
+                   CASE WHEN wm IS NOT NULL
+                             AND ts < wm - INTERVAL 600 SECOND
+                        THEN 1 ELSE 0 END AS late
+            FROM w)
+        SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+               CAST(SUM(1 - late) AS BIGINT) AS n_kept,
+               CAST(SUM(late) AS BIGINT) AS n_late
+        FROM l GROUP BY 1, 2
     """,
     "brand_price_quantiles": """
         WITH base AS (

@@ -140,3 +140,43 @@ def test_hopping_window_membership(ray_session, tmp_path):
     base = int(np.datetime64("2024-01-01T01:00:00", "s").astype("int64"))
     assert list(df.window_start) == [base - 2700, base - 1800, base - 900, base]
     assert (df.n_events == 1).all() and (df.sum_value_c == 200).all()
+
+
+def test_late_data_window_counts_watermark(ray_session, tmp_path):
+    """Constructed out-of-order stream: the watermark is the running max of
+    event-time over ARRIVAL order, and only events lagging it by more than
+    the allowed lateness drop — including across range-partition carry-ins
+    (nparts=3 over 6 events forces the prefix chain to matter)."""
+    from crawler_ray.pipelines.relational import late_data_window_counts
+
+    h = 3_600
+    # arrival order: ts seconds relative to epoch
+    ts_s = [
+        0 * h,          # e0: watermark None -> kept
+        2 * h,          # e1: wm 0h -> kept (advances wm to 2h)
+        2 * h - 300,    # e2: 300s behind wm, within 600s lateness -> kept
+        0 * h + 10,     # e3: ~2h behind wm -> LATE
+        2 * h + 5,      # e4: ahead -> kept
+        1 * h,          # e5: 1h behind wm 2h+5s -> LATE
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "ts": pa.array(
+                    np.array(ts_s, dtype="int64") * 1_000_000, pa.timestamp("us")
+                ),
+                "event_type": pa.array(["click"] * 6),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    df = (
+        late_data_window_counts(str(tmp_path), nparts=3)
+        .to_pandas()
+        .set_index("window_start")
+        .sort_index()
+    )
+    assert df.loc[0 * h, "n_kept"] == 1 and df.loc[0 * h, "n_late"] == 1
+    assert df.loc[1 * h, "n_kept"] == 1 and df.loc[1 * h, "n_late"] == 1
+    assert df.loc[2 * h, "n_kept"] == 2 and df.loc[2 * h, "n_late"] == 0
