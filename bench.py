@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dup_spans",
     "minhash_lsh_dups",
+    "minhash_dedup_keep",
     "simhash_dups",
     "embedding_dup_pairs",
     "ann_bruteforce_topk",

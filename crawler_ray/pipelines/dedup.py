@@ -982,12 +982,79 @@ def dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
     )
 
 
+def minhash_dedup_keep(sf_dir: str, threshold_pct: int = 50) -> rd.Dataset:
+    """End-to-end MinHash near-dedup — the RefinedWeb/Gopher corpus pass,
+    composed from the distributed pieces: LSH candidate pairs (exact-
+    Jaccard-verified, ``minhash_lsh_dups``) → connected components over the
+    similarity edges → corpus-wide keep/drop. Emits one row per document:
+    ``(doc_id, cluster_id, keep)`` with ``cluster_id`` = smallest doc_id in
+    its near-dup cluster (its own id when unclustered) and ``keep=1``
+    exactly for cluster representatives — the fraction of drops is the
+    corpus duplication rate.
+
+    Scale shape: the pair and component stages are the existing bounded
+    exchanges; the final decision is one doc-sized union (full doc-id list
+    + component labels) resolved inside coarse doc-hash partitions with a
+    vectorized first-per-run pass — no driver set, no per-doc groups."""
+    from crawler_ray.pipelines.graph import _ipart, _nparts, connected_components
+
+    pairs = minhash_lsh_dups(sf_dir, threshold_pct=threshold_pct)
+    comp = connected_components(pairs, src="a_id", dst="b_id")
+    P = _nparts()
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["node"])
+        return pa.table(
+            {
+                "doc_id": t["node"].combine_chunks().cast(pa.int64()),
+                "cluster_id": t["component"].combine_chunks().cast(pa.int64()),
+                "labeled": pa.array(np.ones(len(ids), np.int8)),
+                "part": pa.array(_ipart(ids, P)),
+            }
+        )
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "cluster_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "labeled": pa.array(np.zeros(len(ids), np.int8)),
+                "part": pa.array(_ipart(ids, P)),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    both = comp.map_batches(comp_rows, batch_format="pyarrow").union(
+        docs.map_batches(self_rows, batch_format="pyarrow")
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # per doc: the labeled (component) row wins over the self row
+        g = g.sort_values(["doc_id", "labeled"], ascending=[True, False],
+                          kind="mergesort", ignore_index=True)
+        ids = g["doc_id"].to_numpy()
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        out = g[first]
+        cl = out["cluster_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "cluster_id": cl,
+                "keep": (out["doc_id"].to_numpy() == cl).astype(np.int8),
+            }
+        )
+
+    return both.groupby("part").map_groups(resolve, batch_format="pandas")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keep_best": dedup_keep_best,
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_dups": minhash_lsh_dups,
+    "minhash_dedup_keep": minhash_dedup_keep,
     "simhash_dups": simhash_dups,
     "embedding_dup_pairs": embedding_dup_pairs,
     "semdedup": semdedup,

@@ -540,3 +540,29 @@ def test_approx_price_quantiles_error_bound(ray_session):
     }
     for q in HIST_QS:
         assert exact[q] <= got[q] <= exact[q] + 2 * HIST_BIN_C
+
+
+def test_minhash_dedup_keep_end_to_end(ray_session, docs):
+    """Corpus-wide keep/drop must be consistent with the pair stage: both
+    endpoints of every reported pair share a cluster labeled by its min
+    member, unpaired docs keep themselves, every doc appears once."""
+    from crawler_ray.pipelines.dedup import minhash_dedup_keep, minhash_lsh_dups
+
+    got = minhash_dedup_keep(SF).to_pandas()
+    assert sorted(got.doc_id) == sorted(docs)          # one row per doc
+    lab = dict(zip(got.doc_id, got.cluster_id))
+    keep = dict(zip(got.doc_id, got.keep))
+    assert all(keep[d] == (lab[d] == d) for d in lab)  # reps keep, rest drop
+
+    pairs = minhash_lsh_dups(SF).to_pandas()
+    paired = set(pairs.a_id) | set(pairs.b_id)
+    for a, b in zip(pairs.a_id, pairs.b_id):
+        assert lab[a] == lab[b], (a, b)                # same cluster
+    # cluster label is the min member; unpaired docs are their own cluster
+    members: dict[int, list[int]] = {}
+    for d, c in lab.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+    for d in set(docs) - paired:
+        assert lab[d] == d and keep[d] == 1
