@@ -32,7 +32,7 @@ def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
     """Deterministic media table: doc_id, media_type, media (binary with a
     self-describing header), declared_w, declared_h."""
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tag = f"media_{os.path.basename(os.path.normpath(sf_dir))}_{n}_v1"
+    tag = f"media_{os.path.basename(os.path.normpath(sf_dir))}_{n}_v2"
     path = os.path.join(cache_root, tag + ".parquet")
     if os.path.exists(path):
         return path
@@ -52,6 +52,15 @@ def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
             + nframes.to_bytes(4, "big")
         )
         ids.append(i)
+        if i % 5 == 4 and i >= 5:
+            # every 5th row re-posts an earlier asset byte-for-byte (the
+            # repost/mirror pattern content dedup exists for) — metadata
+            # columns copied along so decode stays self-consistent
+            types.append(types[i - 4])
+            blobs.append(blobs[i - 4])
+            ws.append(ws[i - 4])
+            hs.append(hs[i - 4])
+            continue
         types.append(kind)
         blobs.append(header + payload)
         ws.append(w)
@@ -175,9 +184,49 @@ def frame_sample(sf_dir: str) -> rd.Dataset:
     return feats.map_batches(explode, batch_format="pyarrow")
 
 
+def media_dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact content dedup over the opaque media ``binary`` column — the
+    multimodal twin of ``dedup_exact`` (reposted/mirrored assets collapse
+    regardless of doc metadata). Per batch: md5 the payload bytes; then one
+    groupby(digest) exchange keeps the smallest doc_id + dup_count. Only
+    16-byte digests shuffle, never the payloads — at 100 TB of media the
+    exchange is ~1/10^5 of the corpus."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    path = synth_media(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "media"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(b).hexdigest() for b in t["media"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "media_md5": pa.array(fps, pa.string())}
+        )
+
+    import pyarrow.compute as pc
+
+    agg = (
+        ds.map_batches(fp, batch_size=256, batch_format="pyarrow")
+        .groupby("media_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "media_md5": t["media_md5"],
+                "dup_count": pc.cast(t["dup_count"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "media_features": media_features,
     "media_frame_sample": frame_sample,
+    "media_dedup_exact": media_dedup_exact,
 }
 
 ORACLE_SQL: dict[str, str] = {}

@@ -566,3 +566,23 @@ def test_minhash_dedup_keep_end_to_end(ray_session, docs):
         assert c == min(ms)
     for d in set(docs) - paired:
         assert lab[d] == d and keep[d] == 1
+
+
+def test_media_dedup_exact_vs_bruteforce(ray_session):
+    import hashlib as _hl
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.multimodal import media_dedup_exact, synth_media
+
+    got = media_dedup_exact(SF).to_pandas()
+    t = pq.read_table(synth_media(SF), columns=["doc_id", "media"])
+    groups: dict[str, list[int]] = {}
+    for did, blob in zip(t["doc_id"].to_pylist(), t["media"].to_pylist()):
+        groups.setdefault(_hl.md5(blob).hexdigest(), []).append(did)
+    assert len(got) == len(groups)
+    assert int(got.dup_count.sum()) == t.num_rows
+    assert (got.dup_count > 1).any()  # the corpus really has reposts
+    want = {h: (min(ds), len(ds)) for h, ds in groups.items()}
+    for h, d, c in zip(got.media_md5, got.doc_id, got.dup_count):
+        assert want[h] == (d, c)
