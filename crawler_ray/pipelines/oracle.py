@@ -28,8 +28,33 @@ from dataclasses import dataclass, field
 import pyarrow.parquet as pq
 
 from crawler_ray.rules import SYNTH_TASK, TaskSpec, compile_task
-from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES, Corpus
+from crawler_ray.sources.pages import (
+    BAN_STRING,
+    MAX_REDIRECTS,
+    MIN_BODY_BYTES,
+    REDIRECT_PREFIX,
+    Corpus,
+)
 from crawler_ray.stages.politeness import PolitenessConfig
+
+_REDIRECT_B = REDIRECT_PREFIX.encode()
+_REDIRECT_RE = re.compile(re.escape(_REDIRECT_B) + b'([^"]*)"')
+
+
+def _follow_redirects(page_map: dict, url: str):
+    """Fetch with redirect-following (the Go ``http.Get`` semantics the
+    engine's position-remap reproduces): chase meta-refresh chains up to
+    ``MAX_REDIRECTS`` hops; a chain that leaves the corpus or loops is a
+    fetch failure (None)."""
+    page = page_map.get(url)
+    for _ in range(MAX_REDIRECTS + 1):
+        if page is None or not page[0].startswith(_REDIRECT_B):
+            return page
+        m = _REDIRECT_RE.match(page[0])
+        if m is None:
+            return page
+        page = page_map.get(m.group(1).decode("utf-8", errors="replace"))
+    return None
 
 
 def _host(url: str) -> str:
@@ -219,7 +244,7 @@ def run_oracle(
             k = _h64(r["url"])
             if not task.reload:
                 seen.add(k)  # mark-before-fetch
-            page = page_map.get(r["url"])
+            page = _follow_redirects(page_map, r["url"])
             html = page[0].decode("utf-8", errors="replace") if page else None
             if html is None:
                 outcome = "missing"

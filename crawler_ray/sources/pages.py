@@ -43,12 +43,26 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 5
+GEN_VERSION = 6
 FANOUT = 8
 NUM_HOSTS = 64
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 BAN_STRING = "你访问豆瓣的方式有点像机器人程序"  # engine/crawler.go:107
 MIN_BODY_BYTES = 6000  # engine/crawler.go:113-120
+
+# HTTP-redirect simulation: a page whose body is exactly a meta-refresh to a
+# target url. The reference's fetch follows server redirects transparently
+# (Go ``http.Get``, collect/collect.go:41 — net/http chases up to 10 hops
+# then errors); the simulated twin resolves these chains against the pages
+# table with the same hop cap, so a redirect to a missing/looping target is
+# a fetch FAILURE (unmark + single requeue), not a page.
+REDIRECT_PREFIX = '<html><head><meta http-equiv="refresh" content="0;url='
+REDIRECT_SUFFIX = '"></head></html>'
+MAX_REDIRECTS = 10
+
+
+def redirect_html(target: str) -> str:
+    return REDIRECT_PREFIX + target + REDIRECT_SUFFIX
 
 # deterministic multiplicative hash (Knuth) for host assignment
 _KNUTH = 2654435761
@@ -77,6 +91,23 @@ class Corpus:
 def _detail_exists(i: int) -> bool:
     """Detail pages with i % 29 == 0 are linked but absent → fetch failure."""
     return i % 29 != 0
+
+
+def _alias_kind(i: int) -> str | None:
+    """Redirect aliasing of existing detail pages: lists link ``/d/{i}``
+    instead of ``/detail/{i}`` for these ids, and the corpus serves the
+    alias as a meta-refresh page — 'single' (one hop), 'double' (two-hop
+    chain through ``/d2/{i}``), or 'dead' (target absent → fetch failure)."""
+    if not _detail_exists(i):
+        return None
+    return {5: "single", 11: "double", 16: "dead"}.get(i % 23)
+
+
+# a deliberate 2-cycle: fetching either url exhausts the hop cap → failure
+LOOP_URLS = (
+    "https://host01.example.com/r/loop/0",
+    "https://host01.example.com/r/loop/1",
+)
 
 
 def _detail_fields(i: int, intro: str) -> dict[str, object]:
@@ -161,6 +192,13 @@ def synth_corpus(
     for i in range(n_docs):
         if _detail_exists(i):
             add_desc(f"https://{_host_for(i, skew)}/detail/{i}", "detail", i)
+            ak = _alias_kind(i)
+            if ak:
+                add_desc(f"https://{_host_for(i, skew)}/d/{i}", "alias", i)
+            if ak == "double":
+                add_desc(f"https://{_host_for(i, skew)}/d2/{i}", "alias2", i)
+    add_desc(LOOP_URLS[0], "loop", 0)
+    add_desc(LOOP_URLS[1], "loop", 1)
     n_lists = (n_docs + FANOUT - 1) // FANOUT
     for j in range(n_lists):
         add_desc(f"https://{_host_for(j * 7, skew)}/list/{j}", "list", j)
@@ -202,13 +240,38 @@ def synth_corpus(
                 else json.dumps(f, ensure_ascii=False, sort_keys=True)
             )
             return _detail_html(i, f), golden, i
+        if kind == "alias":
+            # golden = the TARGET detail's extraction (the fetch follows the
+            # chain and parses the final body under the alias url); dead
+            # targets never extract. fi=1: never banned, harmlessly padded.
+            i = ident
+            ak = _alias_kind(i)
+            host = _host_for(i, skew)
+            if ak == "dead":
+                return redirect_html(f"https://{host}/gone/{i}"), "", 1
+            hop = "d2" if ak == "double" else "detail"
+            f = _detail_fields(i, _clean_text(doc_text[i % n_base]))
+            golden = (
+                "" if (i % 37 == 0 or i % 41 == 0)
+                else json.dumps(f, ensure_ascii=False, sort_keys=True)
+            )
+            return redirect_html(f"https://{host}/{hop}/{i}"), golden, 1
+        if kind == "alias2":
+            i = ident
+            return redirect_html(f"https://{_host_for(i, skew)}/detail/{i}"), "", 1
+        if kind == "loop":
+            return redirect_html(LOOP_URLS[1 - ident]), "", 1
         if kind == "list":
             j = ident
             links, golden_links = [], []
             for i in range(j * FANOUT, min((j + 1) * FANOUT, n_docs)):
-                durl = f"https://{_host_for(i, skew)}/detail/{i}"
+                path = "d" if _alias_kind(i) else "detail"
+                durl = f"https://{_host_for(i, skew)}/{path}/{i}"
                 links.append(f'<a class="item" href="{durl}" title="title-{i:06d}">d{i}</a>')
                 golden_links.append(durl)
+            if j % 19 == 2:  # redirect-loop link fraction (fetch failure)
+                links.append(f'<a class="item" href="{LOOP_URLS[0]}" title="loop-{j}">l</a>')
+                golden_links.append(LOOP_URLS[0])
             if j % 11 == 0:  # robots-disallowed link fraction
                 durl = f"https://{_host_for(j * 7, skew)}/private/{j}"
                 links.append(f'<a class="item" href="{durl}" title="private-{j}">p</a>')

@@ -87,6 +87,17 @@ class SimulatedFetcher:
             self.offsets = np.load(os.path.join(idx_dir, "offsets.npy"))
             with open(os.path.join(idx_dir, "groups.json")) as fh:
                 self.groups = [tuple(g) for g in json.load(fh)]
+            # redirect resolution map (build_fetch_index): corpus position of
+            # each redirect page → final resolved position, -1 = chain fails
+            # (dead target or hop-cap/loop). Absent files (pre-redirect
+            # indexes) degrade to "no redirects".
+            rf = os.path.join(idx_dir, "redirect_from.npy")
+            if os.path.exists(rf):
+                self.r_from = np.load(rf)
+                self.r_to = np.load(os.path.join(idx_dir, "redirect_to.npy"))
+            else:
+                self.r_from = np.empty(0, np.int64)
+                self.r_to = np.empty(0, np.int64)
             self.files = {}
             self.lru = OrderedDict()
             self.lru_groups = lru_groups
@@ -129,6 +140,12 @@ class SimulatedFetcher:
         if len(all_urls) > 1 and not (all_urls[:-1] <= all_urls[1:]).all():
             raise ValueError(f"pages layout under {pages_dir} is not url-sorted")
         self.url_index = all_urls
+        # cold builds read only the url column; redirect resolution needs a
+        # body scan, which build_fetch_index does once at corpus-layout time
+        # (the persisted index is the redirect-aware path — synth_corpus
+        # always writes it). A cold fetcher serves redirect bodies raw.
+        self.r_from = np.empty(0, np.int64)
+        self.r_to = np.empty(0, np.int64)
         self.files: dict[str, pq.ParquetFile] = {}
         self.lru: OrderedDict[int, tuple[pa.Array, pa.Array]] = OrderedDict()
         self.lru_groups = lru_groups
@@ -173,6 +190,18 @@ class SimulatedFetcher:
         # lens <= width ⇒ probe is exact (NUL-padded), so equality is exact
         # membership; a longer url can never be in a width-wide index.
         exists = (self.url_index[pos_c] == probe) & (lens <= width)
+        if len(self.r_from):
+            # redirect remap (precomputed at index build): a hit on a
+            # redirect page resolves to its chain's FINAL position — the
+            # body take below then serves the target's html/warc_ts, i.e.
+            # redirect-following — or to a miss when the chain dies/loops.
+            # One extra searchsorted over a tiny sorted array; zero cost for
+            # corpora without redirects.
+            ri = np.minimum(np.searchsorted(self.r_from, pos_c), len(self.r_from) - 1)
+            is_r = exists & (self.r_from[ri] == pos_c)
+            to = self.r_to[ri]
+            exists = exists & ~(is_r & (to < 0))
+            pos_c = np.where(is_r & (to >= 0), to, pos_c)
         return exists, pos_c
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -314,12 +343,68 @@ def build_fetch_index(pages_dir: str) -> None:
         return
     os.makedirs(idx_dir, exist_ok=True)
     f = SimulatedFetcher(pages_dir)  # cold build
+    r_from, r_to = _resolve_redirects(f)
     np.save(os.path.join(idx_dir, "urls.npy"), np.asarray(f.url_index))
     np.save(os.path.join(idx_dir, "offsets.npy"), f.offsets)
+    np.save(os.path.join(idx_dir, "redirect_from.npy"), r_from)
+    np.save(os.path.join(idx_dir, "redirect_to.npy"), r_to)
     with open(os.path.join(idx_dir, "groups.json"), "w") as fh:
         json.dump(f.groups, fh)
     with open(os.path.join(idx_dir, "_DONE"), "w") as fh:
         fh.write("ok")
+
+
+def _resolve_redirects(f: "SimulatedFetcher"):
+    """Scan the corpus once for meta-refresh redirect pages and resolve each
+    chain to its final corpus position (−1 when the chain leaves the corpus
+    or exceeds ``MAX_REDIRECTS`` hops — incl. loops). Part of the one-time
+    layout cost: fetch workers then follow redirects with a pure position
+    remap, never parsing bodies. Returns (sorted positions, final positions)
+    as int64 arrays."""
+    import re
+
+    import numpy as np
+
+    from crawler_ray.sources.pages import MAX_REDIRECTS, REDIRECT_PREFIX
+
+    target_re = re.compile(re.escape(REDIRECT_PREFIX.encode()) + b'([^"]*)"')
+    width = f.url_index.dtype.itemsize
+
+    def pos_of(url_b: bytes) -> int:
+        if len(url_b) > width:
+            return -1
+        probe = np.array([url_b], dtype=f"S{width}")
+        p = int(np.searchsorted(f.url_index, probe[0]))
+        if p < len(f.url_index) and f.url_index[p] == probe[0]:
+            return p
+        return -1
+
+    target_of: dict[int, int] = {}
+    base = 0
+    for path, rg in f.groups:
+        pf = f.files.get(path) or pq.ParquetFile(path)
+        f.files[path] = pf
+        html = pf.read_row_group(rg, columns=["html"]).column("html")
+        starts = pc.starts_with(html, pattern=REDIRECT_PREFIX)
+        for local in np.flatnonzero(np.asarray(starts)):
+            m = target_re.match(html[int(local)].as_py())
+            target_of[base + int(local)] = pos_of(m.group(1)) if m else -1
+        base += len(html)
+
+    def final_of(p: int) -> int:
+        cur, hops = p, 0
+        while True:
+            nxt = target_of.get(cur)
+            if nxt is None:
+                return cur  # terminal body
+            hops += 1
+            if hops > MAX_REDIRECTS or nxt < 0:
+                return -1
+            cur = nxt
+
+    r_from = np.array(sorted(target_of), dtype=np.int64)
+    r_to = np.array([final_of(p) for p in r_from], dtype=np.int64)
+    return r_from, r_to
 
 
 _FETCHER_CACHE: dict[str, "SimulatedFetcher"] = {}

@@ -315,3 +315,35 @@ def test_cuckoo_only_mode_matches_oracle(ray_session, corpus_small, tmp_path_fac
     df2 = r2.order_dataset().to_pandas()
     eng2 = set(zip(df2.iteration, df2.url, df2.priority, df2.seq, df2.attempt, df2.outcome))
     assert eng2 == eng
+
+
+def test_redirects_followed_and_failed(crawl_pair):
+    """The corpus's redirect surface is actually exercised: aliases resolve
+    to the target detail body (1- and 2-hop), dead targets and the loop
+    fail as missing (unmark + single retry), all under the alias url."""
+    from crawler_ray.sources.pages import LOOP_URLS, _alias_kind
+
+    engine, oracle = crawl_pair
+    order = engine.order_dataset().to_pandas()
+    by_url = order.groupby("url")["outcome"].agg(list)
+
+    alias = order[order.url.str.contains("/d/")]
+    assert len(alias) > 0, "corpus should link redirect aliases"
+    ids = alias.url.str.rsplit("/", n=1).str[1].astype(int)
+    kinds = {i: _alias_kind(i) for i in ids}
+    assert {"single", "double", "dead"} <= set(kinds.values())
+
+    tdf = engine.text_dataset().to_pandas()
+    texts = dict(zip(tdf.url, tdf.payload))
+    for u, i in zip(alias.url, ids):
+        if kinds[i] == "dead":
+            assert set(by_url[u]) == {"missing"} and len(by_url[u]) == 2, u
+        elif i % 37 == 0:
+            assert set(by_url[u]) == {"banned"}, u
+        elif i % 41 == 0:
+            assert by_url[u] == ["short"], u
+        else:  # resolved: extraction ran on the target body under the alias
+            assert by_url[u] == ["ok"], u
+            assert f'"title-{i:06d}"' in texts[u], u
+    # the loop link fails like a missing page: initial try + one retry
+    assert by_url[LOOP_URLS[0]] == ["missing", "missing"]
