@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "ngram_contamination",
     "repetition_signals",
     "bigram_familiarity",
+    "bm25_topk",
     # curation suite (round 3)
     "pii_scrub",
     "chunk_documents",

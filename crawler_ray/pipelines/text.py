@@ -701,6 +701,96 @@ def bigram_familiarity(sf_dir: str, parts: int = 16) -> rd.Dataset:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_batch_scores(
+    texts: list[str], terms: tuple[str, ...], df: "np.ndarray", n_docs: int, avgdl: float
+) -> "np.ndarray":
+    """Okapi BM25 scores for one batch of documents against a fixed term
+    set (Robertson-Walker '94 formula; float64, fixed term-order
+    accumulation so every caller — engine batches and the pytest oracle —
+    produces bit-identical scores)."""
+    from collections import Counter
+
+    n = len(texts)
+    tf = np.zeros((n, len(terms)), dtype=np.float64)
+    dl = np.zeros(n, dtype=np.float64)
+    tset = {t: j for j, t in enumerate(terms)}
+    for i, s in enumerate(texts):
+        toks = _TOKEN_RE.findall(s.lower())
+        dl[i] = len(toks)
+        for tok, c in Counter(toks).items():
+            j = tset.get(tok)
+            if j is not None:
+                tf[i, j] = c
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[:, None] / avgdl)
+    with np.errstate(invalid="ignore"):
+        contrib = np.where(tf > 0, idf[None, :] * tf * (BM25_K1 + 1.0) / denom, 0.0)
+    return contrib.sum(axis=1)
+
+
+def bm25_topk(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("data", "join", "batch", "stream"),
+    k: int = 20,
+) -> pa.Table:
+    """BM25 top-k retrieval over the document corpus for a fixed query —
+    the lexical twin of ``ann_bruteforce_topk`` (text retrieval is the
+    other half of similarity search). Emits ``(rank, doc_id, score_e6)``,
+    ties broken by doc_id.
+
+    Scale shape: pass 1 streams per-batch (df-per-term, n_docs, Σdl)
+    partials — a terms×blocks driver combine; pass 2 streams scoring with
+    the tiny stats broadcast in the closure, keeping only each batch's
+    top-k candidates, so the driver merge is O(batches × k), exactly the
+    ANN merge bound. Rows-only: the scorer is shared with the pytest
+    oracle; SQL can't reproduce float64 BM25 bit-exactly."""
+    docs = _docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        dfp = np.zeros(len(terms), dtype=np.int64)
+        sdl = 0
+        for s in t["text"].to_pylist():
+            toks = _TOKEN_RE.findall(s.lower())
+            sdl += len(toks)
+            tokset = set(toks)
+            for j, term in enumerate(terms):
+                dfp[j] += term in tokset
+        return pa.table(
+            {
+                "term_idx": pa.array(np.arange(len(terms)), pa.int32()),
+                "df": pa.array(dfp),
+                "n_docs": pa.array(np.full(len(terms), t.num_rows, np.int64)),
+                "sum_dl": pa.array(np.full(len(terms), sdl, np.int64)),
+            }
+        )
+
+    sp = docs.map_batches(stats, batch_size=1024, batch_format="pyarrow").to_pandas()
+    agg = sp.groupby("term_idx").agg(df=("df", "sum"), n=("n_docs", "sum"), dl=("sum_dl", "sum"))
+    df = agg["df"].to_numpy().astype(np.float64)
+    n_docs = int(agg["n"].iloc[0])
+    avgdl = float(agg["dl"].iloc[0]) / max(n_docs, 1)
+
+    def score(t: pa.Table) -> pa.Table:
+        s = _bm25_batch_scores(t["text"].to_pylist(), terms, df, n_docs, avgdl)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]  # batch-local candidates
+        return pa.table({"doc_id": pa.array(ids[order]), "score": pa.array(s[order])})
+
+    cand = docs.map_batches(score, batch_size=1024, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort").head(k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(cand) + 1, dtype=np.int64)),
+            "doc_id": pa.array(cand["doc_id"].to_numpy().astype(np.int64)),
+            "score_e6": pa.array(np.rint(cand["score"].to_numpy() * 1e6).astype(np.int64)),
+        }
+    )
+
+
 class DocEmbedder:
     """Batched-inference actor stage: the 'model' (a seeded random
     projection over hashed token features — a deterministic stand-in for a
@@ -803,6 +893,7 @@ QUERIES = {
     "repetition_signals": repetition_signals,
     "ngram_contamination": ngram_contamination,
     "bigram_familiarity": bigram_familiarity,
+    "bm25_topk": bm25_topk,
 }
 
 ORACLE_SQL = {

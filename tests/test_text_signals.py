@@ -138,3 +138,32 @@ def test_bigram_familiarity_common_vs_rare(ray_session, tmp_path):
     assert df.loc[2, "n_bigrams"] == 2
     assert df.loc[2, "fam_sum"] == 2
     assert df.loc[2, "fam_avg_c"] == 1_000_000
+
+
+def test_bm25_topk_matches_single_process_oracle(ray_session):
+    """Distributed assembly (df/avgdl partials, batch top-k, driver merge)
+    must reproduce a single-process BM25 ranking exactly — the scorer is
+    shared, so this pins the distribution machinery."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.text import _TOKEN_RE, _bm25_batch_scores, bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    terms, k = ("data", "join", "batch", "stream"), 20
+    got = bm25_topk(sf, terms=terms, k=k).to_pandas()
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()
+    ids = np.asarray(t["doc_id"].to_pylist())
+    df = np.array(
+        [sum(term in set(_TOKEN_RE.findall(s.lower())) for s in texts) for term in terms],
+        dtype=np.float64,
+    )
+    dl = sum(len(_TOKEN_RE.findall(s.lower())) for s in texts)
+    scores = _bm25_batch_scores(texts, terms, df, len(texts), dl / len(texts))
+    order = np.lexsort((ids, -scores))[:k]
+    assert list(got.doc_id) == list(ids[order])
+    assert list(got.score_e6) == [int(round(s * 1e6)) for s in scores[order]]
+    assert list(got["rank"]) == list(range(1, k + 1))
+    assert (np.diff(got.score_e6) <= 0).all()
