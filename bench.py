@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "cube_revenue",
     "hopping_window_counts",
     "late_data_window_counts",
+    "click_days_without_purchase",
+    "user_interarrival_stats",
 ]
 
 

@@ -1444,6 +1444,105 @@ def late_data_window_counts(
     )
 
 
+def click_days_without_purchase(sf_dir: str, nparts: int = 8) -> rd.Dataset:
+    """Distinct set difference (EXCEPT) on a derived key: (user, day) pairs
+    that saw a click but no purchase that day — the remarketing-audience
+    shape. Per-batch combine to unique packed (user, day, kind-bit) keys,
+    one coarse user-hash partition exchange, vectorized bit-OR over
+    (user, day) runs — EXCEPT without a join, a driver set, or a fine-key
+    groupby. Packing assumes day < 2^20 and user_id < 2^41 (int64 budget);
+    wider ids would partition on the unpacked columns instead."""
+    DAY_US = 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"])))
+        uid = f["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = f["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // DAY_US
+        bit = np.where(
+            np.asarray(f["event_type"].to_pylist(), dtype=object) == "click", 1, 2
+        ).astype(np.int64)
+        uk = np.unique((uid << 22) | (day << 2) | bit)
+        uid_u = uk >> 22
+        h = (uid_u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(nparts)
+        return pa.table(
+            {
+                "ud": pa.array(uk >> 2),  # packed (user, day)
+                "bit": pa.array(uk & 3),
+                "part": pa.array(h.astype(np.int32)),
+            }
+        )
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ud", kind="mergesort", ignore_index=True)
+        ud = g["ud"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, ud[1:] != ud[:-1]])
+        mask = np.bitwise_or.reduceat(g["bit"].to_numpy(), starts)
+        keep = ud[starts][mask == 1]  # clicked that day, never purchased
+        return pd.DataFrame(
+            {
+                "user_id": (keep >> 20).astype(np.int64),
+                "day": (keep & ((1 << 20) - 1)).astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(diff, batch_format="pandas")
+    )
+
+
+def user_interarrival_stats(sf_dir: str, nparts: int = 8) -> rd.Dataset:
+    """LAG-window interarrival gaps per user: number of gaps, total and max
+    gap in integer microseconds (ties broken by event_id, so the oracle's
+    LAG ordering is reproduced exactly). Coarse user-hash partitions, one
+    vectorized sort + run-boundary diff per partition — the same shape as
+    ``user_sessions``; key cardinality never touches task count."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "part",
+            pa.array(((uid * np.uint64(2654435761)) % np.uint64(nparts)).astype(np.int32)),
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort", ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.diff(us)
+        same = uid[1:] == uid[:-1]  # gap rows: same-user successive pairs
+        gap_uid = uid[1:][same]
+        gap = d[same]
+        if gap_uid.size == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "sum_gap_us": pd.Series([], dtype="int64"),
+                    "max_gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        starts = np.flatnonzero(np.r_[True, gap_uid[1:] != gap_uid[:-1]])
+        ends = np.r_[starts[1:], gap_uid.size]
+        return pd.DataFrame(
+            {
+                "user_id": gap_uid[starts].astype(np.int64),
+                "n_gaps": (ends - starts).astype(np.int64),
+                "sum_gap_us": np.add.reduceat(gap, starts).astype(np.int64),
+                "max_gap_us": np.maximum.reduceat(gap, starts).astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
 def brand_price_quantiles(sf_dir: str, nparts: int = 8) -> rd.Dataset:
     """Exact per-key quantiles (p50/p90 retail price per brand, in cents).
 
@@ -1524,6 +1623,8 @@ QUERIES = {
     "brand_price_quantiles": brand_price_quantiles,
     "hopping_window_counts": hopping_window_counts,
     "late_data_window_counts": late_data_window_counts,
+    "click_days_without_purchase": click_days_without_purchase,
+    "user_interarrival_stats": user_interarrival_stats,
 }
 
 ORACLE_SQL = {
@@ -1573,6 +1674,26 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(c) AS BIGINT) AS sum_value_c
         FROM x GROUP BY 1, 2
+    """,
+    "click_days_without_purchase": """
+        SELECT user_id, day FROM (
+            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000
+            FROM events WHERE event_type = 'purchase')
+    """,
+    "user_interarrival_stats": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events)
+        SELECT user_id,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_us
+        FROM g WHERE gap IS NOT NULL GROUP BY 1
     """,
     "late_data_window_counts": """
         WITH w AS (
