@@ -55,6 +55,7 @@ from crawler_ray.stages.extract import (
 from crawler_ray.stages.politeness import (
     PolitenessConfig,
     admit_partition_fn,
+    apply_backoff_updates,
     host_partition_of,
     robots_config,
     robots_filter_fn,
@@ -171,6 +172,27 @@ def _parquet_rows(path: str) -> int:
         for f in os.listdir(path)
         if f.endswith(".parquet")
     )
+
+
+def _iter_host_outcomes(ckdir: str) -> tuple[set, set]:
+    """(scheduled hosts, hosts that served ≥1 ban page) for one generation,
+    from the local order parquet — the adaptive-backoff signal."""
+    from crawler_ray.functions.url import host_of
+
+    odir = os.path.join(ckdir, "order")
+    sched: set[str] = set()
+    banned: set[str] = set()
+    if not os.path.isdir(odir):
+        return sched, banned
+    for f in os.listdir(odir):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(odir, f), columns=["url", "outcome"])
+            hosts = np.asarray(host_of(t.column("url").combine_chunks()))
+            sched.update(map(str, np.unique(hosts)))
+            bmask = np.asarray(pc.equal(t.column("outcome"), "banned").combine_chunks())
+            if bmask.any():
+                banned.update(map(str, np.unique(hosts[bmask])))
+    return sched, banned
 
 
 def _iter_host_counts(ckdir: str) -> dict[str, int]:
@@ -300,6 +322,7 @@ def run_crawl(
     sitemap_priority: int = 0,
     robots_agent: str = "*",
     robots_window_s: float = 60.0,
+    ban_backoff: bool = False,
 ) -> CrawlResult:
     import dataclasses
 
@@ -377,6 +400,15 @@ def run_crawl(
     # O(hosts) JSON — at 10^10-URL scale it becomes a partitioned Parquet
     # side table with per-generation deltas, same as the seen shards.
     robots_checked: set[str] = set()
+    # adaptive ban-backoff state: host → penalty level (each level halves
+    # the admission budget). O(penalized hosts); checkpointed per
+    # generation (backoff.json) and restored on resume like the caches.
+    penalty: dict[str, int] = {}
+    if ban_backoff and resume and last is not None:
+        bpath = os.path.join(out_dir, f"iter_{last:04d}", "backoff.json")
+        if os.path.exists(bpath):
+            with open(bpath) as fh:
+                penalty = {h: int(v) for h, v in json.load(fh)["penalty"].items()}
     # sitemap warm cache: hosts whose /sitemap.xml has been ingested. Same
     # O(hosts) JSON checkpoint/restore story as robots.json.
     sitemap_checked: set[str] = set()
@@ -551,7 +583,10 @@ def run_crawl(
         # measured on the dedup pipelines); the sort is a barrier anyway
         if os.environ.get("CRAWLER_RAY_ADMIT_CUT", "1") != "0":
             fr = fr.materialize()
-        fr = fr.groupby("part").map_groups(admit_partition_fn(cfg, usage), batch_format="pandas")
+        fr = fr.groupby("part").map_groups(
+            admit_partition_fn(cfg, usage, penalty if ban_backoff else None),
+            batch_format="pandas",
+        )
         frontier_mat = fr.materialize()
         t0 = _tick(f"it{it} admission", t0)
         if timing and os.environ.get("CRAWLER_RAY_STATS") == "1":
@@ -618,6 +653,11 @@ def run_crawl(
         if track_window:
             window.append(_iter_host_counts(ckdir))
             del window[: -(cfg.sustained_window - 1)]
+        if ban_backoff:
+            sched_hosts, banned_hosts = _iter_host_outcomes(ckdir)
+            apply_backoff_updates(penalty, sched_hosts, banned_hosts)
+            with open(os.path.join(ckdir, "backoff.json"), "w") as fh:
+                json.dump({"penalty": penalty}, fh)
         t0 = _tick(f"it{it} order write n={n_sched}", t0)
 
         # items sink, per rule (dynamic schema from ItemFields — W2);

@@ -91,8 +91,13 @@ def run_oracle(
     sitemap_priority: int = 0,
     robots_agent: str = "*",
     robots_window_s: float = 60.0,
+    ban_backoff: bool = False,
 ) -> OracleResult:
-    from crawler_ray.stages.politeness import robots_config
+    from crawler_ray.stages.politeness import (
+        apply_backoff_updates,
+        backoff_budget,
+        robots_config,
+    )
 
     cfg = PolitenessConfig.from_json(corpus.politeness)
     max_depth = min(cfg.max_depth, task.max_depth)
@@ -128,6 +133,7 @@ def run_oracle(
     res = OracleResult()
     seen: set[int] = set()
     failed_once: set[int] = set()
+    penalty: dict[str, int] = {}  # adaptive ban-backoff levels
     # trailing-window ledger for the composed sustained budget
     window: list[dict[str, int]] = []
     track_window = (
@@ -229,7 +235,9 @@ def run_oracle(
                     continue
                 keys.add(k)
                 kept.append(r)
-            budget = cfg.effective_budget(host, usage.get(host, 0))
+            budget = backoff_budget(
+                cfg, host, usage.get(host, 0), penalty if ban_backoff else None
+            )
             admitted.extend(kept[:budget])
             deferred.extend(kept[budget:])
         if track_window:
@@ -240,6 +248,7 @@ def run_oracle(
             del window[: -(cfg.sustained_window - 1)]
 
         children: list[dict] = []
+        banned_hosts: set[str] = set()
         for r in admitted:
             k = _h64(r["url"])
             if not task.reload:
@@ -255,6 +264,8 @@ def run_oracle(
             else:
                 outcome = "ok"
             res.order.append((it, r["url"], r["priority"], r["seq"], r["attempt"], outcome))
+            if outcome == "banned":
+                banned_hosts.add(r["host"])
             if outcome in ("missing", "banned"):
                 seen.discard(k)  # unmark-on-failure
                 if r["attempt"] + 1 < cfg.max_attempts:
@@ -295,6 +306,10 @@ def run_oracle(
             else:
                 res.texts[r["url"]] = json.dumps(item, ensure_ascii=False, sort_keys=True)
 
+        if ban_backoff:
+            apply_backoff_updates(
+                penalty, {r["host"] for r in admitted}, banned_hosts
+            )
         frontier = deferred + children
 
     res.seen = seen

@@ -268,14 +268,60 @@ def host_partition_of(hosts, nparts: int):
     return uniq[enc.indices.to_numpy(zero_copy_only=False)]
 
 
-def admit_partition_fn(config: PolitenessConfig, window_usage: dict[str, int] | None = None):
+def backoff_budget(
+    config: PolitenessConfig,
+    host: str,
+    used_in_window: int,
+    penalty: dict[str, int] | None,
+) -> int:
+    """Effective budget with the adaptive ban-backoff applied: each penalty
+    level halves the composed budget (floor 1, so a backed-off host keeps
+    probing and can recover). Shared by the engine's admission pass and the
+    single-process oracle so the semantics have one definition."""
+    budget = config.effective_budget(host, used_in_window)
+    if penalty:
+        p = penalty.get(host, 0)
+        if p:
+            return max(1, budget >> p)
+    return budget
+
+
+BACKOFF_MAX = 6  # deepest penalty level: budget >> 6
+
+
+def apply_backoff_updates(
+    penalty: dict[str, int], scheduled_hosts, banned_hosts
+) -> None:
+    """One generation's adaptive-politeness update, shared engine/oracle:
+    a host that served ≥1 ban page this generation escalates one penalty
+    level (budget halves, capped at ``BACKOFF_MAX``); a scheduled host with
+    a clean generation recovers one level. Hosts not scheduled keep their
+    penalty — no signal, no change. The dict stays O(penalized hosts)."""
+    for h in scheduled_hosts:
+        if h in banned_hosts:
+            penalty[h] = min(penalty.get(h, 0) + 1, BACKOFF_MAX)
+        elif h in penalty:
+            p = penalty[h] - 1
+            if p:
+                penalty[h] = p
+            else:
+                del penalty[h]
+
+
+def admit_partition_fn(
+    config: PolitenessConfig,
+    window_usage: dict[str, int] | None = None,
+    penalty: dict[str, int] | None = None,
+):
     """Partition-level admission: one vectorized pass over ALL hosts hashed
     into this partition, replacing one pandas group per host (a real web
     frontier has ~10^6+ hosts; per-group overhead would dwarf the admission
     math). Semantics are identical to ``admit_fn`` per host — every host's
     rows land in exactly one partition (crc32(host) % nparts), rows are
     lexsorted by (host, priority desc, seq, len), within-host duplicate
-    keys keep the first, and each host admits its effective budget."""
+    keys keep the first, and each host admits its effective budget
+    (ban-backoff penalties halve it per level when enabled; the dict is
+    O(penalized hosts), shipped in the closure like ``window_usage``)."""
     import numpy as np
 
     usage = window_usage or {}
@@ -297,7 +343,7 @@ def admit_partition_fn(config: PolitenessConfig, window_usage: dict[str, int] | 
         run_lens = np.diff(np.r_[starts, len(h)])
         rank = np.arange(len(h)) - np.repeat(starts, run_lens)
         budgets = np.fromiter(
-            (config.effective_budget(x, usage.get(x, 0)) for x in h[starts]),
+            (backoff_budget(config, x, usage.get(x, 0), penalty) for x in h[starts]),
             np.int64, len(starts),
         )
         return g.assign(admitted=rank < np.repeat(budgets, run_lens))

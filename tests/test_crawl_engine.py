@@ -347,3 +347,41 @@ def test_redirects_followed_and_failed(crawl_pair):
             assert f'"title-{i:06d}"' in texts[u], u
     # the loop link fails like a missing page: initial try + one retry
     assert by_url[LOOP_URLS[0]] == ["missing", "missing"]
+
+
+def test_ban_backoff_engine_matches_oracle(ray_session, corpus_small, tmp_path_factory):
+    """Adaptive politeness: hosts serving ban pages halve their budget per
+    penalty level and recover on clean generations — engine ≡ oracle under
+    the feature, and the ban fraction in the corpus actually engages it."""
+    import glob
+
+    out = str(tmp_path_factory.mktemp("backoff"))
+    engine = run_crawl(corpus_small, out_dir=out, max_iterations=30, ban_backoff=True)
+    oracle = run_oracle(corpus_small, max_iterations=30, ban_backoff=True)
+    df = engine.order_dataset().to_pandas()
+    eng = set(zip(df.iteration, df.url, df.priority, df.seq, df.attempt, df.outcome))
+    assert eng == set(oracle.order)
+    assert engine.iterations == oracle.iterations
+    pens = []
+    for p in sorted(glob.glob(os.path.join(out, "iter_*", "backoff.json"))):
+        with open(p) as fh:
+            pens.append(json.load(fh)["penalty"])
+    assert any(pens), "ban fraction should trigger at least one penalty"
+
+
+def test_backoff_update_rule():
+    from crawler_ray.stages.politeness import BACKOFF_MAX, apply_backoff_updates
+
+    pen: dict[str, int] = {}
+    apply_backoff_updates(pen, {"a", "b"}, {"a"})
+    assert pen == {"a": 1}
+    for _ in range(10):  # escalation caps
+        apply_backoff_updates(pen, {"a"}, {"a"})
+    assert pen == {"a": BACKOFF_MAX}
+    apply_backoff_updates(pen, {"a"}, set())  # clean generation recovers
+    assert pen == {"a": BACKOFF_MAX - 1}
+    apply_backoff_updates(pen, set(), set())  # unscheduled host: no change
+    assert pen == {"a": BACKOFF_MAX - 1}
+    for _ in range(BACKOFF_MAX):
+        apply_backoff_updates(pen, {"a"}, set())
+    assert pen == {}  # fully recovered entries leave the dict
