@@ -590,22 +590,28 @@ def ngram_contamination(sf_dir: str, n: int = 5, parts: int = 16) -> rd.Dataset:
         .map_groups(per_part, batch_format="pandas")
     )
 
-    def finish(t: pa.Table) -> pa.Table:
-        ng = pc.cast(t["sum(n_grams)"], pa.int64()).to_numpy()
-        nh = pc.cast(t["sum(n_hit)"], pa.int64()).to_numpy()
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_grams": pa.array(ng),
-                "n_hit": pa.array(nh),
-                "contam_pct": pa.array((100 * nh) // np.maximum(ng, 1)),
-            }
+    # coarse doc-hash partitions + one vectorized pandas groupby each —
+    # Ray's fine-key groupby(doc_id).sum() costs ~ms per group (see the
+    # bigram_familiarity note; same fix)
+    def add_dpart(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "dpart",
+            pa.array(((ids * np.uint64(2654435761)) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    def merge_docs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False, as_index=False)[["n_grams", "n_hit"]].sum()
+        out["contam_pct"] = (100 * out["n_hit"]) // np.maximum(out["n_grams"], 1)
+        return out.astype(
+            {"doc_id": "int64", "n_grams": "int64", "n_hit": "int64",
+             "contam_pct": "int64"}
         )
 
     return (
-        partials.groupby("doc_id")
-        .sum(["n_grams", "n_hit"])
-        .map_batches(finish, batch_format="pyarrow")
+        partials.map_batches(add_dpart, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(merge_docs, batch_format="pandas")
     )
 
 
@@ -682,22 +688,32 @@ def bigram_familiarity(sf_dir: str, parts: int = 16) -> rd.Dataset:
         .map_groups(per_part, batch_format="pandas")
     )
 
-    def finish(t: pa.Table) -> pa.Table:
-        nb = pc.cast(t["sum(n_bigrams)"], pa.int64()).to_numpy()
-        fs = pc.cast(t["sum(fam_sum)"], pa.int64()).to_numpy()
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_bigrams": pa.array(nb),
-                "fam_sum": pa.array(fs),
-                "fam_avg_c": pa.array((1_000_000 * fs) // np.maximum(nb, 1)),
-            }
+    # per-doc merge of the ≤`parts` partials via coarse doc-hash partitions
+    # + ONE vectorized pandas groupby each — Ray's fine-key
+    # groupby(doc_id).sum() paid ~3 ms/group here (17 s of a 40 s wall at
+    # sf0.1); the same partial rows reduce in <1 s this way (the dup_spans
+    # merge pattern)
+    def add_dpart(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "dpart",
+            pa.array(((ids * np.uint64(2654435761)) % np.uint64(parts)).astype(np.int32)),
+        )
+
+    def merge_docs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False, as_index=False)[
+            ["n_bigrams", "fam_sum"]
+        ].sum()
+        out["fam_avg_c"] = (1_000_000 * out["fam_sum"]) // np.maximum(out["n_bigrams"], 1)
+        return out.astype(
+            {"doc_id": "int64", "n_bigrams": "int64", "fam_sum": "int64",
+             "fam_avg_c": "int64"}
         )
 
     return (
-        partials.groupby("doc_id")
-        .sum(["n_bigrams", "fam_sum"])
-        .map_batches(finish, batch_format="pyarrow")
+        partials.map_batches(add_dpart, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(merge_docs, batch_format="pandas")
     )
 
 
