@@ -83,17 +83,33 @@ def host_of(urls: pa.Array) -> pa.Array:
     )
 
 
-def canonicalize(urls: pa.Array) -> pa.Array:
-    """Canonical URL form: lowercase scheme+host, strip fragment, strip
-    trailing '?' and default ports.
+# Tracking query parameters stripped during canonicalization (the
+# click-identity noise that makes one logical page look like many URLs).
+# The two regexes are shared verbatim with the oracle's Python ``re`` path —
+# RE2 (Arrow) and Python ``re`` agree on these constructs by construction.
+_TRACK = r"(?:utm_[A-Za-z0-9_]*|gclid|fbclid)"
+# anchored on the preceding separator (captured and restored) so a "utm_"
+# inside a parameter VALUE never matches
+TRACKING_MID_RE = rf"([?&])(?:{_TRACK}=[^&#]*&)+"  # tracking run before another param
+TRACKING_TAIL_RE = rf"[?&]{_TRACK}=[^&#]*$"  # trailing tracking param
 
-    The reference does no canonicalization (identity is the raw url string);
-    we keep the transformation conservative so seen-keys still match the
-    oracle: only fragment stripping is applied to the identity-bearing form,
-    mirroring what any frontier must do, and the oracle applies the same.
+
+def canonicalize(urls: pa.Array) -> pa.Array:
+    """Canonical URL form: strip fragment, strip tracking query params
+    (``utm_*`` / ``gclid`` / ``fbclid``), strip a trailing empty ``?``.
+
+    The reference does no canonicalization (identity is the raw url
+    string); we keep the transformation conservative and fully mirrored by
+    the oracle so seen-keys still compare: fragment strip + tracking-param
+    strip are what any real frontier must do to stop click-id noise from
+    multiplying the seen set.
     """
     # strip #fragment
     out = pc.replace_substring_regex(urls, pattern=r"#.*$", replacement="")
+    # strip tracking params: first those followed by another param (the
+    # leading ?/& survives for what follows), then a trailing run
+    out = pc.replace_substring_regex(out, pattern=TRACKING_MID_RE, replacement="\\1")
+    out = pc.replace_substring_regex(out, pattern=TRACKING_TAIL_RE, replacement="")
     # strip trailing ? (empty query)
     out = pc.replace_substring_regex(out, pattern=r"\?$", replacement="")
     return out

@@ -63,7 +63,11 @@ def _host(url: str) -> str:
 
 
 def _canon(url: str) -> str:
+    from crawler_ray.functions.url import TRACKING_MID_RE, TRACKING_TAIL_RE
+
     url = url.split("#", 1)[0]
+    url = re.sub(TRACKING_MID_RE, r"\1", url)
+    url = re.sub(TRACKING_TAIL_RE, "", url)
     return url[:-1] if url.endswith("?") else url
 
 

@@ -43,7 +43,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 6
+GEN_VERSION = 7
 FANOUT = 8
 NUM_HOSTS = 64
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
@@ -267,6 +267,12 @@ def synth_corpus(
             for i in range(j * FANOUT, min((j + 1) * FANOUT, n_docs)):
                 path = "d" if _alias_kind(i) else "detail"
                 durl = f"https://{_host_for(i, skew)}/{path}/{i}"
+                if i % 13 == 3:
+                    # tracking-param noise: extraction emits the RAW href
+                    # (golden includes it); canonicalization collapses it
+                    # back to durl at admission, so the detail is fetched
+                    # exactly once under its canonical url
+                    durl += f"?utm_source=feed&utm_campaign=c{j}"
                 links.append(f'<a class="item" href="{durl}" title="title-{i:06d}">d{i}</a>')
                 golden_links.append(durl)
             if j % 19 == 2:  # redirect-loop link fraction (fetch failure)

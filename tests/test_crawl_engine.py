@@ -385,3 +385,20 @@ def test_backoff_update_rule():
     for _ in range(BACKOFF_MAX):
         apply_backoff_updates(pen, {"a"}, set())
     assert pen == {}  # fully recovered entries leave the dict
+
+
+def test_tracking_params_canonicalized(crawl_pair):
+    """Lists emit utm-noised hrefs (raw in the golden text), but admission
+    canonicalizes them: no fetched url carries a tracking param and the
+    noised details are fetched exactly once under their canonical url."""
+    engine, _ = crawl_pair
+    tdf = engine.text_dataset().to_pandas()
+    noised = [
+        u for p in tdf[tdf.rule == "list"].payload for u in p.split("\n") if "utm_" in u
+    ]
+    assert noised, "corpus should emit tracking-param links"
+    order = engine.order_dataset().to_pandas()
+    assert not order.url.str.contains("utm_").any()
+    canon = {u.split("?", 1)[0] for u in noised}
+    fetched = order[order.url.isin(canon)]
+    assert set(fetched.url) == canon  # each noised target fetched (canonically)
