@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "link_graph",
+    "anchor_texts",
     "top_terms",
     "inverted_index",
     "purchase_prior_events",

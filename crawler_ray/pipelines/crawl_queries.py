@@ -148,12 +148,91 @@ def link_graph(sf_dir: str) -> rd.Dataset:
     return ex.map_batches(edges_fn, batch_format="pyarrow")
 
 
+def anchor_texts(sf_dir: str, nparts: int = 16) -> rd.Dataset:
+    """Anchor-text aggregation over the link graph — the web-search /
+    training-data signal the crawl's raw pages carry but no single page
+    states: for every link TARGET, how many anchors point at it, how many
+    distinct anchor strings, and the dominant anchor (most frequent,
+    lexicographic min tie-break).
+
+    Scale shape: one streaming pass over the pages corpus extracts
+    (target, anchor, count) partials combined per batch, then ONE coarse
+    target-hash partition exchange and a vectorized per-partition reduce —
+    anchor strings shuffle once, grouped rows never leave their partition.
+    Rows-only (the pages table is not an oracle view); pinned by a pytest
+    brute force."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    corpus = synth_corpus(sf_dir)
+    pages = rd.read_parquet(corpus.pages, columns=["url", "html"])
+    a_re = re.compile(r'<a[^>]*?href="([^"]+)"[^>]*?title="([^"]+)"')
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        # only list-shaped pages carry titled anchors; cheap vectorized gate
+        mask = pc.match_substring(t["html"], 'title="')
+        for blob in t.filter(mask)["html"].to_pylist():
+            cnt.update(a_re.findall(blob.decode("utf-8", errors="replace")))
+        if not cnt:
+            return pa.table(
+                {
+                    "dst_url": pa.array([], pa.string()),
+                    "anchor": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        dst = np.array([k[0] for k in cnt], dtype=object)
+        h = pd.util.hash_array(dst) % np.uint64(nparts)
+        return pa.table(
+            {
+                "dst_url": pa.array(list(dst), pa.string()),
+                "anchor": pa.array([k[1] for k in cnt], pa.string()),
+                "cnt": pa.array(list(cnt.values()), pa.int64()),
+                "part": pa.array(h.astype(np.int32)),
+            }
+        )
+
+    def reduce_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = (
+            g.groupby(["dst_url", "anchor"], sort=False, as_index=False)["cnt"].sum()
+            # (cnt desc, anchor asc) within target → first row per target is
+            # the dominant anchor with the lexicographic tie-break
+            .sort_values(["dst_url", "cnt", "anchor"],
+                         ascending=[True, False, True], kind="mergesort",
+                         ignore_index=True)
+        )
+        dst = g["dst_url"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+        ends = np.r_[starts[1:], len(dst)]
+        return pd.DataFrame(
+            {
+                "dst_url": dst[starts],
+                "n_anchors": np.add.reduceat(g["cnt"].to_numpy(), starts).astype(np.int64),
+                "n_distinct": (ends - starts).astype(np.int64),
+                "top_anchor": g["anchor"].to_numpy()[starts],
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_size=1024, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "crawl_items": crawl_items,
     "crawl_order": crawl_order,
     "crawl_text": crawl_text,
     "frontier_host_stats": frontier_host_stats,
     "link_graph": link_graph,
+    "anchor_texts": anchor_texts,
 }
 
 ORACLE_SQL: dict[str, str] = {}

@@ -402,3 +402,28 @@ def test_tracking_params_canonicalized(crawl_pair):
     canon = {u.split("?", 1)[0] for u in noised}
     fetched = order[order.url.isin(canon)]
     assert set(fetched.url) == canon  # each noised target fetched (canonically)
+
+
+def test_anchor_texts_vs_bruteforce(ray_session, corpus_small):
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.crawl_queries import anchor_texts
+
+    got = anchor_texts("/root/testdata/sf0.001").to_pandas()
+    a_re = re.compile(r'<a[^>]*?href="([^"]+)"[^>]*?title="([^"]+)"')
+    cnt: Counter = Counter()
+    t = pq.read_table(corpus_small.pages, columns=["html"])
+    for blob in t["html"].to_pylist():
+        cnt.update(a_re.findall(blob.decode("utf-8", errors="replace")))
+    want: dict[str, Counter] = {}
+    for (dst, anchor), c in cnt.items():
+        want.setdefault(dst, Counter())[anchor] = c
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        w = want[row.dst_url]
+        assert row.n_anchors == sum(w.values())
+        assert row.n_distinct == len(w)
+        assert row.top_anchor == min(w, key=lambda a: (-w[a], a))
