@@ -502,19 +502,143 @@ def connected_components(
     )
 
 
-def dedup_clusters(sf_dir: str, min_jacc: int = 50) -> rd.Dataset:
+def connected_components_ls(
+    edges: rd.Dataset, src: str = "u", dst: str = "v", max_rounds: int = 60
+) -> rd.Dataset:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014) — the pointer-jumping scale path: O(log n) rounds regardless of
+    component diameter, where min-label propagation
+    (``connected_components``) needs O(diameter) supersteps (a 10^4-long
+    path graph would take 10^4 rounds there and ~14 here).
+
+    Each half-round is ONE coarse-partition exchange of the current edge
+    multiset plus a vectorized run-boundary pass — no per-node groups, no
+    driver-held graph. Convergence = the canonical edge multiset's hash sum
+    repeating (block partials, O(blocks) driver traffic). At the fixed
+    point every component is a star centered at its min node; the label
+    table falls out of the final edges."""
+    P = _nparts()
+
+    def seed(t: pa.Table) -> pa.Table:
+        u = t[src].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[dst].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = u != v
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    def large_tag(t: pa.Table) -> pa.Table:
+        # both directions so every node sees its full neighborhood
+        u = np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()])
+        v = np.concatenate([t["v"].to_numpy(), t["u"].to_numpy()])
+        return pa.table({"u": u, "v": v, "part": pa.array(_ipart(u, P))})
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "v"], kind="mergesort", ignore_index=True)
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(u)]))
+        m = np.minimum(np.minimum.reduceat(v, starts), u[starts])  # min(Γ(u) ∪ {u})
+        keep = v > u  # attach only larger neighbors to the min
+        out = pd.DataFrame({"u": v[keep], "v": m[run][keep]})
+        out = out[out["u"] != out["v"]].drop_duplicates(ignore_index=True)
+        return out
+
+    def small_tag(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        a = np.maximum(u, v)  # child (larger endpoint)
+        b = np.minimum(u, v)
+        return pa.table({"a": a, "b": b, "part": pa.array(_ipart(a, P))})
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["a", "b"]).sort_values(
+            ["a", "b"], kind="mergesort", ignore_index=True
+        )
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        run = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(a)]))
+        m = np.minimum.reduceat(b, starts)  # all b < a, so min(Γ⁻ ∪ {a}) = min(b)
+        mb = m[run]
+        keep = b != mb  # smaller neighbors re-attach to the min…
+        out = pd.DataFrame(
+            {
+                "u": np.concatenate([b[keep], a[starts]]),  # …plus the center itself
+                "v": np.concatenate([mb[keep], m]),
+            }
+        )
+        return out.drop_duplicates(ignore_index=True)
+
+    def edge_hash_sum(t: pa.Table) -> float:
+        a = np.maximum(t["u"].to_numpy(), t["v"].to_numpy()).astype(np.uint64)
+        b = np.minimum(t["u"].to_numpy(), t["v"].to_numpy()).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        # 24-bit per-row fold keeps every partial and the driver total an
+        # exact float64 integer (≤2^40 per 64k block, ≤2^51 overall); the
+        # (count, hash-sum) pair is the convergence signature
+        return float((h >> np.uint64(40)).sum())
+
+    cur = edges.map_batches(seed, batch_format="pyarrow").materialize()
+    if cur.count() == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        )
+    prev_sig = None
+    for _ in range(max_rounds):
+        cur = (
+            cur.map_batches(large_tag, batch_size=65536, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(large_star, batch_format="pandas")
+            .map_batches(small_tag, batch_size=65536, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(small_star, batch_format="pandas")
+            .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
+            .materialize()
+        )
+        sig = (cur.count(), _block_sums(cur, edge_hash_sum))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def labels(t: pa.Table) -> pa.Table:
+        a = np.maximum(t["u"].to_numpy(), t["v"].to_numpy())
+        b = np.minimum(t["u"].to_numpy(), t["v"].to_numpy())
+        node = np.concatenate([a, b])
+        comp = np.concatenate([b, b])
+        return pa.table(
+            {"node": node, "comp": comp, "part": pa.array(_ipart(node, P))}
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", sort=False, as_index=False)["comp"].min()
+        return out.rename(columns={"comp": "component"}).astype(
+            {"node": "int64", "component": "int64"}
+        )
+
+    return (
+        cur.map_batches(labels, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def dedup_clusters(sf_dir: str, min_jacc: int = 50, method: str = "minlabel") -> rd.Dataset:
     """Near-duplicate clusters: connected components over the
     ``prefix_jaccard_pairs`` similarity edges at ``min_jacc`` percent.
     Returns (doc_id, cluster_id, cluster_size) for every doc in at least
     one qualifying pair; cluster_id = smallest doc_id in the cluster, the
-    canonical representative a keep-one dedup pass would retain."""
+    canonical representative a keep-one dedup pass would retain.
+    ``method='ls'`` runs the large-star/small-star O(log n)-round variant
+    instead of min-label propagation — same output, same oracle."""
     from crawler_ray.pipelines.dedup import prefix_jaccard_pairs
 
     pairs = prefix_jaccard_pairs(sf_dir).map_batches(
         lambda t, mj=min_jacc: t.filter(pc.greater_equal(t["jacc_pct"], mj)),
         batch_format="pyarrow",
     )
-    comp = connected_components(pairs, src="a_id", dst="b_id")
+    cc = connected_components_ls if method == "ls" else connected_components
+    comp = cc(pairs, src="a_id", dst="b_id")
 
     P = _nparts()
 
@@ -706,9 +830,17 @@ def triangle_count(sf_dir: str) -> pa.Table:
     return triangle_count_edges(pairs, src="a_id", dst="b_id")
 
 
+def dedup_clusters_ls(sf_dir: str) -> rd.Dataset:
+    """``dedup_clusters`` via the large-star/small-star pointer-jumping
+    components — the O(log n)-round web-scale path, checked against the
+    SAME recursive-CTE oracle as the min-label variant."""
+    return dedup_clusters(sf_dir, method="ls")
+
+
 QUERIES = {
     "pagerank": pagerank,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_ls": dedup_clusters_ls,
     "triangle_count": triangle_count,
 }
 
@@ -764,3 +896,6 @@ ORACLE_SQL: dict[str, str] = {
         FROM comp c
     """,
 }
+
+# the LS variant computes the same clusters — same oracle
+ORACLE_SQL["dedup_clusters_ls"] = ORACLE_SQL["dedup_clusters"]

@@ -155,3 +155,34 @@ def test_link_graph_is_triangle_free(ray_session):
 
     got = triangle_count_edges(link_graph("/root/testdata/sf0.001"))
     assert got["n_triangles"][0].as_py() == 0
+
+
+def test_ls_components_match_minlabel_and_long_path(ray_session):
+    """Large-star/small-star CC equals min-label on real similarity edges,
+    and converges on a 2000-node path graph whose diameter would require
+    2000 min-label supersteps (the O(log n) pointer-jumping claim)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.pipelines.dedup import minhash_lsh_dups
+    from crawler_ray.pipelines.graph import (
+        connected_components,
+        connected_components_ls,
+    )
+
+    pairs = minhash_lsh_dups("/root/testdata/sf0.001")
+    a = connected_components(pairs, src="a_id", dst="b_id").to_pandas()
+    b = connected_components_ls(pairs, src="a_id", dst="b_id").to_pandas()
+    assert dict(zip(a.node, a.component)) == dict(zip(b.node, b.component))
+
+    # path 0-1-2-...-1999 plus a disjoint triangle with ids above it
+    n = 2000
+    u = np.r_[np.arange(n - 1), [5000, 5001, 5000]]
+    v = np.r_[np.arange(1, n), [5001, 5002, 5002]]
+    edges = rd.from_arrow(pa.table({"u": u, "v": v}))
+    got = connected_components_ls(edges).to_pandas()
+    lab = dict(zip(got.node, got.component))
+    assert len(lab) == n + 3
+    assert all(lab[i] == 0 for i in range(n))
+    assert all(lab[i] == 5000 for i in (5000, 5001, 5002))
