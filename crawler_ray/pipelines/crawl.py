@@ -323,6 +323,8 @@ def run_crawl(
     robots_agent: str = "*",
     robots_window_s: float = 60.0,
     ban_backoff: bool = False,
+    frontier_override: pa.Table | None = None,
+    ledger_dir: str | None = None,
 ) -> CrawlResult:
     import dataclasses
 
@@ -354,7 +356,11 @@ def run_crawl(
             frontier_path = os.path.join(out_dir, f"iter_{last:04d}", "next_frontier")
             start_iter = last + 1
     if frontier_path is None:
-        frontier_tbl = seed_frontier_table(corpus.seeds)
+        frontier_tbl = (
+            frontier_override
+            if frontier_override is not None
+            else seed_frontier_table(corpus.seeds)
+        )
 
     if seen_capacity is None:
         # size shards to ~4× the page count (cuckoo wants ≤95% load); at
@@ -625,7 +631,7 @@ def run_crawl(
         # are materialized.
         ex_mat = admitted.map_batches(
             make_fetch_extract_fn(corpus.pages, task, cfg.max_attempts,
-                                  fetcher_factory, fetcher_key),
+                                  fetcher_factory, fetcher_key, ledger_dir),
             batch_size=batch_size,
             batch_format="pyarrow",
         ).materialize()
@@ -643,6 +649,10 @@ def run_crawl(
                     "attempt": f.column("attempt"),
                     "outcome": f.column("outcome"),
                     "h64": f.column("h64"),
+                    # fetch ts + rule ride along so a later incremental
+                    # recrawl can rebuild its ledger from order alone
+                    "warc_ts": f.column("ts"),
+                    "rule": f.column("rule"),
                 }
             ))(t.filter(pc.equal(t.column("kind"), "order"))),
             batch_size=65536,
@@ -823,3 +833,91 @@ def _unpack_shard_state(raw: dict) -> dict:
     if "failed_exact" in meta:
         st["failed_exact"] = meta["failed_exact"]
     return st
+
+
+# ---------------------------------------------------------- incremental recrawl
+def build_ts_ledger(out_dir: str) -> str:
+    """Build (or reuse) the url-sorted fetch ledger of a completed crawl:
+    one entry per successfully-fetched url — (url, last warc_ts, rule) —
+    memory-mapped by recrawl fetch workers exactly like the fetch index.
+    Read from the order checkpoints (outcome ok or unchanged), so a chain
+    of recrawls keeps carrying each url's last-known capture time. The
+    build is a one-time layout cost per completed run, O(fetched urls)."""
+    ldir = os.path.join(out_dir, "_ts_ledger")
+    if os.path.exists(os.path.join(ldir, "_DONE")):
+        return ldir
+    os.makedirs(ldir, exist_ok=True)
+    urls: list[bytes] = []
+    tss: list[np.ndarray] = []
+    rules: list[np.ndarray] = []
+    for d in sorted(os.listdir(out_dir)):
+        odir = os.path.join(out_dir, d, "order")
+        if not (d.startswith("iter_") and os.path.isdir(odir)):
+            continue
+        for f in sorted(os.listdir(odir)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                os.path.join(odir, f), columns=["url", "outcome", "warc_ts", "rule"]
+            )
+            t = t.filter(
+                pc.is_in(t["outcome"], value_set=pa.array(["ok", "unchanged"]))
+            )
+            urls.extend(u.encode() for u in t["url"].to_pylist())
+            tss.append(t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+            rules.append(np.asarray(t["rule"].to_pylist(), dtype=object))
+    ts = np.concatenate(tss) if tss else np.empty(0, np.int64)
+    rl = np.concatenate(rules) if rules else np.empty(0, object)
+    width = max((len(b) for b in urls), default=1)
+    ua = np.array(urls, dtype=f"S{width}")
+    order = np.argsort(ua, kind="stable")
+    np.save(os.path.join(ldir, "urls.npy"), ua[order])
+    np.save(os.path.join(ldir, "ts.npy"), ts[order].astype(np.int64))
+    rw = max((len(str(r)) for r in rl), default=1)
+    np.save(os.path.join(ldir, "rules.npy"), rl[order].astype(f"S{rw}"))
+    with open(os.path.join(ldir, "_DONE"), "w") as fh:
+        fh.write("ok")
+    return ldir
+
+
+def recrawl_frontier(ledger_dir: str) -> pa.Table:
+    """Generation-0 frontier for an incremental recrawl: every ledger url,
+    depth 0, priority 0, its last rule, seq = md5(url) (deterministic, the
+    same convention as sitemap injection — the oracle reproduces it)."""
+    urls = [u.decode() for u in np.load(os.path.join(ledger_dir, "urls.npy"))]
+    rules = [r.decode() for r in np.load(os.path.join(ledger_dir, "rules.npy"))]
+    n = len(urls)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([0] * n, pa.uint64()),
+            pa.array([0] * n, pa.int32()),
+            pa.array([0] * n, pa.int32()),
+            pa.array([hashlib.md5(u.encode()).digest() for u in urls], pa.binary()),
+            pa.array([0] * n, pa.int32()),
+            pa.array(rules, pa.string()),
+            pa.array(["{}"] * n, pa.string()),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def run_recrawl(
+    corpus: Corpus, prev_out_dir: str, out_dir: str, **kwargs
+) -> CrawlResult:
+    """Incremental recrawl: refetch everything the previous run captured
+    (politeness, retries, checkpoint/resume all apply as usual), but pages
+    whose ``warc_ts`` is unchanged from the ledger are recorded as outcome
+    ``unchanged`` and NOT re-extracted — only changed/new subtrees produce
+    items, text and children. ``corpus`` is the same site observed later
+    (e.g. ``synth_corpus(..., epoch=1)``)."""
+    ledger = build_ts_ledger(prev_out_dir)
+    return run_crawl(
+        corpus,
+        out_dir=out_dir,
+        frontier_override=recrawl_frontier(ledger),
+        ledger_dir=ledger,
+        **kwargs,
+    )

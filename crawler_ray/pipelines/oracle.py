@@ -75,6 +75,14 @@ def _h64(url: str) -> int:
     return int.from_bytes(hashlib.md5(url.encode() + b"GET").digest()[:8], "big")
 
 
+def _ts_us(ts) -> int:
+    """warc_ts (datetime from parquet to_pylist) → integer microseconds,
+    matching the engine's int64 ledger representation."""
+    import numpy as np
+
+    return int(np.datetime64(ts, "us").astype(np.int64))
+
+
 @dataclass
 class OracleResult:
     order: list[tuple] = field(default_factory=list)  # (iteration, url, priority, seq, attempt, outcome)
@@ -96,6 +104,8 @@ def run_oracle(
     robots_agent: str = "*",
     robots_window_s: float = 60.0,
     ban_backoff: bool = False,
+    seeds_rows: list[dict] | None = None,
+    ledger: dict[str, int] | None = None,
 ) -> OracleResult:
     from crawler_ray.stages.politeness import (
         apply_backoff_updates,
@@ -120,19 +130,24 @@ def run_oracle(
         )
     }
 
-    seeds = pq.read_table(corpus.seeds)
-    frontier: list[dict] = [
-        {
-            "url": r["url"],
-            "depth": r["depth"],
-            "priority": r["priority"],
-            "seq": int(r["seq"]).to_bytes(4, "big"),
-            "attempt": 0,
-            "rule": r["rule"],
-            "carry": {},
-        }
-        for r in seeds.to_pylist()
-    ]
+    if seeds_rows is not None:
+        # recrawl mode: caller supplies the frontier (ledger urls with
+        # seq = md5(url), mirroring the engine's recrawl_frontier)
+        frontier = [dict(r) for r in seeds_rows]
+    else:
+        seeds = pq.read_table(corpus.seeds)
+        frontier = [
+            {
+                "url": r["url"],
+                "depth": r["depth"],
+                "priority": r["priority"],
+                "seq": int(r["seq"]).to_bytes(4, "big"),
+                "attempt": 0,
+                "rule": r["rule"],
+                "carry": {},
+            }
+            for r in seeds.to_pylist()
+        ]
 
     res = OracleResult()
     seen: set[int] = set()
@@ -265,6 +280,11 @@ def run_oracle(
                 outcome = "banned"
             elif len(page[0]) < MIN_BODY_BYTES:
                 outcome = "short"
+            elif (
+                ledger is not None
+                and ledger.get(r["url"]) == _ts_us(page[1])
+            ):
+                outcome = "unchanged"  # incremental recrawl: skip extract
             else:
                 outcome = "ok"
             res.order.append((it, r["url"], r["priority"], r["seq"], r["attempt"], outcome))
@@ -275,8 +295,8 @@ def run_oracle(
                 if r["attempt"] + 1 < cfg.max_attempts:
                     children.append({**r, "attempt": r["attempt"] + 1})
                 continue
-            if outcome == "short":
-                continue
+            if outcome in ("short", "unchanged"):
+                continue  # stays marked; unchanged additionally skips extract
             rule = rules.get(r["rule"])
             if rule is None:
                 continue

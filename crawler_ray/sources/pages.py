@@ -110,14 +110,25 @@ LOOP_URLS = (
 )
 
 
-def _detail_fields(i: int, intro: str) -> dict[str, object]:
+def _changed_in_epoch(i: int) -> bool:
+    """Details with i % 7 == 2 change content (and warc_ts) in epoch > 0 —
+    the incremental-recrawl fraction."""
+    return i % 7 == 2
+
+
+# warc_ts advance for changed pages per epoch (1000 s in microseconds)
+EPOCH_TS_BUMP_US = 1_000_000_000
+
+
+def _detail_fields(i: int, intro: str, epoch: int = 0) -> dict[str, object]:
+    price = 10 + (i + (7 * epoch if epoch and _changed_in_epoch(i) else 0)) % 90
     return {
         "title": f"title-{i:06d}",
         "author": f"Author {i % 97}",
         "pages": 50 + (i % 400),
         "publisher": f"Pub {i % 13}",
         "score": f"9.{i % 10}",
-        "price": f"{10 + i % 90}.00",
+        "price": f"{price}.00",
         "intro": intro,
     }
 
@@ -146,6 +157,7 @@ def synth_corpus(
     multiplier: int = 1,
     budget_divisor: int = 100,
     skew: bool = True,
+    epoch: int = 0,
 ) -> Corpus:
     """Synthesize (or reuse cached) corpus for one sf directory.
 
@@ -153,12 +165,17 @@ def synth_corpus(
     (bench corpora); ``budget_divisor`` sets per-host politeness budget =
     n_docs // divisor (smaller divisor ⇒ fewer, heavier crawl generations);
     ``skew=False`` drops the 30% mega-host (uniform host distribution).
+    ``epoch > 0`` is the SAME site observed later: details with
+    ``i % 7 == 2`` have changed content and a bumped ``warc_ts``
+    (``EPOCH_TS_BUMP_US`` per epoch); every other page is byte-identical —
+    the incremental-recrawl fixture.
     """
     docs_path = os.path.join(sf_dir, "documents.parquet")
     n_docs = pq.read_metadata(docs_path).num_rows * multiplier
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}_v{GEN_VERSION}_{n_docs}"
         f"_b{budget_divisor}" + ("" if skew else "_uniform")
+        + (f"_e{epoch}" if epoch else "")
     )
     root = os.path.join(cache_root, tag)
     corpus = Corpus(
@@ -234,7 +251,7 @@ def synth_corpus(
             return html, "", 1
         if kind == "detail":
             i = ident
-            f = _detail_fields(i, _clean_text(doc_text[i % n_base]))
+            f = _detail_fields(i, _clean_text(doc_text[i % n_base]), epoch)
             golden = (
                 "" if (i % 37 == 0 or i % 41 == 0)
                 else json.dumps(f, ensure_ascii=False, sort_keys=True)
@@ -250,7 +267,7 @@ def synth_corpus(
             if ak == "dead":
                 return redirect_html(f"https://{host}/gone/{i}"), "", 1
             hop = "d2" if ak == "double" else "detail"
-            f = _detail_fields(i, _clean_text(doc_text[i % n_base]))
+            f = _detail_fields(i, _clean_text(doc_text[i % n_base]), epoch)
             golden = (
                 "" if (i % 37 == 0 or i % 41 == 0)
                 else json.dumps(f, ensure_ascii=False, sort_keys=True)
@@ -322,7 +339,12 @@ def synth_corpus(
                 htmls.append(html.encode())
                 texts.append(golden)
                 langs.append("zh" if fi % 3 == 0 else "en")
-                tss.append(EPOCH_US + pidx)
+                bump = (
+                    EPOCH_TS_BUMP_US * epoch
+                    if epoch and kind == "detail" and _changed_in_epoch(ident)
+                    else 0
+                )
+                tss.append(EPOCH_US + pidx + bump)
             writer.write_table(
                 pa.table(
                     {

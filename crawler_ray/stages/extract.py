@@ -25,6 +25,7 @@ under any parallelism (SURVEY.md §7.4).
 from __future__ import annotations
 
 import json
+import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -296,7 +297,7 @@ class FetchExtract:
     """
 
     def __init__(self, pages_dir: str, task: TaskSpec, max_attempts: int = 2,
-                 fetcher_factory=None):
+                 fetcher_factory=None, ledger_dir: str | None = None):
         from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES
         from crawler_ray.stages.fetch import SimulatedFetcher
 
@@ -308,6 +309,18 @@ class FetchExtract:
         self.ban = BAN_STRING
         self.min_bytes = MIN_BODY_BYTES
         self.max_attempts = max_attempts
+        # incremental-recrawl ledger (build_ts_ledger): url-sorted previous
+        # fetch timestamps, memory-mapped once per worker like the fetch
+        # index; an ok fetch whose warc_ts equals the ledger entry becomes
+        # outcome "unchanged" — recorded, kept marked, NOT re-extracted.
+        self.ledger_urls = self.ledger_ts = None
+        if ledger_dir is not None:
+            import numpy as np
+
+            self.ledger_urls = np.load(
+                os.path.join(ledger_dir, "urls.npy"), mmap_mode="r"
+            )
+            self.ledger_ts = np.load(os.path.join(ledger_dir, "ts.npy"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -370,10 +383,41 @@ class FetchExtract:
             pc.if_else(banned, pa.scalar("banned"),
                        pc.if_else(short, pa.scalar("short"), pa.scalar("ok"))),
         )
+        if self.ledger_urls is not None and len(self.ledger_urls):
+            # incremental recrawl: an ok body whose warc_ts equals the
+            # previous run's ledger entry is "unchanged" — one vectorized
+            # searchsorted probe, same S-width trick as the fetch index
+            out_np = np.asarray(outcome.combine_chunks(), dtype=object)
+            ok_mask = out_np == "ok"
+            if ok_mask.any():
+                width = self.ledger_urls.dtype.itemsize
+                url_bin = pc.cast(fetched.column("url").combine_chunks(), pa.binary())
+                probe = url_bin.to_numpy(zero_copy_only=False).astype(f"S{width}")
+                lens = pc.binary_length(url_bin).to_numpy()
+                pos = np.minimum(
+                    np.searchsorted(self.ledger_urls, probe), len(self.ledger_urls) - 1
+                )
+                hit = (self.ledger_urls[pos] == probe) & (lens <= width)
+                ts_np = (
+                    fetched.column("warc_ts").combine_chunks()
+                    .cast(pa.int64()).fill_null(-1)
+                    .to_numpy(zero_copy_only=False)
+                )
+                same = ok_mask & hit & (self.ledger_ts[pos] == ts_np)
+                if same.any():
+                    out_np = np.where(same, "unchanged", out_np)
+                    # keep chunked so downstream combine_chunks() calls hold
+                    outcome = pa.chunked_array([pa.array(out_np, pa.string())])
 
         parts: list[pa.Table] = []
-        # order: one row per attempted fetch — pure table ops
-        parts.append(_rows_like(fetched, None, "order", outcome=outcome))
+        # order: one row per attempted fetch (fetch ts attached — the next
+        # run's ledger is built from these rows) — pure table ops
+        parts.append(
+            _rows_like(
+                fetched, None, "order", outcome=outcome,
+                ts=fetched.column("warc_ts").combine_chunks().cast(pa.timestamp("us")),
+            )
+        )
         # retry rows: failed fetches re-enter the next frontier with
         # attempt+1 (unchanged url/seq/priority — ordering stays stable)
         attempts = fetched.column("attempt")
@@ -403,20 +447,21 @@ class FetchExtract:
         return pa.concat_tables(pre_parts + parts)
 
 
-_FETCH_EXTRACT_CACHE: dict[tuple[str, str, int, str], FetchExtract] = {}
+_FETCH_EXTRACT_CACHE: dict[tuple, FetchExtract] = {}
 
 
 def make_fetch_extract_fn(pages_dir: str, task: TaskSpec, max_attempts: int = 2,
-                          fetcher_factory=None, fetcher_key: str = "simulated"):
+                          fetcher_factory=None, fetcher_key: str = "simulated",
+                          ledger_dir: str | None = None):
     """Per-worker-process cached FetchExtract task fn. ``fetcher_key`` names
     the fetcher variant in the worker cache (factories don't hash stably)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        key = (pages_dir, task.name, max_attempts, fetcher_key)
+        key = (pages_dir, task.name, max_attempts, fetcher_key, ledger_dir)
         fe = _FETCH_EXTRACT_CACHE.get(key)
         if fe is None:
             fe = _FETCH_EXTRACT_CACHE[key] = FetchExtract(
-                pages_dir, task, max_attempts, fetcher_factory
+                pages_dir, task, max_attempts, fetcher_factory, ledger_dir
             )
         return fe(batch)
 

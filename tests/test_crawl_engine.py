@@ -427,3 +427,61 @@ def test_anchor_texts_vs_bruteforce(ray_session, corpus_small):
         assert row.n_anchors == sum(w.values())
         assert row.n_distinct == len(w)
         assert row.top_anchor == min(w, key=lambda a: (-w[a], a))
+
+
+def test_incremental_recrawl_engine_matches_oracle(
+    ray_session, corpus_small, crawl_pair, tmp_path_factory
+):
+    """Recrawl the same site one epoch later: every previously-fetched url
+    refetches under normal politeness, unchanged pages are recorded but NOT
+    re-extracted, and only the changed fraction emits items — engine ≡
+    oracle on the full recrawl schedule."""
+    import hashlib
+
+    from crawler_ray.pipelines.crawl import build_ts_ledger, run_recrawl
+    from crawler_ray.sources.pages import _changed_in_epoch, synth_corpus
+
+    engine1, _ = crawl_pair
+    c2 = synth_corpus("/root/testdata/sf0.001", epoch=1)
+    out2 = str(tmp_path_factory.mktemp("recrawl"))
+    engine2 = run_recrawl(c2, engine1.out_dir, out2, max_iterations=30)
+
+    ldir = build_ts_ledger(engine1.out_dir)
+    urls = [u.decode() for u in np.load(os.path.join(ldir, "urls.npy"))]
+    ts = np.load(os.path.join(ldir, "ts.npy"))
+    rules = [r.decode() for r in np.load(os.path.join(ldir, "rules.npy"))]
+    seeds_rows = [
+        {
+            "url": u,
+            "depth": 0,
+            "priority": 0,
+            "seq": hashlib.md5(u.encode()).digest(),
+            "attempt": 0,
+            "rule": rl,
+            "carry": {},
+        }
+        for u, rl in zip(urls, rules)
+    ]
+    orc2 = run_oracle(
+        c2,
+        max_iterations=30,
+        seeds_rows=seeds_rows,
+        ledger=dict(zip(urls, (int(x) for x in ts))),
+    )
+    df = engine2.order_dataset().to_pandas()
+    eng = set(zip(df.iteration, df.url, df.priority, df.seq, df.attempt, df.outcome))
+    assert eng == set(orc2.order)
+    assert engine2.iterations == orc2.iterations
+
+    # the ledger is refetched in full; most pages are unchanged
+    assert set(df.url) == set(urls)
+    n_unch = (df.outcome == "unchanged").sum()
+    n_ok = (df.outcome == "ok").sum()
+    assert n_unch > 0 and n_ok > 0 and n_unch > n_ok
+    # only the changed fraction re-extracts, with epoch-1 content
+    items2 = engine2.items_dataset("detail").to_pandas()
+    ids = items2.url.str.rsplit("/", n=1).str[1].astype(int)
+    assert len(items2) > 0 and all(_changed_in_epoch(i) for i in ids)
+    assert all(
+        p == f"{10 + (i + 7) % 90}.00" for i, p in zip(ids, items2.price)
+    )
