@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "link_graph",
     "anchor_texts",
+    "recrawl_items",
     "top_terms",
     "inverted_index",
     "purchase_prior_events",

@@ -148,6 +148,30 @@ def link_graph(sf_dir: str) -> rd.Dataset:
     return ex.map_batches(edges_fn, batch_format="pyarrow")
 
 
+def recrawl_items(sf_dir: str) -> rd.Dataset:
+    """Incremental-recrawl surface: crawl the corpus (shared cached run),
+    then recrawl the SAME site one epoch later (``synth_corpus(epoch=1)``)
+    against the first run's fetch ledger — returns the items the recrawl
+    re-extracted, i.e. exactly the changed-content fraction. Rows-only;
+    the schedule-level semantics are pinned by
+    ``tests/test_crawl_engine.py::test_incremental_recrawl_engine_matches_oracle``."""
+    import tempfile as _tf
+
+    from crawler_ray.pipelines.crawl import run_recrawl
+
+    key = sf_dir + "@recrawl"
+    res = _CACHE.get(key)
+    if res is None:
+        first = _crawl(sf_dir)  # shared with the other crawl queries
+        c2 = synth_corpus(sf_dir, epoch=1)
+        out2 = _tf.mkdtemp(prefix="recrawl_q_")
+        res = run_recrawl(c2, first.out_dir, out2, max_iterations=40)
+        _CACHE[key] = res
+    ds = res.items_dataset("detail")
+    assert ds is not None
+    return ds
+
+
 def anchor_texts(sf_dir: str, nparts: int = 16) -> rd.Dataset:
     """Anchor-text aggregation over the link graph — the web-search /
     training-data signal the crawl's raw pages carry but no single page
@@ -233,6 +257,7 @@ QUERIES = {
     "frontier_host_stats": frontier_host_stats,
     "link_graph": link_graph,
     "anchor_texts": anchor_texts,
+    "recrawl_items": recrawl_items,
 }
 
 ORACLE_SQL: dict[str, str] = {}
