@@ -29,6 +29,7 @@ thresholds), ``dedup.dedup_exact`` (raw-text md5), and
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -168,6 +169,72 @@ def pack_sequences(sf_dir: str, seq_len: int = 2048) -> rd.Dataset:
         )
 
     return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def export_training_shards(
+    sf_dir: str,
+    out_root: str,
+    seq_len: int = 2048,
+    shards: int = 8,
+) -> dict:
+    """End-to-end training-data delivery, resumable at every stage: the
+    curated corpus (full prep chain: language gate → quality gate → exact
+    dedup → near-dup component removal) lands ONCE as Parquet under
+    ``out_root/curated/`` (data first, ``_DONE`` marker last — the crawl
+    checkpoint contract), then the packing manifest is produced per shard
+    through ``sharded_run`` (``out_root/packed/shard=K/``): a killed
+    export reruns only unfinished shards, never the curation pass.
+
+    Packing here consumes the curated manifest's ``n_tokens`` directly
+    (no re-tokenize); bins never cross shard-block boundaries, exactly as
+    ``pack_sequences``. Returns the shard manifest."""
+    import shutil as _sh
+
+    from crawler_ray.pipelines.shard_runner import sharded_run
+
+    cdir = os.path.join(out_root, "curated")
+    marker = os.path.join(cdir, "_DONE")
+    if not os.path.exists(marker):
+        _sh.rmtree(cdir, ignore_errors=True)
+        prep_training_corpus(sf_dir).write_parquet(cdir)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write("ok")
+        os.replace(marker + ".tmp", marker)
+    files = sorted(
+        os.path.join(cdir, f) for f in os.listdir(cdir) if f.endswith(".parquet")
+    )
+
+    def pack_stage(ds: rd.Dataset) -> rd.Dataset:
+        def pack(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            order = pc.array_sort_indices(t["doc_id"])
+            t = t.take(order)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            ntok = np.minimum(
+                t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64), seq_len
+            )
+            seq_ids = np.empty(len(ids), np.int64)
+            offsets = np.empty(len(ids), np.int64)
+            cur_seq, fill = -1, seq_len + 1
+            for i in range(len(ids)):
+                if fill + ntok[i] > seq_len:
+                    cur_seq, fill = ids[i], 0
+                seq_ids[i] = cur_seq
+                offsets[i] = fill
+                fill += ntok[i]
+            return pa.table(
+                {
+                    "seq_id": pa.array(seq_ids),
+                    "doc_id": pa.array(ids),
+                    "seq_offset_tok": pa.array(offsets),
+                    "n_tok": pa.array(ntok),
+                }
+            )
+
+        return ds.map_batches(pack, batch_format="pyarrow")
+
+    return sharded_run(files, pack_stage, os.path.join(out_root, "packed"), shards)
 
 
 QUERIES = {"prep_training_corpus": prep_training_corpus, "pack_sequences": pack_sequences}

@@ -70,3 +70,42 @@ def test_pack_sequences_invariants(ray_session):
     a = m.sort_values(["doc_id"]).reset_index(drop=True)
     b = m2.sort_values(["doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_export_training_shards_resumable(ray_session, tmp_path):
+    """Curate-once + pack-per-shard export: packed docs == curated docs,
+    bins respect seq_len, a rerun skips everything, and deleting one
+    shard's marker recomputes exactly that shard."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.prep import export_training_shards, prep_training_corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "export")
+    man1 = export_training_shards(sf, out, seq_len=256, shards=4)
+    assert not any(v["skipped"] for v in man1.values())
+
+    curated = prep_training_corpus(sf).to_pandas()
+    packed_files = []
+    for k in man1:
+        sdir = os.path.join(out, "packed", f"shard={k}")
+        packed_files += [os.path.join(sdir, f) for f in os.listdir(sdir) if f.endswith(".parquet")]
+    packed = pq.read_table(packed_files).to_pandas()
+    assert sorted(packed.doc_id) == sorted(curated.doc_id)
+    per_seq = packed.groupby("seq_id")["n_tok"].sum()
+    assert (per_seq <= 256).all()
+    # offsets are contiguous within each bin
+    for _, g in packed.sort_values(["seq_id", "seq_offset_tok"]).groupby("seq_id"):
+        assert list(g.seq_offset_tok) == list(g.n_tok.cumsum().shift(fill_value=0))
+
+    man2 = export_training_shards(sf, out, seq_len=256, shards=4)
+    assert all(v["skipped"] for v in man2.values())
+
+    os.remove(os.path.join(out, "packed", "shard=2", "_DONE"))
+    shutil.rmtree(os.path.join(out, "packed", "shard=2"), ignore_errors=True)
+    man3 = export_training_shards(sf, out, seq_len=256, shards=4)
+    assert [k for k, v in man3.items() if not v["skipped"]] == [2]
