@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "cube_revenue",
     "hopping_window_counts",
     "late_data_window_counts",
+    "window_distinct_users",
+    "dedup_clusters_ls",
     "click_days_without_purchase",
     "user_interarrival_stats",
 ]

@@ -1543,6 +1543,48 @@ def user_interarrival_stats(sf_dir: str, nparts: int = 8) -> rd.Dataset:
     )
 
 
+def window_distinct_users(sf_dir: str, size_s: int = 3600, nparts: int = 8) -> rd.Dataset:
+    """Exact per-window COUNT(DISTINCT user): 1 h tumbling windows over the
+    event stream. Per-batch combine to unique packed (window, user) keys,
+    one coarse window-hash exchange, run-boundary unique count — the
+    exact twin of a per-window HLL, for when the per-window user sets
+    still fit their partitions. No fine-key groups, no driver sets."""
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    size_us = size_s * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = us // size_us
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk = np.unique(win * (1 << 22) | uid)  # user_id < 2^22 packing
+        w = uk >> 22
+        h = (w.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(nparts)
+        return pa.table(
+            {
+                "wu": pa.array(uk),
+                "part": pa.array(h.astype(np.int32)),
+            }
+        )
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        wu = np.unique(g["wu"].to_numpy())
+        w = wu >> 22
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        n = np.diff(np.r_[starts, len(w)])
+        return pd.DataFrame(
+            {
+                "window_start": (w[starts] * (size_us // 1_000_000)).astype(np.int64),
+                "n_users": n.astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count, batch_format="pandas")
+    )
+
+
 def brand_price_quantiles(sf_dir: str, nparts: int = 8) -> rd.Dataset:
     """Exact per-key quantiles (p50/p90 retail price per brand, in cents).
 
@@ -1623,6 +1665,7 @@ QUERIES = {
     "brand_price_quantiles": brand_price_quantiles,
     "hopping_window_counts": hopping_window_counts,
     "late_data_window_counts": late_data_window_counts,
+    "window_distinct_users": window_distinct_users,
     "click_days_without_purchase": click_days_without_purchase,
     "user_interarrival_stats": user_interarrival_stats,
 }
@@ -1674,6 +1717,11 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(c) AS BIGINT) AS sum_value_c
         FROM x GROUP BY 1, 2
+    """,
+    "window_distinct_users": """
+        SELECT CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
     """,
     "click_days_without_purchase": """
         SELECT user_id, day FROM (
