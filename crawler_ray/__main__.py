@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="checkpoint/output dir")
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest complete checkpoint in --out")
+    p.add_argument("--recrawl-from", default=None, metavar="PREV_OUT",
+                   help="incremental recrawl: refetch everything the completed "
+                        "run in PREV_OUT captured, skipping unchanged pages "
+                        "(warc_ts ledger); --seeds is ignored")
     p.add_argument("--max-iterations", type=int, default=64)
     p.add_argument("--num-seen-shards", type=int, default=4)
     p.add_argument("--seen-mode", choices=["cuckoo", "bloom"], default="cuckoo")
@@ -98,8 +102,7 @@ def main(argv: list[str] | None = None) -> int:
             politeness=args.politeness,
             n_docs=n_docs,
         )
-        res = run_crawl(
-            corpus,
+        common = dict(
             task=task,
             out_dir=args.out,
             max_iterations=args.max_iterations,
@@ -108,6 +111,13 @@ def main(argv: list[str] | None = None) -> int:
             exact_seen=not args.approx_seen,
             resume=args.resume,
         )
+        if args.recrawl_from:
+            from crawler_ray.pipelines.crawl import run_recrawl
+
+            out = common.pop("out_dir")
+            res = run_recrawl(corpus, args.recrawl_from, out, **common)
+        else:
+            res = run_crawl(corpus, **common)
         if args.sqlite:
             from crawler_ray.stages.sink import write_items_sql
 

@@ -159,3 +159,38 @@ def test_douban_cli_rules_as_data(douban_corpus, tmp_path_factory):
     assert s2["scheduled"] == 0 and s2["stats"] == []
     files2 = glob.glob(f"{out}/iter_*/items/rule=book_detail/*.parquet")
     assert sorted(files2) == sorted(files)
+
+
+def test_douban_cli_recrawl_unchanged(douban_corpus, tmp_path_factory):
+    """--recrawl-from against an UNCHANGED corpus: every previously-ok url
+    refetches and records outcome 'unchanged'; nothing re-extracts."""
+    import glob
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from crawler_ray.rules import DOUBAN_BOOK, task_to_rows
+
+    tmp = tmp_path_factory.mktemp("douban_recrawl")
+    rules_path = str(tmp / "rules.json")
+    with open(rules_path, "w") as fh:
+        json.dump(task_to_rows(DOUBAN_BOOK), fh, ensure_ascii=False)
+    base = [sys.executable, "-m", "crawler_ray",
+            "--rules", rules_path, "--pages", douban_corpus.pages,
+            "--seeds", douban_corpus.seeds, "--politeness", douban_corpus.politeness,
+            "--max-iterations", "10", "--num-cpus", "2"]
+    out1, out2 = str(tmp / "out1"), str(tmp / "out2")
+    r1 = subprocess.run(base + ["--out", out1], capture_output=True, text=True, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(
+        base + ["--out", out2, "--recrawl-from", out1],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert s2["items"] == 0  # nothing changed, nothing re-extracted
+    files = glob.glob(f"{out2}/iter_*/order/*.parquet")
+    order = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert len(order) == 7 and set(order.outcome) == {"unchanged"}
