@@ -842,7 +842,11 @@ def build_ts_ledger(out_dir: str) -> str:
     memory-mapped by recrawl fetch workers exactly like the fetch index.
     Read from the order checkpoints (outcome ok or unchanged), so a chain
     of recrawls keeps carrying each url's last-known capture time. The
-    build is a one-time layout cost per completed run, O(fetched urls)."""
+    build is a one-time layout cost per completed run, O(fetched urls) on
+    the driver at sandbox scale; at 10^10 urls it becomes a distributed
+    sort + sharded npy (the same evolution as the fetch index), and
+    ``recrawl_frontier`` writes sharded Parquet instead of one driver
+    table — the probe/consume sides are unchanged either way."""
     ldir = os.path.join(out_dir, "_ts_ledger")
     if os.path.exists(os.path.join(ldir, "_DONE")):
         return ldir
