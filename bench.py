@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "prep_training_corpus",
     "knn_graph",
     "urgent_order_revenue",
+    "q5_local_supplier_volume",
     "rollup_revenue",
     "approx_price_quantiles",
     # graph/text shuffle-heavy stragglers (VERDICT r2 #5)

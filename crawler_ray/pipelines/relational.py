@@ -1543,6 +1543,93 @@ def user_interarrival_stats(sf_dir: str, nparts: int = 8) -> rd.Dataset:
     )
 
 
+def q5_local_supplier_volume(
+    sf_dir: str, region: str = "ASIA", year: int = 1996
+) -> pa.Table:
+    """TPC-H Q5 (local supplier volume): revenue per nation where customer
+    and supplier share the nation, within one region and order year — the
+    six-table join showcase. Plan: region→nation resolve on the driver
+    (tiny dims), date-filtered orders ⋈ customer via the size-adaptive
+    lookup join, lineitem ⋈ that result the same way, supplier nationkey
+    attached from one broadcast sorted array, the local-supplier predicate
+    applied vectorized per batch, and a 5-key partial reduce — the big
+    tables stream once, only orders-sized interim rows are ever shipped."""
+    import numpy as np
+
+    # driver-side dims: region key → member nations (≤25 rows each)
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rk = int(reg.loc[reg.r_name == region, "r_regionkey"].iloc[0])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    nat = nat[nat.n_regionkey == rk]
+    nkeys = set(int(k) for k in nat.n_nationkey)
+    names = dict(zip(nat.n_nationkey, nat.n_name))
+
+    t0 = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    t1 = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t, _nk=tuple(sorted(nkeys)): t.filter(
+            pc.is_in(t["c_nationkey"], value_set=pa.array(list(_nk)))
+        ),
+        batch_size=65536,
+        batch_format="pyarrow",
+    )
+
+    def date_gate(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(us, t0), pc.less(us, t1))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(date_gate, batch_size=65536, batch_format="pyarrow")
+    ordn = _lookup_inner_join(orders, cust, "o_custkey", "c_custkey", ["c_nationkey"])
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
+    joined = _lookup_inner_join(
+        line, ordn, "l_orderkey", "o_orderkey", ["c_nationkey"]
+    )
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp.s_suppkey.to_numpy()
+    order = np.argsort(sk, kind="stable")
+    ref = ray.put((sk[order], supp.s_nationkey.to_numpy()[order]))
+
+    def local_rev(t: pa.Table, _ref=ref) -> pa.Table:
+        skeys, snat = ray.get(_ref)  # shared-memory read per worker
+        sup = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(skeys, sup), len(skeys) - 1)
+        ok = (skeys[idx] == sup) & (
+            snat[idx] == t["c_nationkey"].to_numpy(zero_copy_only=False)
+        )
+        f = t.filter(pa.array(ok))
+        ext = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = f["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ext * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        part = (
+            pa.table({"nk": f["c_nationkey"], "c": pa.array(cents)})
+            .group_by("nk")
+            .aggregate([("c", "sum")])
+        )
+        return part.rename_columns(["nk", "c"])
+
+    agg = (
+        joined.map_batches(local_rev, batch_format="pyarrow")
+        .to_pandas()  # ≤ nations rows per block — cardinality-bounded
+        .groupby("nk", as_index=False)["c"]
+        .sum()
+    )
+    return pa.table(
+        {
+            "n_name": pa.array([names[int(k)] for k in agg.nk], pa.string()),
+            "revenue_c": pa.array(agg.c.to_numpy().astype(np.int64)),
+        }
+    )
+
+
 def window_distinct_users(sf_dir: str, size_s: int = 3600, nparts: int = 8) -> rd.Dataset:
     """Exact per-window COUNT(DISTINCT user): 1 h tumbling windows over the
     event stream. Per-batch combine to unique packed (window, user) keys,
@@ -1666,6 +1753,7 @@ QUERIES = {
     "hopping_window_counts": hopping_window_counts,
     "late_data_window_counts": late_data_window_counts,
     "window_distinct_users": window_distinct_users,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "click_days_without_purchase": click_days_without_purchase,
     "user_interarrival_stats": user_interarrival_stats,
 }
@@ -1717,6 +1805,22 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(c) AS BIGINT) AS sum_value_c
         FROM x GROUP BY 1, 2
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
     """,
     "window_distinct_users": """
         SELECT CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS window_start,
