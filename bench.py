@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "urgent_order_revenue",
     "q5_local_supplier_volume",
+    "q10_returned_items",
     "rollup_revenue",
     "approx_price_quantiles",
     # graph/text shuffle-heavy stragglers (VERDICT r2 #5)

@@ -1630,6 +1630,93 @@ def q5_local_supplier_volume(
     )
 
 
+def q10_returned_items(
+    sf_dir: str, year: int = 1996, quarter_start: str = "01-01", k: int = 20
+) -> pa.Table:
+    """TPC-H Q10 (returned-item reporting): top-``k`` customers by revenue
+    lost to returns ('R' lineitems) in one quarter, with nation names.
+    Plan: date-gated orders ⋈ customer (lookup join), return-flagged
+    lineitem ⋈ that result (lookup join), per-batch (custkey, cents)
+    partials, coarse-partition exact sum per customer, then a bounded
+    top-k merge (each partition contributes ≤ k candidates); nation names
+    attach on the driver to the k winners only."""
+    import numpy as np
+
+    t0 = np.datetime64(f"{year}-{quarter_start}", "us").astype(np.int64)
+    t1 = t0 + 90 * 86_400_000_000  # 90-day window, TPC-H style
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.select(["c_custkey"]), batch_size=65536, batch_format="pyarrow"
+    )
+
+    def date_gate(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(us, t0), pc.less(us, t1))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(date_gate, batch_size=65536, batch_format="pyarrow")
+    # customer join is a semi-join here (every o_custkey exists): keep the
+    # custkey from orders and skip the wide customer payload entirely
+    del cust
+
+    def returns_gate(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["l_returnflag"], "R"))
+        ext = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = f["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ext * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": f["l_orderkey"], "c": pa.array(cents)})
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(returns_gate, batch_size=65536, batch_format="pyarrow")
+    joined = _lookup_inner_join(line, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+
+    nparts = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"ck": t["o_custkey"], "c": t["c"]})
+            .group_by("ck")
+            .aggregate([("c", "sum")])
+            .rename_columns(["ck", "c"])
+        )
+        ck = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return g.append_column(
+            "part", pa.array(((ck * np.uint64(2654435761)) % np.uint64(nparts)).astype(np.int32))
+        )
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ck", as_index=False)["c"].sum()
+        out = out.sort_values(["c", "ck"], ascending=[False, True], kind="mergesort").head(k)
+        return out.astype({"ck": "int64", "c": "int64"})
+
+    cand = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pandas")
+        .to_pandas()  # ≤ nparts × k candidate rows
+        .sort_values(["c", "ck"], ascending=[False, True], kind="mergesort")
+        .head(k)
+    )
+    cdim = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    cdim = cdim.set_index("c_custkey").loc[cand.ck]
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat.n_nationkey, nat.n_name))
+    return pa.table(
+        {
+            "c_custkey": pa.array(cand.ck.to_numpy(), pa.int64()),
+            "c_name": pa.array(cdim.c_name.to_numpy(), pa.string()),
+            "n_name": pa.array([names[int(x)] for x in cdim.c_nationkey], pa.string()),
+            "revenue_c": pa.array(cand.c.to_numpy(), pa.int64()),
+        }
+    )
+
+
 def window_distinct_users(sf_dir: str, size_s: int = 3600, nparts: int = 8) -> rd.Dataset:
     """Exact per-window COUNT(DISTINCT user): 1 h tumbling windows over the
     event stream. Per-batch combine to unique packed (window, user) keys,
@@ -1754,6 +1841,7 @@ QUERIES = {
     "late_data_window_counts": late_data_window_counts,
     "window_distinct_users": window_distinct_users,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_items": q10_returned_items,
     "click_days_without_purchase": click_days_without_purchase,
     "user_interarrival_stats": user_interarrival_stats,
 }
@@ -1805,6 +1893,23 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(c) AS BIGINT) AS sum_value_c
         FROM x GROUP BY 1, 2
+    """,
+    "q10_returned_items": """
+        WITH rev AS (
+            SELECT o_custkey AS ck,
+                   SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                            AS BIGINT)) AS revenue_c
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01' + INTERVAL 90 DAY
+            GROUP BY 1
+            ORDER BY revenue_c DESC, ck LIMIT 20)
+        SELECT CAST(ck AS BIGINT) AS c_custkey, c_name, n_name,
+               CAST(revenue_c AS BIGINT) AS revenue_c
+        FROM rev
+        JOIN customer ON c_custkey = ck
+        JOIN nation ON n_nationkey = c_nationkey
     """,
     "q5_local_supplier_volume": """
         SELECT n_name,
