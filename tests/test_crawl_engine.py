@@ -485,3 +485,25 @@ def test_incremental_recrawl_engine_matches_oracle(
     assert all(
         p == f"{10 + (i + 7) % 90}.00" for i, p in zip(ids, items2.price)
     )
+
+
+def test_recrawl_chain_ledger_carries_forward(
+    ray_session, corpus_small, crawl_pair, tmp_path_factory
+):
+    """Chained recrawls: run2's ledger merges ok AND unchanged outcomes, so
+    a third crawl of the same epoch-1 site sees NOTHING changed."""
+    from crawler_ray.pipelines.crawl import run_recrawl
+    from crawler_ray.sources.pages import synth_corpus
+
+    engine1, _ = crawl_pair
+    c2 = synth_corpus("/root/testdata/sf0.001", epoch=1)
+    out2 = str(tmp_path_factory.mktemp("re2"))
+    e2 = run_recrawl(c2, engine1.out_dir, out2, max_iterations=30)
+    out3 = str(tmp_path_factory.mktemp("re3"))
+    e3 = run_recrawl(c2, out2, out3, max_iterations=30)
+    df2 = e2.order_dataset().to_pandas()
+    df3 = e3.order_dataset().to_pandas()
+    # same capture set refetched; every epoch-1 page now reads unchanged
+    assert set(df3.url) == set(df2[df2.outcome.isin(["ok", "unchanged"])].url)
+    assert set(df3.outcome) == {"unchanged"}
+    assert e3.items_dataset("detail") is None or e3.items_dataset("detail").count() == 0
