@@ -502,6 +502,206 @@ def connected_components(
     )
 
 
+def hits_edges(edges: rd.Dataset, iters: int = 20) -> rd.Dataset:
+    """HITS hubs & authorities (Kleinberg '99) over an (src_url, dst_url)
+    edge list; per iteration ``a ∝ Aᵀh`` then ``h ∝ Aa``, each L2-normalized
+    — the other classic link-analysis scorer next to PageRank.
+
+    Iteration shape: ONE pinned dual-direction edge layout (each edge
+    stored under both endpoints' hash partitions with a direction flag), so
+    both half-steps scatter from the same pinned partition their state rows
+    already live in; per half-step one node-sized exchange plus an O(blocks)
+    norm partial (driver scalar — the marker-row replication PageRank uses
+    would remove even that). Fixed iteration count keeps it deterministic."""
+    P = _nparts()
+
+    def tag_dual(t: pa.Table) -> pa.Table:
+        src = t["src_url"].combine_chunks()
+        dst = t["dst_url"].combine_chunks()
+        center = pa.concat_arrays([src, dst])
+        other = pa.concat_arrays([dst, src])
+        fwd = pa.array(
+            np.r_[np.ones(len(src), np.int8), np.zeros(len(dst), np.int8)]
+        )
+        return pa.table(
+            {"center": center, "other": other, "fwd": fwd, "part": _part32(center, P)}
+        )
+
+    cache = _PartCache.options(num_cpus=0).remote()
+
+    def load_part(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iat[0])
+        tbl = pa.table(
+            {
+                "center": pa.array(g["center"].to_numpy(), pa.string()),
+                "other": pa.array(g["other"].to_numpy(), pa.string()),
+                "fwd": pa.array(g["fwd"].to_numpy(), pa.int8()),
+            }
+        )
+        ray.get(cache.put.remote(p, tbl))
+        uu = pd.unique(g["center"].to_numpy())
+        return pd.DataFrame(
+            {
+                "url": uu,
+                "h": np.ones(len(uu)),
+                "a": np.ones(len(uu)),
+                "part": np.full(len(uu), p, dtype=np.int32),
+            }
+        )
+
+    scores = (
+        edges.map_batches(tag_dual, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(load_part, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    if scores.count() == 0:
+        return rd.from_arrow(
+            pa.table({"url": pa.array([], pa.string()),
+                      "hub": pa.array([], pa.float64()),
+                      "auth": pa.array([], pa.float64())}))
+    refs = ray.get(cache.get_all.remote())
+
+    def make_scatter(direction: int, col: str, inv_norm: float):
+        def scatter(g: pd.DataFrame) -> pd.DataFrame:
+            p = int(g["part"].iat[0])
+            ref = refs.get(p)
+            if ref is None:
+                return pd.DataFrame({"url": [], "c": [], "part": []}).astype(
+                    {"url": "object", "c": "float64", "part": "int32"}
+                )
+            e = ray.get(ref)
+            mask = e["fwd"].to_numpy(zero_copy_only=False) == direction
+            center = e["center"].to_numpy(zero_copy_only=False)[mask]
+            other = e["other"].to_numpy(zero_copy_only=False)[mask]
+            # normalization of the previous half-step applied lazily here —
+            # saves a whole divide pass + materialize per half-step
+            val = (
+                pd.Series(center)
+                .map(pd.Series(g[col].to_numpy() * inv_norm, index=g["url"].to_numpy()))
+                .to_numpy()
+            )
+            out = (
+                pd.DataFrame({"url": other, "c": val}).groupby("url", sort=False)["c"].sum()
+            )
+            uu = out.index.to_numpy(dtype=object)
+            return pd.DataFrame(
+                {
+                    "url": uu,
+                    "c": out.to_numpy(),
+                    "part": (pd.util.hash_array(uu) % np.uint64(P)).astype("int32"),
+                }
+            )
+
+        return scatter
+
+    def make_gather(target: str):
+        def gather(g: pd.DataFrame) -> pd.DataFrame:
+            is_node = g["c"].isna() if "c" in g else pd.Series(True, index=g.index)
+            nodes = g[is_node]
+            contrib = g[~is_node]
+            s = contrib.groupby("url", sort=False)["c"].sum()
+            got = nodes["url"].map(s).fillna(0.0).to_numpy()
+            out = {
+                "url": nodes["url"].to_numpy(),
+                "h": nodes["h"].to_numpy(),
+                "a": nodes["a"].to_numpy(),
+                "part": nodes["part"].to_numpy(),
+            }
+            out[target] = got
+            return pd.DataFrame(out)
+
+        return gather
+
+    def half_step(
+        scores: rd.Dataset, direction: int, src_col: str, target: str, inv_norm: float
+    ) -> tuple[rd.Dataset, float]:
+        """One HITS half-step: returns the UNNORMALIZED updated table plus
+        the L2 norm of the target column (applied lazily by the next
+        scatter / the final emit)."""
+        contrib = (
+            scores.groupby("part")
+            .map_groups(make_scatter(direction, src_col, inv_norm), batch_format="pandas")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "url": t["url"],
+                        "h": pa.nulls(t.num_rows, pa.float64()),
+                        "a": pa.nulls(t.num_rows, pa.float64()),
+                        "c": t["c"],
+                        "part": pc.cast(t["part"], pa.int32()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        nodes_b = scores.map_batches(
+            lambda t: pa.table(
+                {
+                    "url": t["url"],
+                    "h": t["h"],
+                    "a": t["a"],
+                    "c": pa.nulls(t.num_rows, pa.float64()),
+                    "part": pc.cast(t["part"], pa.int32()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        updated = (
+            contrib.union(nodes_b)
+            .groupby("part")
+            .map_groups(make_gather(target), batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+        norm = np.sqrt(
+            _block_sums(updated, lambda t, _c=target: float(
+                np.square(t[_c].to_numpy(zero_copy_only=False)).sum()
+            ))
+        )
+        return updated, norm
+
+    nh = na = 1.0
+    for _ in range(iters):
+        scores, na = half_step(scores, 1, "h", "a", 1.0 / nh if nh > 0 else 0.0)
+        scores, nh = half_step(scores, 0, "a", "h", 1.0 / na if na > 0 else 0.0)
+    ia = 1.0 / na if na > 0 else 0.0
+    ih = 1.0 / nh if nh > 0 else 0.0
+    return scores.map_batches(
+        lambda t, _ia=ia, _ih=ih: pa.table(
+            {
+                "url": t["url"],
+                "hub": pc.multiply(t["h"], pa.scalar(_ih)),
+                "auth": pc.multiply(t["a"], pa.scalar(_ia)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hits_scores(sf_dir: str, iters: int = 8) -> rd.Dataset:
+    """HITS over the synthetic corpus link graph; integer micro-scores for
+    a stable schema. Library surface with a pytest pin (dense power
+    iteration oracle) — deliberately NOT a ``queries()`` entry: each HITS
+    iteration costs two full exchange rounds of fixed executor overhead
+    (2× PageRank's, which already represents iterative link analysis in
+    the gate), and under this sandbox's documented co-tenant noise that
+    fixed cost dominates by 10-30× on small graphs."""
+    from crawler_ray.pipelines.crawl_queries import link_graph
+
+    return hits_edges(link_graph(sf_dir), iters=iters).map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "hub_micro": pc.cast(pc.round(pc.multiply(t["hub"], 1_000_000.0)), pa.int64()),
+                "auth_micro": pc.cast(pc.round(pc.multiply(t["auth"], 1_000_000.0)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def connected_components_ls(
     edges: rd.Dataset, src: str = "u", dst: str = "v", max_rounds: int = 60
 ) -> rd.Dataset:

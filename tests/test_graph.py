@@ -186,3 +186,44 @@ def test_ls_components_match_minlabel_and_long_path(ray_session):
     assert len(lab) == n + 3
     assert all(lab[i] == 0 for i in range(n))
     assert all(lab[i] == 5000 for i in (5000, 5001, 5002))
+
+
+def test_hits_matches_dense_power_iteration(ray_session):
+    """Distributed HITS equals a dense numpy power iteration (same update
+    order: a <- norm(A^T h), h <- norm(A a)) on a constructed graph."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import hits_edges
+
+    rng = np.random.default_rng(7)
+    n = 30
+    src = rng.integers(0, n, 120)
+    dst = (src + 1 + rng.integers(0, n - 1, 120)) % n  # no self-loops
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([f"u{i}" for i in src]),
+                "dst_url": pa.array([f"u{i}" for i in dst]),
+            }
+        )
+    )
+    got = hits_edges(eds, iters=3).to_pandas()
+
+    A = np.zeros((n, n))
+    for s, d in zip(src, dst):
+        A[s, d] += 1.0
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(3):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    gh = dict(zip(got.url, got.hub))
+    ga = dict(zip(got.url, got.auth))
+    assert len(gh) == n
+    for i in range(n):
+        assert abs(gh[f"u{i}"] - h[i]) < 1e-8
+        assert abs(ga[f"u{i}"] - a[i]) < 1e-8
