@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "urgent_order_revenue",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q18_large_volume_customers",
     "rollup_revenue",
     "approx_price_quantiles",
     # graph/text shuffle-heavy stragglers (VERDICT r2 #5)

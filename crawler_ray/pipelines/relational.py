@@ -1717,6 +1717,83 @@ def q10_returned_items(
     )
 
 
+def q18_large_volume_customers(
+    sf_dir: str, min_qty: int = 250, nparts: int = 8
+) -> pa.Table:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds ``min_qty``, with customer identity — the
+    HAVING-over-join shape. Plan: per-batch (orderkey, qty) combiners, one
+    coarse orderkey-hash exchange for exact per-order sums + the HAVING
+    gate (survivors are few), then order/customer attributes attach via
+    the size-adaptive lookup join and a driver finish on the survivor
+    set."""
+    import numpy as np
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"ok": t["l_orderkey"], "q": t["l_quantity"]})
+            .group_by("ok")
+            .aggregate([("q", "sum")])
+            .rename_columns(["ok", "q"])
+        )
+        k = g["ok"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return g.append_column(
+            "part",
+            pa.array(((k * np.uint64(2654435761)) % np.uint64(nparts)).astype(np.int32)),
+        )
+
+    def having(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ok", as_index=False)["q"].sum()
+        out = out[out["q"] > min_qty]
+        return out.astype({"ok": "int64", "q": "float64"})
+
+    big = (
+        line.map_batches(partial, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(having, batch_format="pandas")
+        .to_pandas()  # HAVING survivors only — orders of magnitude smaller
+    )
+    qty = dict(zip(big.ok.astype(int), big.q))
+    sk = np.sort(big.ok.to_numpy().astype(np.int64))
+    ref = ray.put(sk)
+
+    # stream orders once; a broadcast sorted survivor array gates each
+    # batch (semi-join pushdown) — the fact table is never driver-collected
+    def order_gate(t: pa.Table, _ref=ref) -> pa.Table:
+        keys = ray.get(_ref)
+        if len(keys) == 0:
+            return t.slice(0, 0)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys, ok), len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == ok))
+
+    hits = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(order_gate, batch_size=65536, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cnames = dict(zip(cust.c_custkey, cust.c_name))
+    return pa.table(
+        {
+            "c_name": pa.array([cnames[int(k)] for k in hits.o_custkey], pa.string()),
+            "c_custkey": pa.array(hits.o_custkey.to_numpy().astype(np.int64)),
+            "o_orderkey": pa.array(hits.o_orderkey.to_numpy().astype(np.int64)),
+            "o_orderdate_s": pa.array(
+                hits.o_orderdate.to_numpy().astype("datetime64[us]").astype(np.int64)
+                // 1_000_000,
+                pa.int64(),
+            ),
+            "totalprice_c": _cents(pa.Array.from_pandas(hits.o_totalprice)),
+            "sum_qty": pa.array(
+                np.rint([qty[int(k)] for k in hits.o_orderkey]).astype(np.int64)
+            ),
+        }
+    )
+
+
 def window_distinct_users(sf_dir: str, size_s: int = 3600, nparts: int = 8) -> rd.Dataset:
     """Exact per-window COUNT(DISTINCT user): 1 h tumbling windows over the
     event stream. Per-batch combine to unique packed (window, user) keys,
@@ -1842,6 +1919,7 @@ QUERIES = {
     "window_distinct_users": window_distinct_users,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q10_returned_items": q10_returned_items,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "click_days_without_purchase": click_days_without_purchase,
     "user_interarrival_stats": user_interarrival_stats,
 }
@@ -1893,6 +1971,20 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(c) AS BIGINT) AS sum_value_c
         FROM x GROUP BY 1, 2
+    """,
+    "q18_large_volume_customers": """
+        WITH s AS (
+            SELECT l_orderkey AS ok, SUM(l_quantity) AS q
+            FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250)
+        SELECT c_name,
+               CAST(o_custkey AS BIGINT) AS c_custkey,
+               CAST(ok AS BIGINT) AS o_orderkey,
+               CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS o_orderdate_s,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+               CAST(ROUND(q) AS BIGINT) AS sum_qty
+        FROM s
+        JOIN orders ON o_orderkey = ok
+        JOIN customer ON c_custkey = o_custkey
     """,
     "q10_returned_items": """
         WITH rev AS (
