@@ -324,6 +324,7 @@ def run_crawl(
     robots_window_s: float = 60.0,
     ban_backoff: bool = False,
     frontier_override: pa.Table | None = None,
+    frontier_parquet: str | None = None,
     ledger_dir: str | None = None,
 ) -> CrawlResult:
     import dataclasses
@@ -356,11 +357,17 @@ def run_crawl(
             frontier_path = os.path.join(out_dir, f"iter_{last:04d}", "next_frontier")
             start_iter = last + 1
     if frontier_path is None:
-        frontier_tbl = (
-            frontier_override
-            if frontier_override is not None
-            else seed_frontier_table(corpus.seeds)
-        )
+        if frontier_parquet is not None:
+            # generation-0 frontier streamed from sharded Parquet (the
+            # recrawl path): consumed exactly like a checkpointed
+            # next_frontier, never a driver table
+            frontier_path = frontier_parquet
+        else:
+            frontier_tbl = (
+                frontier_override
+                if frontier_override is not None
+                else seed_frontier_table(corpus.seeds)
+            )
 
     if seen_capacity is None:
         # size shards to ~4× the page count (cuckoo wants ≤95% load); at
@@ -836,76 +843,157 @@ def _unpack_shard_state(raw: dict) -> dict:
 
 
 # ---------------------------------------------------------- incremental recrawl
-def build_ts_ledger(out_dir: str) -> str:
-    """Build (or reuse) the url-sorted fetch ledger of a completed crawl:
-    one entry per successfully-fetched url — (url, last warc_ts, rule) —
+def build_ts_ledger(out_dir: str, num_shards: int = 16) -> str:
+    """Build (or reuse) the sharded fetch ledger of a completed crawl: one
+    entry per successfully-fetched url — (url, last warc_ts, rule) —
     memory-mapped by recrawl fetch workers exactly like the fetch index.
     Read from the order checkpoints (outcome ok or unchanged), so a chain
-    of recrawls keeps carrying each url's last-known capture time. The
-    build is a one-time layout cost per completed run, O(fetched urls) on
-    the driver at sandbox scale; at 10^10 urls it becomes a distributed
-    sort + sharded npy (the same evolution as the fetch index), and
-    ``recrawl_frontier`` writes sharded Parquet instead of one driver
-    table — the probe/consume sides are unchanged either way."""
+    of recrawls keeps carrying each url's last-known capture time.
+
+    The build is a Ray pipeline, never a driver materialization: the order
+    checkpoints stream through a filter, shard by ``h64 % num_shards`` (the
+    canonical url hash the order rows already carry), and each shard's task
+    sorts its urls and writes ``urls_{s}.npy / ts_{s}.npy / rules_{s}.npy``
+    plus a generation-0 FRONTIER_SCHEMA Parquet shard under ``frontier/``
+    (seq = md5(url), the sitemap-injection convention the oracle mirrors).
+    Driver traffic is one manifest row per shard — at 10^10 urls only
+    ``num_shards`` scales up; no url ever rides to the driver."""
     ldir = os.path.join(out_dir, "_ts_ledger")
-    if os.path.exists(os.path.join(ldir, "_DONE")):
+    if os.path.exists(os.path.join(ldir, "_DONE")) and os.path.exists(
+        os.path.join(ldir, "meta.json")
+    ):
         return ldir
-    os.makedirs(ldir, exist_ok=True)
-    urls: list[bytes] = []
-    tss: list[np.ndarray] = []
-    rules: list[np.ndarray] = []
+    shutil.rmtree(ldir, ignore_errors=True)  # partial/old-layout build
+    fdir = os.path.join(ldir, "frontier")
+    os.makedirs(fdir, exist_ok=True)
+    files = []
     for d in sorted(os.listdir(out_dir)):
         odir = os.path.join(out_dir, d, "order")
-        if not (d.startswith("iter_") and os.path.isdir(odir)):
-            continue
-        for f in sorted(os.listdir(odir)):
-            if not f.endswith(".parquet"):
-                continue
-            t = pq.read_table(
-                os.path.join(odir, f), columns=["url", "outcome", "warc_ts", "rule"]
+        if d.startswith("iter_") and os.path.isdir(odir):
+            files.extend(
+                os.path.join(odir, f)
+                for f in sorted(os.listdir(odir))
+                if f.endswith(".parquet")
             )
-            t = t.filter(
-                pc.is_in(t["outcome"], value_set=pa.array(["ok", "unchanged"]))
-            )
-            urls.extend(u.encode() for u in t["url"].to_pylist())
-            tss.append(t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
-            rules.append(np.asarray(t["rule"].to_pylist(), dtype=object))
-    ts = np.concatenate(tss) if tss else np.empty(0, np.int64)
-    rl = np.concatenate(rules) if rules else np.empty(0, object)
-    width = max((len(b) for b in urls), default=1)
-    ua = np.array(urls, dtype=f"S{width}")
-    order = np.argsort(ua, kind="stable")
-    np.save(os.path.join(ldir, "urls.npy"), ua[order])
-    np.save(os.path.join(ldir, "ts.npy"), ts[order].astype(np.int64))
-    rw = max((len(str(r)) for r in rl), default=1)
-    np.save(os.path.join(ldir, "rules.npy"), rl[order].astype(f"S{rw}"))
+    if not files:
+        raise ValueError(
+            f"{out_dir!r} has no iter_*/order checkpoints — not a completed "
+            "crawl output directory (point --recrawl-from at a finished run)"
+        )
+    need = {"url", "outcome", "warc_ts", "rule", "h64"}
+    have = set(pq.read_schema(files[0]).names)
+    if not need <= have:
+        raise ValueError(
+            f"{out_dir!r} order checkpoints lack columns {sorted(need - have)}: "
+            "PREV_OUT was written by an older engine version (re-run the "
+            "original crawl) or is not a crawl checkpoint directory"
+        )
+    cols = ["url", "outcome", "warc_ts", "rule", "h64"]
+
+    def shard_of(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["outcome"], value_set=pa.array(["ok", "unchanged"])))
+        s = (t["h64"].to_numpy(zero_copy_only=False) % np.uint64(num_shards)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "ts": t["warc_ts"].cast(pa.int64()),
+                "rule": t["rule"],
+                "h64": t["h64"],
+                "shard": pa.array(s),
+            }
+        )
+
+    def write_shard(g: "pd.DataFrame") -> "pd.DataFrame":
+        s = int(g["shard"].iloc[0])
+        urls_b = [u.encode() for u in g["url"]]
+        width = max((len(b) for b in urls_b), default=1)
+        ua = np.array(urls_b, dtype=f"S{width}")
+        order = np.argsort(ua, kind="stable")
+        np.save(os.path.join(ldir, f"urls_{s:04d}.npy"), ua[order])
+        np.save(
+            os.path.join(ldir, f"ts_{s:04d}.npy"),
+            g["ts"].to_numpy()[order].astype(np.int64),
+        )
+        rl = g["rule"].to_numpy()[order]
+        rw = max((len(str(r)) for r in rl), default=1)
+        np.save(os.path.join(ldir, f"rules_{s:04d}.npy"), rl.astype(f"S{rw}"))
+        # generation-0 recrawl frontier shard (host/key recomputed by
+        # canonicalize at iteration start; h64 rides along unchanged)
+        u_sorted = [urls_b[i].decode() for i in order]
+        n = len(u_sorted)
+        fr = pa.Table.from_arrays(
+            [
+                pa.array(u_sorted, pa.string()),
+                pa.array([""] * n, pa.string()),
+                pa.array([""] * n, pa.string()),
+                pa.array(g["h64"].to_numpy()[order].astype(np.uint64), pa.uint64()),
+                pa.array(np.zeros(n, np.int32)),
+                pa.array(np.zeros(n, np.int32)),
+                pa.array([hashlib.md5(u.encode()).digest() for u in u_sorted], pa.binary()),
+                pa.array(np.zeros(n, np.int32)),
+                pa.array([str(r) for r in rl], pa.string()),
+                pa.array(["{}"] * n, pa.string()),
+            ],
+            schema=FRONTIER_SCHEMA,
+        )
+        pq.write_table(fr, os.path.join(fdir, f"frontier_{s:04d}.parquet"))
+        import pandas as pd
+
+        return pd.DataFrame({"shard": [s], "n": [len(g)]})
+
+    manifest = (
+        ray.data.read_parquet(files, columns=cols)
+        .map_batches(shard_of, batch_size=65536, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    with open(os.path.join(ldir, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "num_shards": num_shards,
+                "n_urls": int(manifest["n"].sum()) if len(manifest) else 0,
+                "shards": {int(r.shard): int(r.n) for r in manifest.itertuples()},
+            },
+            fh,
+        )
     with open(os.path.join(ldir, "_DONE"), "w") as fh:
         fh.write("ok")
     return ldir
 
 
-def recrawl_frontier(ledger_dir: str) -> pa.Table:
-    """Generation-0 frontier for an incremental recrawl: every ledger url,
-    depth 0, priority 0, its last rule, seq = md5(url) (deterministic, the
-    same convention as sitemap injection — the oracle reproduces it)."""
-    urls = [u.decode() for u in np.load(os.path.join(ledger_dir, "urls.npy"))]
-    rules = [r.decode() for r in np.load(os.path.join(ledger_dir, "rules.npy"))]
-    n = len(urls)
-    return pa.Table.from_arrays(
-        [
-            pa.array(urls, pa.string()),
-            pa.array([""] * n, pa.string()),
-            pa.array([""] * n, pa.string()),
-            pa.array([0] * n, pa.uint64()),
-            pa.array([0] * n, pa.int32()),
-            pa.array([0] * n, pa.int32()),
-            pa.array([hashlib.md5(u.encode()).digest() for u in urls], pa.binary()),
-            pa.array([0] * n, pa.int32()),
-            pa.array(rules, pa.string()),
-            pa.array(["{}"] * n, pa.string()),
-        ],
-        schema=FRONTIER_SCHEMA,
-    )
+def load_ledger(ledger_dir: str) -> tuple[list[str], np.ndarray, list[str]]:
+    """Small-scale introspection/test helper: concatenate all ledger shards
+    to (urls, ts, rules) on the caller. NOT part of the engine's data path —
+    recrawl workers mmap individual shards (`extract.py` probe) and the
+    generation-0 frontier streams from ``frontier/`` Parquet."""
+    with open(os.path.join(ledger_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    urls: list[str] = []
+    ts_parts: list[np.ndarray] = []
+    rules: list[str] = []
+    for s in range(int(meta["num_shards"])):
+        up = os.path.join(ledger_dir, f"urls_{s:04d}.npy")
+        if not os.path.exists(up):
+            continue
+        urls.extend(u.decode() for u in np.load(up))
+        ts_parts.append(np.load(os.path.join(ledger_dir, f"ts_{s:04d}.npy")))
+        rules.extend(r.decode() for r in np.load(os.path.join(ledger_dir, f"rules_{s:04d}.npy")))
+    ts = np.concatenate(ts_parts) if ts_parts else np.empty(0, np.int64)
+    return urls, ts, rules
+
+
+def recrawl_frontier(ledger_dir: str) -> str:
+    """Generation-0 frontier for an incremental recrawl: the sharded
+    FRONTIER_SCHEMA Parquet directory ``build_ts_ledger`` wrote — every
+    ledger url at depth 0, priority 0, its last rule, seq = md5(url)
+    (deterministic, the same convention as sitemap injection — the oracle
+    reproduces it). Returned as a path so ``run_crawl`` streams it exactly
+    like a checkpointed ``next_frontier``; nothing materializes on the
+    driver."""
+    return os.path.join(ledger_dir, "frontier")
 
 
 def run_recrawl(
@@ -921,7 +1009,7 @@ def run_recrawl(
     return run_crawl(
         corpus,
         out_dir=out_dir,
-        frontier_override=recrawl_frontier(ledger),
+        frontier_parquet=recrawl_frontier(ledger),
         ledger_dir=ledger,
         **kwargs,
     )

@@ -779,6 +779,15 @@ def connected_components_ls(
         # (count, hash-sum) pair is the convergence signature
         return float((h >> np.uint64(40)).sum())
 
+    def edge_hash_sum2(t: pa.Table) -> float:
+        # Second INDEPENDENT fold (different multipliers + low bits): a
+        # collision must now happen in both folds simultaneously for
+        # convergence to be declared early on distinct edge multisets.
+        a = np.maximum(t["u"].to_numpy(), t["v"].to_numpy()).astype(np.uint64)
+        b = np.minimum(t["u"].to_numpy(), t["v"].to_numpy()).astype(np.uint64)
+        h = (a * np.uint64(0xFF51AFD7ED558CCD)) ^ (b * np.uint64(0xC4CEB9FE1A85EC53))
+        return float((h & np.uint64(0xFFFFFF)).sum())
+
     cur = edges.map_batches(seed, batch_format="pyarrow").materialize()
     if cur.count() == 0:
         return rd.from_arrow(
@@ -796,7 +805,11 @@ def connected_components_ls(
             .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
             .materialize()
         )
-        sig = (cur.count(), _block_sums(cur, edge_hash_sum))
+        sig = (
+            cur.count(),
+            _block_sums(cur, edge_hash_sum),
+            _block_sums(cur, edge_hash_sum2),
+        )
         if sig == prev_sig:
             break
         prev_sig = sig

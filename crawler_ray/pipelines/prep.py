@@ -192,6 +192,23 @@ def export_training_shards(
 
     from crawler_ray.pipelines.shard_runner import sharded_run
 
+    # Markers are only valid for THIS (input, seq_len, shards) combination:
+    # re-invoking the same out_root with different params must rerun, not
+    # silently reuse stale curated data / packed manifests.
+    params = f"sf_dir={os.path.basename(os.path.normpath(sf_dir))} seq_len={seq_len} shards={shards}"
+    pfile = os.path.join(out_root, "params.json")
+    if os.path.exists(pfile):
+        with open(pfile) as fh:
+            if fh.read() != params:
+                _sh.rmtree(os.path.join(out_root, "curated"), ignore_errors=True)
+                _sh.rmtree(os.path.join(out_root, "packed"), ignore_errors=True)
+                os.remove(pfile)
+    if not os.path.exists(pfile):
+        os.makedirs(out_root, exist_ok=True)
+        with open(pfile + ".tmp", "w") as fh:
+            fh.write(params)
+        os.replace(pfile + ".tmp", pfile)
+
     cdir = os.path.join(out_root, "curated")
     marker = os.path.join(cdir, "_DONE")
     if not os.path.exists(marker):

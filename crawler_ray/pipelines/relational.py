@@ -1462,6 +1462,11 @@ def click_days_without_purchase(sf_dir: str, nparts: int = 8) -> rd.Dataset:
         bit = np.where(
             np.asarray(f["event_type"].to_pylist(), dtype=object) == "click", 1, 2
         ).astype(np.int64)
+        if len(uid):  # packing bounds: violations must fail loudly, not collide
+            assert int(day.max()) < (1 << 20) and int(uid.max()) < (1 << 41), (
+                "click_days_without_purchase packing overflow: "
+                f"day.max={day.max()} uid.max={uid.max()}"
+            )
         uk = np.unique((uid << 22) | (day << 2) | bit)
         uid_u = uk >> 22
         h = (uid_u.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(nparts)
@@ -1807,6 +1812,10 @@ def window_distinct_users(sf_dir: str, size_s: int = 3600, nparts: int = 8) -> r
         us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         win = us // size_us
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(uid):  # packing bound: fail loudly rather than collide silently
+            assert int(uid.max()) < (1 << 22), (
+                f"window_distinct_users packing overflow: user_id.max={uid.max()}"
+            )
         uk = np.unique(win * (1 << 22) | uid)  # user_id < 2^22 packing
         w = uk >> 22
         h = (w.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(nparts)

@@ -309,18 +309,34 @@ class FetchExtract:
         self.ban = BAN_STRING
         self.min_bytes = MIN_BODY_BYTES
         self.max_attempts = max_attempts
-        # incremental-recrawl ledger (build_ts_ledger): url-sorted previous
-        # fetch timestamps, memory-mapped once per worker like the fetch
-        # index; an ok fetch whose warc_ts equals the ledger entry becomes
-        # outcome "unchanged" — recorded, kept marked, NOT re-extracted.
-        self.ledger_urls = self.ledger_ts = None
+        # incremental-recrawl ledger (build_ts_ledger): SHARDED url-sorted
+        # previous fetch timestamps (shard = h64 % num_shards), each shard
+        # memory-mapped once per worker like the fetch index; an ok fetch
+        # whose warc_ts equals the ledger entry becomes outcome "unchanged"
+        # — recorded, kept marked, NOT re-extracted. Missing shard files are
+        # empty shards (the build writes only populated ones).
+        self.ledger_shards = None
+        self.ledger_nshards = 0
         if ledger_dir is not None:
+            import json
+
             import numpy as np
 
-            self.ledger_urls = np.load(
-                os.path.join(ledger_dir, "urls.npy"), mmap_mode="r"
-            )
-            self.ledger_ts = np.load(os.path.join(ledger_dir, "ts.npy"))
+            with open(os.path.join(ledger_dir, "meta.json")) as fh:
+                self.ledger_nshards = int(json.load(fh)["num_shards"])
+            shards = []
+            for s in range(self.ledger_nshards):
+                up = os.path.join(ledger_dir, f"urls_{s:04d}.npy")
+                if os.path.exists(up):
+                    shards.append(
+                        (
+                            np.load(up, mmap_mode="r"),
+                            np.load(os.path.join(ledger_dir, f"ts_{s:04d}.npy")),
+                        )
+                    )
+                else:
+                    shards.append(None)
+            self.ledger_shards = shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -383,27 +399,39 @@ class FetchExtract:
             pc.if_else(banned, pa.scalar("banned"),
                        pc.if_else(short, pa.scalar("short"), pa.scalar("ok"))),
         )
-        if self.ledger_urls is not None and len(self.ledger_urls):
+        if self.ledger_shards is not None:
             # incremental recrawl: an ok body whose warc_ts equals the
-            # previous run's ledger entry is "unchanged" — one vectorized
-            # searchsorted probe, same S-width trick as the fetch index
+            # previous run's ledger entry is "unchanged" — vectorized
+            # searchsorted probes grouped by ledger shard (h64 % nshards,
+            # the same S-width trick as the fetch index)
             out_np = np.asarray(outcome.combine_chunks(), dtype=object)
             ok_mask = out_np == "ok"
             if ok_mask.any():
-                width = self.ledger_urls.dtype.itemsize
                 url_bin = pc.cast(fetched.column("url").combine_chunks(), pa.binary())
-                probe = url_bin.to_numpy(zero_copy_only=False).astype(f"S{width}")
+                raw = url_bin.to_numpy(zero_copy_only=False)
                 lens = pc.binary_length(url_bin).to_numpy()
-                pos = np.minimum(
-                    np.searchsorted(self.ledger_urls, probe), len(self.ledger_urls) - 1
-                )
-                hit = (self.ledger_urls[pos] == probe) & (lens <= width)
                 ts_np = (
                     fetched.column("warc_ts").combine_chunks()
                     .cast(pa.int64()).fill_null(-1)
                     .to_numpy(zero_copy_only=False)
                 )
-                same = ok_mask & hit & (self.ledger_ts[pos] == ts_np)
+                sh = (
+                    fetched.column("h64").combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                    % np.uint64(self.ledger_nshards)
+                ).astype(np.int64)
+                same = np.zeros(len(out_np), dtype=bool)
+                for s in np.unique(sh[ok_mask]):
+                    shard = self.ledger_shards[int(s)]
+                    if shard is None or not len(shard[0]):
+                        continue
+                    l_urls, l_ts = shard
+                    sel = np.flatnonzero(ok_mask & (sh == s))
+                    width = l_urls.dtype.itemsize
+                    probe = raw[sel].astype(f"S{width}")
+                    pos = np.minimum(np.searchsorted(l_urls, probe), len(l_urls) - 1)
+                    hit = (l_urls[pos] == probe) & (lens[sel] <= width)
+                    same[sel] = hit & (l_ts[pos] == ts_np[sel])
                 if same.any():
                     out_np = np.where(same, "unchanged", out_np)
                     # keep chunked so downstream combine_chunks() calls hold

@@ -282,7 +282,10 @@ def backoff_budget(
     if penalty:
         p = penalty.get(host, 0)
         if p:
-            return max(1, budget >> p)
+            # The penalty halves the budget but must never EXCEED the
+            # composed limiter's budget: when the sustained window is
+            # exhausted (budget == 0) a penalized host admits 0, not 1.
+            return min(budget, max(1, budget >> p))
     return budget
 
 

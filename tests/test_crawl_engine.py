@@ -438,7 +438,7 @@ def test_incremental_recrawl_engine_matches_oracle(
     oracle on the full recrawl schedule."""
     import hashlib
 
-    from crawler_ray.pipelines.crawl import build_ts_ledger, run_recrawl
+    from crawler_ray.pipelines.crawl import build_ts_ledger, load_ledger, run_recrawl
     from crawler_ray.sources.pages import _changed_in_epoch, synth_corpus
 
     engine1, _ = crawl_pair
@@ -447,9 +447,7 @@ def test_incremental_recrawl_engine_matches_oracle(
     engine2 = run_recrawl(c2, engine1.out_dir, out2, max_iterations=30)
 
     ldir = build_ts_ledger(engine1.out_dir)
-    urls = [u.decode() for u in np.load(os.path.join(ldir, "urls.npy"))]
-    ts = np.load(os.path.join(ldir, "ts.npy"))
-    rules = [r.decode() for r in np.load(os.path.join(ldir, "rules.npy"))]
+    urls, ts, rules = load_ledger(ldir)
     seeds_rows = [
         {
             "url": u,
