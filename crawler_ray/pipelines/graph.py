@@ -101,6 +101,19 @@ def _ipart(vals: np.ndarray, nparts: int = _P) -> np.ndarray:
     ).astype(np.int32)
 
 
+def _snapshot(ds: rd.Dataset) -> rd.Dataset:
+    """Materialize AND cut the logical plan: return a fresh dataset whose
+    plan is just the stored block refs (zero-copy — the arrow blocks stay
+    in the object store). ``materialize()`` alone caches blocks but KEEPS
+    the lineage plan, and every subsequent execution re-walks/re-optimizes
+    it; in an iterative loop whose per-round plan references the previous
+    round twice (HITS: contrib ∪ nodes both derive from `scores`) the plan
+    tree doubles per round and driver-side plan handling grows 2^rounds —
+    measured 0.04 s → 5.4 s per norm pass by round 5. The snapshot makes
+    every round O(1) plan work."""
+    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+
 def _block_sums(ds: rd.Dataset, expr) -> float:
     """Sum ``expr(table) -> float`` over a materialized dataset via
     one-row-per-block partials — O(blocks) driver traffic, never rows."""
@@ -319,12 +332,16 @@ def pagerank_edges(
         # summaries remove the driver-scalar pass), and a flat lineage —
         # a fully-lazy multi-iteration plan compiles chained shuffles and
         # is measurably slower than flat executions on 2.49
-        ranks = (
+        ranks = _snapshot(
             contrib.union(nodes_b)
             .groupby("part")
             .map_groups(gather, batch_format="pandas")
-            .map_batches(lambda t: t, batch_format="pyarrow")
-            .materialize()
+            # batch_size coalesces: groupby emits ~one block per INPUT
+            # block, and union feeds it contrib+nodes blocks — without a
+            # re-bundle the per-iteration block count grows every round
+            # and task-scheduling overhead compounds; _snapshot cuts the
+            # per-round plan growth (see its docstring)
+            .map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
         )
     return ranks.select_columns(["url", "rank"])
 
@@ -481,19 +498,19 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
-        new_labels = (
+        new_labels = _snapshot(
             inc.union(lab_b)
             .groupby("part")
             .map_groups(gather, batch_format="pandas")
-            .materialize()
         )
         changed = _block_sums(
             new_labels, lambda t: float(pc.sum(t["changed"]).as_py() or 0)
         )
-        labels = new_labels.map_batches(
+        labels = _snapshot(new_labels.map_batches(
             lambda t: pa.table({"u": t["u"], "label": t["label"], "part": t["part"]}),
+            batch_size=65536,  # re-bundle: union+groupby doubles blocks per round
             batch_format="pyarrow",
-        ).materialize()
+        ))
         if changed == 0:
             break
     return labels.map_batches(
@@ -549,12 +566,11 @@ def hits_edges(edges: rd.Dataset, iters: int = 20) -> rd.Dataset:
             }
         )
 
-    scores = (
+    scores = _snapshot(
         edges.map_batches(tag_dual, batch_size=65536, batch_format="pyarrow")
         .groupby("part")
         .map_groups(load_part, batch_format="pandas")
         .map_batches(lambda t: t, batch_format="pyarrow")
-        .materialize()
     )
     if scores.count() == 0:
         return rd.from_arrow(
@@ -648,24 +664,42 @@ def hits_edges(edges: rd.Dataset, iters: int = 20) -> rd.Dataset:
             ),
             batch_format="pyarrow",
         )
+        import os as _os
+        import time as _time
+
+        _t0 = _time.time()
         updated = (
             contrib.union(nodes_b)
             .groupby("part")
             .map_groups(make_gather(target), batch_format="pandas")
-            .map_batches(lambda t: t, batch_format="pyarrow")
-            .materialize()
+            # re-bundle: both union inputs derive from `scores`, so without
+            # this the block count DOUBLES per half-step (exponential task
+            # growth — measured 4× wall per iteration doubling)
+            .map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
         )
+        updated = _snapshot(updated)
+        _t1 = _time.time()
         norm = np.sqrt(
             _block_sums(updated, lambda t, _c=target: float(
                 np.square(t[_c].to_numpy(zero_copy_only=False)).sum()
             ))
         )
+        if _os.environ.get("CRAWLER_RAY_TIMING") == "1":
+            print(f"[hits]   mat {_t1 - _t0:.2f}s norm {_time.time() - _t1:.2f}s", flush=True)
         return updated, norm
 
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("CRAWLER_RAY_TIMING") == "1"
     nh = na = 1.0
-    for _ in range(iters):
+    for _i in range(iters):
+        _t0 = _time.time()
         scores, na = half_step(scores, 1, "h", "a", 1.0 / nh if nh > 0 else 0.0)
+        _t1 = _time.time()
         scores, nh = half_step(scores, 0, "a", "h", 1.0 / na if na > 0 else 0.0)
+        if _dbg:
+            print(f"[hits] iter {_i}: a-step {_t1 - _t0:.2f}s h-step {_time.time() - _t1:.2f}s blocks={scores.num_blocks()}", flush=True)
     ia = 1.0 / na if na > 0 else 0.0
     ih = 1.0 / nh if nh > 0 else 0.0
     return scores.map_batches(
@@ -682,12 +716,9 @@ def hits_edges(edges: rd.Dataset, iters: int = 20) -> rd.Dataset:
 
 def hits_scores(sf_dir: str, iters: int = 8) -> rd.Dataset:
     """HITS over the synthetic corpus link graph; integer micro-scores for
-    a stable schema. Library surface with a pytest pin (dense power
-    iteration oracle) — deliberately NOT a ``queries()`` entry: each HITS
-    iteration costs two full exchange rounds of fixed executor overhead
-    (2× PageRank's, which already represents iterative link analysis in
-    the gate), and under this sandbox's documented co-tenant noise that
-    fixed cost dominates by 10-30× on small graphs."""
+    a stable schema, pytest-pinned against a dense power-iteration oracle.
+    Driver-gated through ``hits`` (4 iterations — each HITS iteration costs
+    two full exchange rounds, 2× PageRank's)."""
     from crawler_ray.pipelines.crawl_queries import link_graph
 
     return hits_edges(link_graph(sf_dir), iters=iters).map_batches(
@@ -795,7 +826,7 @@ def connected_components_ls(
         )
     prev_sig = None
     for _ in range(max_rounds):
-        cur = (
+        cur = _snapshot(
             cur.map_batches(large_tag, batch_size=65536, batch_format="pyarrow")
             .groupby("part")
             .map_groups(large_star, batch_format="pandas")
@@ -803,7 +834,6 @@ def connected_components_ls(
             .groupby("part")
             .map_groups(small_star, batch_format="pandas")
             .map_batches(lambda t: t.select(["u", "v"]), batch_format="pyarrow")
-            .materialize()
         )
         sig = (
             cur.count(),
@@ -1050,8 +1080,18 @@ def dedup_clusters_ls(sf_dir: str) -> rd.Dataset:
     return dedup_clusters(sf_dir, method="ls")
 
 
+def hits(sf_dir: str) -> rd.Dataset:
+    """Driver-gated HITS entry: ``hits_scores`` at a small fixed iteration
+    count (4 — enough to separate hubs from authorities deterministically;
+    the per-iteration cost is two full exchange rounds). Rows-only in the
+    driver (iterative float algorithm); semantics are pinned against a
+    dense power-iteration oracle in ``tests/test_graph.py``."""
+    return hits_scores(sf_dir, iters=4)
+
+
 QUERIES = {
     "pagerank": pagerank,
+    "hits": hits,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_ls": dedup_clusters_ls,
     "triangle_count": triangle_count,

@@ -1708,7 +1708,23 @@ def q10_returned_items(
         .sort_values(["c", "ck"], ascending=[False, True], kind="mergesort")
         .head(k)
     )
-    cdim = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    # gate customer (sf×150k rows — not driver-sized) by the ≤k winners
+    # with a broadcast semi-join before collecting
+    win_ref = ray.put(np.sort(cand.ck.to_numpy().astype(np.int64)))
+
+    def cust_gate(t: pa.Table, _ref=win_ref) -> pa.Table:
+        keys = ray.get(_ref)
+        if len(keys) == 0:
+            return t.slice(0, 0)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == ck))
+
+    cdim = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(cust_gate, batch_size=65536, batch_format="pyarrow")
+        .to_pandas()
+    )
     cdim = cdim.set_index("c_custkey").loc[cand.ck]
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     names = dict(zip(nat.n_nationkey, nat.n_name))
@@ -1779,7 +1795,24 @@ def q18_large_volume_customers(
         .map_batches(order_gate, batch_size=65536, batch_format="pyarrow")
         .to_pandas()
     )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    # customer is sf×150k rows (15M at sf100) — NOT a driver-sized dim.
+    # Gate it by the survivor custkeys with the same broadcast semi-join
+    # before collecting; only the O(survivors) rows reach the driver.
+    ck_ref = ray.put(np.unique(hits.o_custkey.to_numpy().astype(np.int64)))
+
+    def cust_gate(t: pa.Table, _ref=ck_ref) -> pa.Table:
+        keys = ray.get(_ref)
+        if len(keys) == 0:
+            return t.slice(0, 0)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == ck))
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(cust_gate, batch_size=65536, batch_format="pyarrow")
+        .to_pandas()
+    )
     cnames = dict(zip(cust.c_custkey, cust.c_name))
     return pa.table(
         {

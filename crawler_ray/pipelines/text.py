@@ -380,9 +380,10 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
         toks = t["token"].to_numpy(zero_copy_only=False)
         d = dfs[np.searchsorted(vocab_s, toks)]
         s = (t["tf"].to_numpy(zero_copy_only=False) * 1_000_000) // d
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         g = pd.DataFrame(
             {
-                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "doc_id": ids,
                 "token": toks,
                 "tfidf_c": s.astype(np.int64),
             }
@@ -390,12 +391,42 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
             ["doc_id", "tfidf_c", "token"], ascending=[True, False, True], kind="mergesort"
         )
         out = g.groupby("doc_id", sort=False).head(top_n)
+        # A doc's posting rows are contiguous within the batch doc_tf
+        # emitted, but Ray's dynamic block splitting (target_max_block_size)
+        # can cut one output batch into several blocks — the ONLY docs that
+        # can straddle a cut are the first and last of each block. Flag
+        # them: their per-block top-N is a superset-preserving partial
+        # (every global top-N row is in its block's top-N; the sort order
+        # is strict within a doc, tokens are unique), so a tiny
+        # boundary-only re-top-N downstream restores exactness.
+        out = out.assign(boundary=(out["doc_id"] == ids[0]) | (out["doc_id"] == ids[-1]))
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    # batch_size=None: one batch per materialized block, so every doc's
-    # contiguous posting rows are complete within the batch (doc-local
-    # top-N without any shuffle)
-    return tf.map_batches(score_topn, batch_format="pyarrow", batch_size=None)
+    # batch_size=None: one batch per materialized block — doc-local top-N
+    # without any corpus-sized shuffle; straddle-prone boundary docs
+    # (≤2 per block) are re-merged through a block-count-sized groupby.
+    scored = tf.map_batches(
+        score_topn, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    interior = scored.map_batches(
+        lambda t: t.filter(pc.invert(t["boundary"])).drop_columns(["boundary"]),
+        batch_format="pyarrow",
+    )
+
+    def merge_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["boundary"]).sort_values(
+            ["doc_id", "tfidf_c", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        return g.groupby("doc_id", sort=False).head(top_n)
+
+    boundary = (
+        scored.map_batches(
+            lambda t: t.filter(t["boundary"].combine_chunks()), batch_format="pyarrow"
+        )
+        .groupby("doc_id")
+        .map_groups(merge_topn, batch_format="pandas")
+    )
+    return interior.union(boundary)
 
 
 def inverted_index(sf_dir: str, min_df: int = 50, parts: int = 16) -> rd.Dataset:

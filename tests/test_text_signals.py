@@ -114,6 +114,45 @@ def test_tfidf_and_inverted_index_multiblock(ray_session, tmp_path):
     assert sorted(zip(got.doc_id, got.token, got.tfidf_c)) == sorted(want)
 
 
+def test_tfidf_survives_dynamic_block_splits(ray_session, tmp_path):
+    """Force target_max_block_size tiny so Ray's dynamic block splitting
+    cuts a doc's contiguous posting rows across blocks mid-doc — the
+    boundary-doc rescue path must restore the exact per-doc top-N."""
+    import re
+    from collections import Counter
+
+    from ray.data import DataContext
+
+    from crawler_ray.pipelines.text import tfidf_top_terms
+
+    words = [f"v{i:03d}" for i in range(120)]
+    # long docs (≈100 distinct tokens each) so a tiny block cap splits them
+    texts = [
+        " ".join(["v000"] * (i % 4) + words[: 40 + (i * 7) % 80]) for i in range(60)
+    ]
+    sf = _write_docs_files(tmp_path, texts, docs_per_file=20)
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 2048  # ~tens of posting rows per block
+    try:
+        got = tfidf_top_terms(sf, top_n=3).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+
+    tok = re.compile(r"[A-Za-z0-9]+")
+    tf = {i: Counter(tok.findall(t.lower())) for i, t in enumerate(texts)}
+    df = Counter(w for c in tf.values() for w in c)
+    want = []
+    for i, c in tf.items():
+        scored = sorted(
+            (((n * 1_000_000) // df[w], w) for w, n in c.items()),
+            key=lambda s: (-s[0], s[1]),
+        )[:3]
+        want.extend((i, w, s) for s, w in scored)
+    assert sorted(zip(got.doc_id, got.token, got.tfidf_c)) == sorted(want)
+
+
 def test_bigram_familiarity_common_vs_rare(ray_session, tmp_path):
     from crawler_ray.pipelines.text import bigram_familiarity
 
