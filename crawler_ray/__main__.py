@@ -47,8 +47,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="crawler_ray", description="Ray-Data-native crawl engine driver"
     )
-    p.add_argument("--rules", required=True,
-                   help="rule table: JSON list of RuleSpec rows, or Parquet")
+    p.add_argument("--rules", required=True, action="append",
+                   help="rule table: JSON list of RuleSpec rows, or Parquet. "
+                        "Repeatable — each table is one task; all tasks run "
+                        "in ONE engine with a shared frontier/seen/politeness "
+                        "state (engine/crawler.go:48-75). Seeds rows may "
+                        "carry a 'task' column; rows without one belong to "
+                        "the first table's task")
     p.add_argument("--pages", required=True, help="pages Parquet dir (url-sorted)")
     p.add_argument("--seeds", required=True, help="seeds Parquet file")
     p.add_argument("--politeness", required=True, help="politeness JSON config")
@@ -74,7 +79,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -89,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         from crawler_ray.pipelines.crawl import run_crawl
         from crawler_ray.sources.pages import Corpus
 
-        task = load_rule_table(args.rules)
+        tasks = [load_rule_table(p) for p in args.rules]
+        task = tasks if len(tasks) > 1 else tasks[0]
         n_docs = sum(
             pq.read_metadata(os.path.join(args.pages, f)).num_rows
             for f in os.listdir(args.pages)
@@ -121,16 +128,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.sqlite:
             from crawler_ray.stages.sink import write_items_sql
 
-            for rule_name, spec in task.rules.items():
-                if not spec.item_fields:
-                    continue
-                ds = res.items_dataset(rule_name)
-                if ds is not None:
-                    write_items_sql(ds, args.sqlite, rule_name, list(spec.item_fields))
+            multi = len(tasks) > 1
+            for t in tasks:
+                for rule_name, spec in t.rules.items():
+                    if not spec.item_fields:
+                        continue
+                    ds = res.items_dataset(rule_name, task=t.name if multi else None)
+                    if ds is not None:
+                        # table name qualified per task when several tasks
+                        # share a rule name (dynamic DDL, W2)
+                        tbl = f"{t.name}__{rule_name}" if multi else rule_name
+                        write_items_sql(ds, args.sqlite, tbl, list(spec.item_fields))
         print(
             json.dumps(
                 {
-                    "task": task.name,
+                    "task": "+".join(t.name for t in tasks),
                     "out": args.out,
                     "iterations": res.iterations,
                     "scheduled": sum(s["scheduled"] for s in res.stats),
@@ -142,7 +154,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
     finally:
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

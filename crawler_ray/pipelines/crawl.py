@@ -69,7 +69,7 @@ SEEN_COMPACT_EVERY = 8
 # is the standard fast path and matches the oracle byte-for-byte)
 _LOC_RE = re.compile(r"<loc>(.*?)</loc>")
 
-FRONTIER_COLS = ["url", "host", "key", "h64", "depth", "priority", "seq", "attempt", "rule", "carry"]
+FRONTIER_COLS = ["url", "host", "key", "h64", "depth", "priority", "seq", "attempt", "task", "rule", "carry"]
 _FRONTIER_TYPES = {
     "url": pa.string(),
     "host": pa.string(),
@@ -79,6 +79,7 @@ _FRONTIER_TYPES = {
     "priority": pa.int32(),
     "seq": pa.binary(),
     "attempt": pa.int32(),
+    "task": pa.string(),
     "rule": pa.string(),
     "carry": pa.string(),
 }
@@ -108,13 +109,21 @@ def _route(col: str, value) -> "callable":
     return fn
 
 
-def seed_frontier_table(seeds_path: str) -> pa.Table:
+def seed_frontier_table(seeds_path: str, default_task: str = "") -> pa.Table:
+    """Seeds Parquet → generation-0 frontier. An optional ``task`` column
+    assigns each seed to a task (the multi-task surface,
+    ``engine/crawler.go:48-75`` seeds every configured task into the shared
+    queue); rows without one belong to ``default_task`` (the primary)."""
     seeds = pq.read_table(seeds_path)
     n = seeds.num_rows
     seq = pa.array(
         [int(s).to_bytes(4, "big") for s in seeds.column("seq").to_pylist()],
         type=pa.binary(),
     )
+    if "task" in seeds.column_names:
+        task_col = pc.fill_null(seeds.column("task").cast(pa.string()), default_task)
+    else:
+        task_col = pa.array([default_task] * n, pa.string())
     return pa.Table.from_arrays(
         [
             seeds.column("url").cast(pa.string()),
@@ -125,6 +134,7 @@ def seed_frontier_table(seeds_path: str) -> pa.Table:
             seeds.column("priority").cast(pa.int32()),
             seq,
             pa.array([0] * n, pa.int32()),
+            task_col,
             seeds.column("rule").cast(pa.string()),
             pa.array(["{}"] * n, pa.string()),
         ],
@@ -140,18 +150,23 @@ class CrawlResult:
 
     def _gather(self, sub: str) -> list[str]:
         """Parquet files under iter_*/<sub>/ (files, not dirs — Ray's parquet
-        reader wants concrete paths when given a list)."""
-        out = []
-        for d in sorted(os.listdir(self.out_dir)):
-            p = os.path.join(self.out_dir, d, sub)
-            if d.startswith("iter_") and os.path.isdir(p):
-                out.extend(
-                    os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
-                )
-        return out
+        reader wants concrete paths when given a list). ``sub`` may contain
+        glob patterns (the multi-task items layout)."""
+        import glob as _glob
 
-    def items_dataset(self, rule: str) -> "ray.data.Dataset | None":
-        paths = self._gather(os.path.join("items", f"rule={rule}"))
+        return sorted(
+            _glob.glob(os.path.join(self.out_dir, "iter_*", sub, "*.parquet"))
+        )
+
+    def items_dataset(self, rule: str, task: str | None = None) -> "ray.data.Dataset | None":
+        """Items for one rule. Single-task runs write ``items/rule=<r>``;
+        multi-task runs write ``items/task=<t>/rule=<r>`` (rule names may
+        collide across tasks). ``task=None`` gathers the rule across both
+        layouts; pass a task name to select one task's output."""
+        paths = self._gather(os.path.join("items", f"rule={rule}")) if task is None else []
+        paths += self._gather(
+            os.path.join("items", f"task={task or '*'}", f"rule={rule}")
+        )
         return ray.data.read_parquet(paths) if paths else None
 
     def order_dataset(self) -> "ray.data.Dataset | None":
@@ -301,7 +316,7 @@ def _fetch_control_bodies(
 
 def run_crawl(
     corpus: Corpus,
-    task: TaskSpec = SYNTH_TASK,
+    task: "TaskSpec | list[TaskSpec] | tuple[TaskSpec, ...]" = SYNTH_TASK,
     out_dir: str = "/tmp/crawler_ray_out",
     *,
     num_seen_shards: int = 4,
@@ -320,6 +335,7 @@ def run_crawl(
     sitemap_rule: str = "detail",
     sitemap_depth: int = 1,
     sitemap_priority: int = 0,
+    sitemap_task: str | None = None,
     robots_agent: str = "*",
     robots_window_s: float = 60.0,
     ban_backoff: bool = False,
@@ -329,8 +345,30 @@ def run_crawl(
 ) -> CrawlResult:
     import dataclasses
 
+    from crawler_ray.stages.extract import normalize_tasks
+
+    # multi-task engine (engine/crawler.go:48-75 seeds every configured
+    # task into ONE shared queue): all tasks share the frontier, seen set
+    # and politeness state — a host crawled by two tasks spends one budget.
+    # Per-task options (max_depth, reload, rules) apply per row via the
+    # frontier's ``task`` column.
+    task_list = normalize_tasks(task)
+    tasks = {t.name: t for t in task_list}
+    primary = task_list[0]
+    if sitemap_task is None:
+        sitemap_task = primary.name
+
     cfg = PolitenessConfig.from_json(corpus.politeness)
-    cfg = dataclasses.replace(cfg, max_depth=min(cfg.max_depth, task.max_depth))
+    depth_limits = {n: min(cfg.max_depth, t.max_depth) for n, t in tasks.items()}
+    cfg = dataclasses.replace(cfg, max_depth=max(depth_limits.values()))
+    # scalar gate when every task shares one limit (the common case — one
+    # vectorized compare); per-task dict otherwise
+    canon_depth: "int | dict" = (
+        cfg.max_depth if len(set(depth_limits.values())) == 1 else depth_limits
+    )
+    reload_tasks = frozenset(n for n, t in tasks.items() if t.reload)
+    all_reload = len(reload_tasks) == len(tasks)
+    seen_skip = reload_tasks if (reload_tasks and not all_reload) else None
     # trailing-window ledger for the composed sustained budget: host →
     # admissions per past iteration, kept only for the last (window-1)
     # generations. Rebuilt from the checkpointed order parquet on resume —
@@ -366,8 +404,14 @@ def run_crawl(
             frontier_tbl = (
                 frontier_override
                 if frontier_override is not None
-                else seed_frontier_table(corpus.seeds)
+                else seed_frontier_table(corpus.seeds, default_task=primary.name)
             )
+            if "task" not in frontier_tbl.column_names:
+                # pre-multi-task override tables: all rows → primary task
+                frontier_tbl = frontier_tbl.append_column(
+                    "task",
+                    pa.array([primary.name] * frontier_tbl.num_rows, pa.string()),
+                )
 
     if seen_capacity is None:
         # size shards to ~4× the page count (cuckoo wants ≤95% load); at
@@ -491,7 +535,9 @@ def run_crawl(
         # #blocks × #partitions object pieces, and 216×216 pieces of
         # per-piece scheduling overhead cost more than the admission work
         fr = fr.map_batches(
-            canonicalize_fn(cfg.max_depth), batch_size=32768, batch_format="pyarrow"
+            canonicalize_fn(canon_depth, default_task=primary.name),
+            batch_size=32768,
+            batch_format="pyarrow",
         )
         if robots_from_corpus or sitemaps_from_corpus:
             # warm the robots/sitemap caches for hosts newly present in
@@ -548,6 +594,7 @@ def run_crawl(
                                     pa.binary(),
                                 ),
                                 pa.array([0] * len(locs), pa.int32()),
+                                pa.array([sitemap_task] * len(locs), pa.string()),
                                 pa.array([sitemap_rule] * len(locs), pa.string()),
                                 pa.array(["{}"] * len(locs), pa.string()),
                             ],
@@ -555,7 +602,7 @@ def run_crawl(
                         )
                         fr = fr.union(
                             ray.data.from_arrow(inj).map_batches(
-                                canonicalize_fn(cfg.max_depth),
+                                canonicalize_fn(canon_depth, default_task=primary.name),
                                 batch_format="pyarrow",
                             )
                         )
@@ -563,9 +610,13 @@ def run_crawl(
         fr = fr.map_batches(robots_filter_fn(cfg), batch_format="pyarrow")
         # Task.Reload bypasses the visited check entirely (the reference
         # skips HasVisited when Reload is set, engine/crawler.go:85,
-        # collect/option.go:14) — a re-crawlable task must refetch
-        if not task.reload:
-            fr = fr.map_batches(seen_filter_fn(seen, mark=False), batch_format="pyarrow")
+        # collect/option.go:14) — a re-crawlable task must refetch. With
+        # mixed tasks the bypass is per row (seen_skip).
+        if not all_reload:
+            fr = fr.map_batches(
+                seen_filter_fn(seen, mark=False, skip_tasks=seen_skip),
+                batch_format="pyarrow",
+            )
         # admission shuffle: one groupby per generation, keyed by a coarse
         # host-hash partition (every host in exactly one partition — the
         # politeness correctness requirement) rather than by host itself:
@@ -617,8 +668,11 @@ def run_crawl(
         admitted = frontier_mat.map_batches(
             _route("admitted", True), batch_size=65536, batch_format="pyarrow"
         )
-        if not task.reload:
-            admitted = admitted.map_batches(seen_filter_fn(seen, mark=True), batch_format="pyarrow")
+        if not all_reload:
+            admitted = admitted.map_batches(
+                seen_filter_fn(seen, mark=True, skip_tasks=seen_skip),
+                batch_format="pyarrow",
+            )
         # Align the fetch probe with the pages layout: admission blocks are
         # in (priority, seq) order, so without this sort every fetch batch
         # sprays across the host's whole row-group range and thrashes the
@@ -637,7 +691,7 @@ def run_crawl(
         # object store — only derived rows (order/failed/frontier/item/text)
         # are materialized.
         ex_mat = admitted.map_batches(
-            make_fetch_extract_fn(corpus.pages, task, cfg.max_attempts,
+            make_fetch_extract_fn(corpus.pages, task_list, cfg.max_attempts,
                                   fetcher_factory, fetcher_key, ledger_dir),
             batch_size=batch_size,
             batch_format="pyarrow",
@@ -656,9 +710,11 @@ def run_crawl(
                     "attempt": f.column("attempt"),
                     "outcome": f.column("outcome"),
                     "h64": f.column("h64"),
-                    # fetch ts + rule ride along so a later incremental
-                    # recrawl can rebuild its ledger from order alone
+                    # fetch ts + task + rule ride along so a later
+                    # incremental recrawl can rebuild its ledger from order
+                    # alone (and the failure unmark below is per-task)
                     "warc_ts": f.column("ts"),
+                    "task": f.column("task"),
                     "rule": f.column("rule"),
                 }
             ))(t.filter(pc.equal(t.column("kind"), "order"))),
@@ -686,21 +742,33 @@ def run_crawl(
         items_all = ex_mat.map_batches(
             _keep("kind", "item"), batch_size=65536, batch_format="pyarrow"
         )
-        if len([s for s in task.rules.values() if s.item_fields]) > 1:
+        item_rules = [
+            (t, rn, spec)
+            for t in task_list
+            for rn, spec in t.rules.items()
+            if spec.item_fields
+        ]
+        if len(item_rules) > 1:
             items_all = items_all.materialize()
-        for rule_name, spec in task.rules.items():
-            if not spec.item_fields:
-                continue
+        multi = len(task_list) > 1
+        for t, rule_name, spec in item_rules:
             sel = items_all.map_batches(_keep("rule", rule_name), batch_format="pyarrow")
-            typed = sel.map_batches(items_to_columns(task, rule_name), batch_format="pyarrow")
-            rule_dir = os.path.join(ckdir, "items", f"rule={rule_name}")
+            if multi:  # rule names may collide across tasks
+                sel = sel.map_batches(_keep("task", t.name), batch_format="pyarrow")
+            typed = sel.map_batches(items_to_columns(t, rule_name), batch_format="pyarrow")
+            # single-task keeps the flat layout; multi-task nests per task
+            rule_dir = (
+                os.path.join(ckdir, "items", f"task={t.name}", f"rule={rule_name}")
+                if multi
+                else os.path.join(ckdir, "items", f"rule={rule_name}")
+            )
             typed.write_parquet(rule_dir)
             n_items += _parquet_rows(rule_dir)
         t0 = _tick(f"it{it} items write", t0)
 
         ex_mat.map_batches(
             _keep("kind", "text"), batch_size=65536, batch_format="pyarrow"
-        ).select_columns(["url", "rule", "payload"]).write_parquet(os.path.join(ckdir, "text"))
+        ).select_columns(["url", "task", "rule", "payload"]).write_parquet(os.path.join(ckdir, "text"))
         t0 = _tick(f"it{it} text write", t0)
 
         # children AND retry rows (FetchExtract emits both as kind=frontier)
@@ -715,19 +783,32 @@ def run_crawl(
         # iter_batches collection was one of the per-generation fixed costs
         # hurting scaling)
         fail_parts = []
+        unmark_parts = []
         odir = os.path.join(ckdir, "order")
         if os.path.isdir(odir):
             bad = pa.array(["missing", "banned"])
+            rl = pa.array(sorted(reload_tasks)) if reload_tasks else None
             for f in os.listdir(odir):
                 if f.endswith(".parquet"):
-                    t = pq.read_table(os.path.join(odir, f), columns=["h64", "outcome"])
+                    t = pq.read_table(
+                        os.path.join(odir, f), columns=["h64", "outcome", "task"]
+                    )
                     mask = pc.is_in(t.column("outcome"), value_set=bad)
                     fail_parts.append(
                         t.column("h64").filter(mask).to_numpy(zero_copy_only=False).astype(np.uint64)
                     )
+                    # unmark only rows whose task marked in the first place
+                    # (reload tasks never mark — engine/crawler.go:85)
+                    um = mask
+                    if rl is not None:
+                        um = pc.and_(mask, pc.invert(pc.is_in(t.column("task"), value_set=rl)))
+                    unmark_parts.append(
+                        t.column("h64").filter(um).to_numpy(zero_copy_only=False).astype(np.uint64)
+                    )
         n_failed = int(sum(len(p) for p in fail_parts))
-        if n_failed and not task.reload:  # nothing was marked under reload
-            seen.remove(np.concatenate(fail_parts))
+        n_unmark = int(sum(len(p) for p in unmark_parts))
+        if n_unmark and not all_reload:  # nothing was marked under reload
+            seen.remove(np.concatenate(unmark_parts))
 
         t0 = _tick(f"it{it} failures n={n_failed}", t0)
         # both branches are already coalesced to ~64k-row blocks, so the
@@ -888,7 +969,10 @@ def build_ts_ledger(out_dir: str, num_shards: int = 16) -> str:
             "PREV_OUT was written by an older engine version (re-run the "
             "original crawl) or is not a crawl checkpoint directory"
         )
-    cols = ["url", "outcome", "warc_ts", "rule", "h64"]
+    # task is optional (pre-multi-task checkpoints) — "" maps back to the
+    # recrawl's primary task at canonicalize time
+    has_task = "task" in have
+    cols = ["url", "outcome", "warc_ts", "rule", "h64"] + (["task"] if has_task else [])
 
     def shard_of(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["outcome"], value_set=pa.array(["ok", "unchanged"])))
@@ -899,6 +983,7 @@ def build_ts_ledger(out_dir: str, num_shards: int = 16) -> str:
             {
                 "url": t["url"],
                 "ts": t["warc_ts"].cast(pa.int64()),
+                "task": t["task"] if has_task else pa.array([""] * t.num_rows, pa.string()),
                 "rule": t["rule"],
                 "h64": t["h64"],
                 "shard": pa.array(s),
@@ -923,6 +1008,7 @@ def build_ts_ledger(out_dir: str, num_shards: int = 16) -> str:
         # canonicalize at iteration start; h64 rides along unchanged)
         u_sorted = [urls_b[i].decode() for i in order]
         n = len(u_sorted)
+        tk = g["task"].to_numpy()[order]
         fr = pa.Table.from_arrays(
             [
                 pa.array(u_sorted, pa.string()),
@@ -933,6 +1019,7 @@ def build_ts_ledger(out_dir: str, num_shards: int = 16) -> str:
                 pa.array(np.zeros(n, np.int32)),
                 pa.array([hashlib.md5(u.encode()).digest() for u in u_sorted], pa.binary()),
                 pa.array(np.zeros(n, np.int32)),
+                pa.array([str(x) for x in tk], pa.string()),
                 pa.array([str(r) for r in rl], pa.string()),
                 pa.array(["{}"] * n, pa.string()),
             ],

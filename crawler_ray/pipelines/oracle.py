@@ -86,36 +86,52 @@ def _ts_us(ts) -> int:
 @dataclass
 class OracleResult:
     order: list[tuple] = field(default_factory=list)  # (iteration, url, priority, seq, attempt, outcome)
+    # (iteration, task, url, priority, seq, attempt, outcome) — the
+    # task-qualified schedule (multi-task runs; aligned with `order`)
+    order_full: list[tuple] = field(default_factory=list)
     items: list[dict] = field(default_factory=list)
     texts: dict[str, str] = field(default_factory=dict)  # url → extracted text
+    # (task, url, text) rows — url alone is ambiguous when a reload task
+    # re-extracts a url another task already produced
+    text_rows: list[tuple] = field(default_factory=list)
     seen: set[int] = field(default_factory=set)  # final h64 seen set
     iterations: int = 0
 
 
 def run_oracle(
     corpus: Corpus,
-    task: TaskSpec = SYNTH_TASK,
+    task: "TaskSpec | list[TaskSpec] | tuple[TaskSpec, ...]" = SYNTH_TASK,
     max_iterations: int = 64,
     robots_from_corpus: bool = False,
     sitemaps_from_corpus: bool = False,
     sitemap_rule: str = "detail",
     sitemap_depth: int = 1,
     sitemap_priority: int = 0,
+    sitemap_task: str | None = None,
     robots_agent: str = "*",
     robots_window_s: float = 60.0,
     ban_backoff: bool = False,
     seeds_rows: list[dict] | None = None,
     ledger: dict[str, int] | None = None,
 ) -> OracleResult:
+    from crawler_ray.stages.extract import normalize_tasks
     from crawler_ray.stages.politeness import (
         apply_backoff_updates,
         backoff_budget,
         robots_config,
     )
 
+    task_list = normalize_tasks(task)
+    tasks = {t.name: t for t in task_list}
+    primary = task_list[0]
+    if sitemap_task is None:
+        sitemap_task = primary.name
+
     cfg = PolitenessConfig.from_json(corpus.politeness)
-    max_depth = min(cfg.max_depth, task.max_depth)
-    rules = compile_task(task)
+    limits = {n: min(cfg.max_depth, t.max_depth) for n, t in tasks.items()}
+    rules = {
+        (t.name, rn): cr for t in task_list for rn, cr in compile_task(t).items()
+    }
     robots_checked: set[str] = set()
     sitemap_checked: set[str] = set()
     loc_re = re.compile(r"<loc>(.*?)</loc>")
@@ -143,11 +159,15 @@ def run_oracle(
                 "priority": r["priority"],
                 "seq": int(r["seq"]).to_bytes(4, "big"),
                 "attempt": 0,
+                "task": r.get("task") or primary.name,
                 "rule": r["rule"],
                 "carry": {},
             }
             for r in seeds.to_pylist()
         ]
+    for r in frontier:  # pre-multi-task seeds_rows carry no task
+        if not r.get("task"):
+            r["task"] = primary.name
 
     res = OracleResult()
     seen: set[int] = set()
@@ -169,7 +189,7 @@ def run_oracle(
             # host, misses = allow-all, rules apply from this generation on)
             pairs: dict[str, str] = {}
             for r in frontier:
-                if r["depth"] > max_depth:
+                if r["depth"] > limits.get(r["task"], -1):
                     continue
                 url = _canon(r["url"])
                 scheme = url.split("://", 1)[0] if "://" in url else "https"
@@ -195,7 +215,7 @@ def run_oracle(
             # <loc> URLs join THIS generation's frontier with seq=md5(url)
             pairs: dict[str, str] = {}
             for r in frontier:
-                if r["depth"] > max_depth:
+                if r["depth"] > limits.get(r["task"], -1):
                     continue
                 url = _canon(r["url"])
                 scheme = url.split("://", 1)[0] if "://" in url else "https"
@@ -217,6 +237,7 @@ def run_oracle(
                             "priority": sitemap_priority,
                             "seq": hashlib.md5(loc.encode()).digest(),
                             "attempt": 0,
+                            "task": sitemap_task,
                             "rule": sitemap_rule,
                             "carry": {},
                         }
@@ -225,14 +246,15 @@ def run_oracle(
         rows = []
         for r in frontier:
             url = _canon(r["url"])
-            if r["depth"] > max_depth:
+            # unknown task → dropped (missing Trunk); per-task depth limit
+            if r["depth"] > limits.get(r["task"], -1):
                 continue
             host = _host(url)
             path = url.split(host, 1)[1]
             if any(path.startswith(p) for p in cfg.disallowed_prefixes(host)):
                 continue
             # Task.Reload bypasses the visited check (engine/crawler.go:85)
-            if not task.reload and _h64(url) in seen:
+            if not tasks[r["task"]].reload and _h64(url) in seen:
                 continue
             rows.append({**r, "url": url, "host": host})
         # per-host: order, dedup within iteration, admit budget
@@ -246,7 +268,9 @@ def run_oracle(
         admitted: list[dict] = []
         deferred: list[dict] = []
         for host, group in by_host.items():
-            group.sort(key=lambda r: (-r["priority"], r["seq"]))
+            # task is the least-significant tiebreak, matching the engine's
+            # admission lexsort (politeness.py admit_partition_fn)
+            group.sort(key=lambda r: (-r["priority"], r["seq"], r["task"]))
             kept, keys = [], set()
             for r in group:
                 k = _h64(r["url"])
@@ -270,7 +294,8 @@ def run_oracle(
         banned_hosts: set[str] = set()
         for r in admitted:
             k = _h64(r["url"])
-            if not task.reload:
+            r_task = tasks[r["task"]]
+            if not r_task.reload:
                 seen.add(k)  # mark-before-fetch
             page = _follow_redirects(page_map, r["url"])
             html = page[0].decode("utf-8", errors="replace") if page else None
@@ -288,16 +313,20 @@ def run_oracle(
             else:
                 outcome = "ok"
             res.order.append((it, r["url"], r["priority"], r["seq"], r["attempt"], outcome))
+            res.order_full.append(
+                (it, r["task"], r["url"], r["priority"], r["seq"], r["attempt"], outcome)
+            )
             if outcome == "banned":
                 banned_hosts.add(r["host"])
             if outcome in ("missing", "banned"):
-                seen.discard(k)  # unmark-on-failure
+                if not r_task.reload:
+                    seen.discard(k)  # unmark-on-failure (never marked on reload)
                 if r["attempt"] + 1 < cfg.max_attempts:
                     children.append({**r, "attempt": r["attempt"] + 1})
                 continue
             if outcome in ("short", "unchanged"):
                 continue  # stays marked; unchanged additionally skips extract
-            rule = rules.get(r["rule"])
+            rule = rules.get((r["task"], r["rule"]))
             if rule is None:
                 continue
             kids, item = rule.extract(r["url"], html, r["carry"])
@@ -310,6 +339,7 @@ def run_oracle(
                         "priority": spec.child_priority,
                         "seq": r["seq"] + idx.to_bytes(4, "big"),
                         "attempt": 0,
+                        "task": r["task"],
                         "rule": spec.next_rule or "",
                         "carry": child_carry,
                     }
@@ -317,6 +347,7 @@ def run_oracle(
             if item is not None:
                 res.items.append(
                     {
+                        "task": r["task"],
                         "rule": r["rule"],
                         "url": r["url"],
                         "ts": page[1],
@@ -324,11 +355,13 @@ def run_oracle(
                     }
                 )
             if spec.kind == "link_extract":
-                res.texts[r["url"]] = "\n".join(u for u, _ in kids)
+                text = "\n".join(u for u, _ in kids)
             elif spec.kind == "predicate_extract":
-                res.texts[r["url"]] = r["url"] if item is not None else ""
+                text = r["url"] if item is not None else ""
             else:
-                res.texts[r["url"]] = json.dumps(item, ensure_ascii=False, sort_keys=True)
+                text = json.dumps(item, ensure_ascii=False, sort_keys=True)
+            res.texts[r["url"]] = text
+            res.text_rows.append((r["task"], r["url"], text))
 
         if ban_backoff:
             apply_backoff_updates(

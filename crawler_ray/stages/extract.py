@@ -43,6 +43,7 @@ FRONTIER_FIELDS = [
     ("priority", pa.int32()),
     ("seq", pa.binary()),
     ("attempt", pa.int32()),
+    ("task", pa.string()),
     ("rule", pa.string()),
     ("carry", pa.string()),
     ("ts", pa.timestamp("us")),
@@ -52,15 +53,45 @@ FRONTIER_FIELDS = [
 EXTRACT_SCHEMA = pa.schema(FRONTIER_FIELDS)
 
 
-def canonicalize_fn(max_depth: int):
+def canonicalize_fn(max_depth: "int | dict[str, int]", default_task: str | None = None):
     """Stateless map_batches task: canonical url + host + seen-key + shard
     hash, and the depth gate (``collect/request.go:34-40``). Fully
-    vectorized except the md5 loop (hashlib is C-bound)."""
+    vectorized except the md5 loop (hashlib is C-bound).
+
+    ``max_depth`` may be a per-task dict (the multi-task engine — each
+    task's rows get its own ``min(politeness, task)`` limit; rows naming an
+    unknown task are dropped, the missing-Trunk semantics). ``default_task``
+    backfills the ``task`` column for pre-multi-task frontiers (older
+    checkpoints / ledgers carry no task, or an empty string)."""
+    limits = max_depth if isinstance(max_depth, dict) else None
+    if limits is not None:
+        _lim_keys = pa.array(list(limits), pa.string())
+        _lim_vals = pa.array([limits[t] for t in limits], pa.int32())
 
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        batch = batch.filter(pc.less_equal(batch.column("depth"), max_depth))
+        if default_task is not None:
+            if "task" not in batch.column_names:
+                batch = batch.append_column(
+                    "task", pa.array([default_task] * batch.num_rows, pa.string())
+                )
+            else:
+                tcol = batch.column("task")
+                blank = pc.equal(pc.fill_null(tcol, ""), "")
+                if pc.any(blank).as_py():
+                    batch = batch.set_column(
+                        batch.schema.get_field_index("task"),
+                        "task",
+                        pc.if_else(blank, pa.scalar(default_task), tcol).combine_chunks(),
+                    )
+        if limits is None:
+            batch = batch.filter(pc.less_equal(batch.column("depth"), max_depth))
+        else:
+            # per-row limit by task; index_in miss → null limit → row dropped
+            idx = pc.index_in(batch.column("task"), value_set=_lim_keys)
+            lim = pc.take(_lim_vals, idx)
+            batch = batch.filter(pc.less_equal(batch.column("depth"), lim))
         if batch.num_rows == 0:
             return batch
         urls = canonicalize(batch.column("url").combine_chunks())
@@ -80,6 +111,7 @@ _COL_DEFAULTS = {
     "depth": (0, pa.int32()),
     "priority": (0, pa.int32()),
     "attempt": (0, pa.int32()),
+    "task": ("", pa.string()),
     "carry": ("{}", pa.string()),
 }
 
@@ -131,10 +163,15 @@ def _rows_like(src: pa.Table, idx, kind: str, *, outcome=None, ts=None,
 
 
 def _extract_parts(
-    rules: dict[str, CompiledRule], ok: pa.Table, bodies: list[str]
+    rules: dict[tuple[str, str], CompiledRule],
+    ok: pa.Table,
+    bodies: list[str],
+    default_task: str = "",
 ) -> list[pa.Table]:
     """Run the rule engine over rows of ``ok`` (frontier cols + warc_ts;
-    decoded ``bodies`` aligned by row).
+    decoded ``bodies`` aligned by row). ``rules`` is keyed by
+    ``(task, rule)`` — the multi-task dispatch surface
+    (``engine/crawler.go:122-126`` looks the rule up on the request's Task).
 
     The per-row work is only the C-bound regex scan (``rule.extract``); all
     output assembly is columnar (the r1 version appended 14 Python lists per
@@ -145,6 +182,7 @@ def _extract_parts(
 
     urls = ok.column("url").to_pylist()
     rules_col = ok.column("rule").to_pylist()
+    tasks_col = ok.column("task").to_pylist()
     carries = ok.column("carry").to_pylist()
     seqs = ok.column("seq").to_pylist()
     tss = ok.column("warc_ts")
@@ -160,9 +198,9 @@ def _extract_parts(
     text_local: list[int] = []
     text_payload: list[str] = []
     for i in range(len(urls)):
-        rule = rules.get(rules_col[i])
+        rule = rules.get((tasks_col[i] or default_task, rules_col[i]))
         if rule is None:
-            continue  # unknown rule: dropped (a missing Trunk entry)
+            continue  # unknown (task, rule): dropped (a missing Trunk entry)
         raw_carry = carries[i]
         # fast path: most rows carry nothing — skip the json round-trip
         carry = {} if not raw_carry or raw_carry == "{}" else json.loads(raw_carry)
@@ -242,14 +280,32 @@ def _extract_parts(
     return parts
 
 
-class Extractor:
-    """Actor-pool stage; rules compiled once per actor."""
+def normalize_tasks(task) -> "list[TaskSpec]":
+    """``TaskSpec | str | sequence of either`` → list of TaskSpecs (the
+    multi-task engine surface, ``main/main.go:232-272`` builds ``[]*Task``)."""
+    if isinstance(task, (TaskSpec, str)):
+        task = [task]
+    out = [BUILTIN_TASKS[t] if isinstance(t, str) else t for t in task]
+    if not out:
+        raise ValueError("at least one TaskSpec is required")
+    names = [t.name for t in out]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate task names: {names}")
+    return out
 
-    def __init__(self, task: TaskSpec | str):
-        if isinstance(task, str):
-            task = BUILTIN_TASKS[task]
-        self.task = task
-        self.rules: dict[str, CompiledRule] = compile_task(task)
+
+class Extractor:
+    """Actor-pool stage; rules compiled once per actor. Accepts one task or
+    a list — rules dispatch by the row's ``(task, rule)`` columns; rows with
+    an empty task column belong to the first (primary) task."""
+
+    def __init__(self, task: "TaskSpec | str | list"):
+        tasks = normalize_tasks(task)
+        self.task = tasks[0]
+        self.tasks = {t.name: t for t in tasks}
+        self.rules: dict[tuple[str, str], CompiledRule] = {
+            (t.name, rn): cr for t in tasks for rn, cr in compile_task(t).items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -257,22 +313,29 @@ class Extractor:
         bodies = [
             h.decode("utf-8", errors="replace") for h in batch.column("html").to_pylist()
         ]
-        parts = _extract_parts(self.rules, _with_defaults(batch), bodies)
+        parts = _extract_parts(
+            self.rules, _with_defaults(batch), bodies, default_task=self.task.name
+        )
         return pa.concat_tables(parts) if parts else _empty_extract_table()
 
 
 _EXTRACTOR_CACHE: dict[str, Extractor] = {}
 
 
+def _tasks_key(task) -> str:
+    return "+".join(t.name for t in normalize_tasks(task))
+
+
 def make_extract_fn(task: TaskSpec):
     """Task-fn variant with a per-worker-process Extractor cache (regexes
     compile once per worker) — see make_fetch_fn for why the iterative
     driver prefers cached tasks over per-execution actor pools."""
+    key = _tasks_key(task)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ex = _EXTRACTOR_CACHE.get(task.name)
+        ex = _EXTRACTOR_CACHE.get(key)
         if ex is None:
-            ex = _EXTRACTOR_CACHE[task.name] = Extractor(task)
+            ex = _EXTRACTOR_CACHE[key] = Extractor(task)
         return ex(batch)
 
     return fn
@@ -296,15 +359,26 @@ class FetchExtract:
     - ``item`` / ``text``: the extract outputs (ok rows)
     """
 
-    def __init__(self, pages_dir: str, task: TaskSpec, max_attempts: int = 2,
+    def __init__(self, pages_dir: str, task: "TaskSpec | list", max_attempts: int = 2,
                  fetcher_factory=None, ledger_dir: str | None = None):
         from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES
         from crawler_ray.stages.fetch import SimulatedFetcher
 
         # fetcher_factory: the Fetcher extension seam (fetch.py protocol) —
         # e.g. lambda: HttpFetcher(session) for a live crawl; default is the
-        # Parquet probe (the primary path per BASELINE.json input_hint)
-        self.fetcher = fetcher_factory() if fetcher_factory else SimulatedFetcher(pages_dir)
+        # Parquet probe (the primary path per BASELINE.json input_hint). A
+        # dict {task_name: factory} gives each task its own fetch session
+        # (per-task cookie/proxy/UA — collect/collect.go:62-91); the batch
+        # is then split by task around the fetch and re-concatenated (row
+        # order within a batch is immaterial — ordering lives in seq).
+        self.fetchers: dict[str, object] | None = None
+        if isinstance(fetcher_factory, dict):
+            self.fetchers = {name: f() for name, f in fetcher_factory.items()}
+            self.fetcher = next(iter(self.fetchers.values()))
+        else:
+            self.fetcher = (
+                fetcher_factory() if fetcher_factory else SimulatedFetcher(pages_dir)
+            )
         self.extractor = Extractor(task)
         self.ban = BAN_STRING
         self.min_bytes = MIN_BODY_BYTES
@@ -338,11 +412,25 @@ class FetchExtract:
                     shards.append(None)
             self.ledger_shards = shards
 
+    def _fetch(self, batch: pa.Table) -> pa.Table:
+        if self.fetchers is None:
+            return self.fetcher(batch)
+        parts = []
+        tcol = batch.column("task")
+        for name in sorted(set(pc.drop_null(pc.unique(tcol)).to_pylist())):
+            sub = batch.filter(pc.equal(tcol, name))
+            parts.append(self.fetchers[name](sub))
+        return pa.concat_tables(parts) if parts else self.fetcher(batch)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
         pre_parts: list[pa.Table] = []
-        if getattr(self.fetcher, "deterministic", False) and batch.num_rows:
+        if (
+            self.fetchers is None
+            and getattr(self.fetcher, "deterministic", False)
+            and batch.num_rows
+        ):
             # Retry rows (attempt > 0) under a deterministic fetcher resolve
             # from the membership probe alone: a retry exists only for a
             # prior *missing* or *banned* outcome, and an immutable corpus
@@ -378,7 +466,7 @@ class FetchExtract:
                 if batch.num_rows == 0:
                     return pa.concat_tables(pre_parts)
 
-        fetched = self.fetcher(batch)
+        fetched = self._fetch(batch)
         html = fetched.column("html")
         # vectorized outcome classification (engine/crawler.go:95-120)
         missing = pc.is_null(html)
@@ -470,7 +558,8 @@ class FetchExtract:
             ok_html = fetched.column("html").take(pa.array(ok_idx)).to_pylist()
             bodies = [h.decode("utf-8", errors="replace") for h in ok_html]
             parts.extend(
-                _extract_parts(self.extractor.rules, slim.take(ok_idx), bodies)
+                _extract_parts(self.extractor.rules, slim.take(ok_idx), bodies,
+                               default_task=self.extractor.task.name)
             )
         return pa.concat_tables(pre_parts + parts)
 
@@ -478,14 +567,15 @@ class FetchExtract:
 _FETCH_EXTRACT_CACHE: dict[tuple, FetchExtract] = {}
 
 
-def make_fetch_extract_fn(pages_dir: str, task: TaskSpec, max_attempts: int = 2,
+def make_fetch_extract_fn(pages_dir: str, task: "TaskSpec | list", max_attempts: int = 2,
                           fetcher_factory=None, fetcher_key: str = "simulated",
                           ledger_dir: str | None = None):
     """Per-worker-process cached FetchExtract task fn. ``fetcher_key`` names
     the fetcher variant in the worker cache (factories don't hash stably)."""
+    tkey = _tasks_key(task)
 
     def fn(batch: pa.Table) -> pa.Table:
-        key = (pages_dir, task.name, max_attempts, fetcher_key, ledger_dir)
+        key = (pages_dir, tkey, max_attempts, fetcher_key, ledger_dir)
         fe = _FETCH_EXTRACT_CACHE.get(key)
         if fe is None:
             fe = _FETCH_EXTRACT_CACHE[key] = FetchExtract(

@@ -337,7 +337,13 @@ def admit_partition_fn(
         width = max(1, int(lens.max()))
         seq_fixed = np.array([s.ljust(width, b"\0") for s in seqs], dtype=f"S{width}")
         hosts = g["host"].to_numpy()
-        order = np.lexsort((lens, seq_fixed, -g["priority"].to_numpy(), hosts))
+        # task is the least-significant tiebreak: two tasks seeding the same
+        # url with identical (priority, seq) must order deterministically
+        # regardless of block arrival order (the oracle sorts the same way)
+        keys = (lens, seq_fixed, -g["priority"].to_numpy(), hosts)
+        if "task" in g.columns:
+            keys = (g["task"].to_numpy(),) + keys
+        order = np.lexsort(keys)
         g = g.iloc[order]
         keep = ~g.duplicated(subset=["host", "key"], keep="first").to_numpy()
         g = g.iloc[keep]

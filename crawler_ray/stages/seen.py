@@ -264,19 +264,36 @@ class SeenSet:
         ray.get([s.restore.remote(st) for s, st in zip(self.shards, states)])
 
 
-def seen_filter_fn(seen: SeenSet, mark: bool):
+def seen_filter_fn(seen: SeenSet, mark: bool, skip_tasks: "frozenset[str] | None" = None):
     """Build a ``map_batches`` task fn that drops already-seen rows.
 
     ``mark=False`` → pure pre-filter (``contains``); ``mark=True`` →
     mark-before-fetch (``check_and_add``). State lives in the shard actors;
     the stage itself is a stateless task, so Ray can run any number of copies.
+
+    ``skip_tasks``: task names whose rows bypass the visited check entirely
+    (``Task.Reload``, engine/crawler.go:85 — in a multi-task engine the gate
+    is per-row, since reload and non-reload tasks share one frontier).
+    Bypassed rows are neither filtered nor marked.
     """
+    import pyarrow.compute as pc
+
+    skip_arr = pa.array(sorted(skip_tasks)) if skip_tasks else None
 
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
+        if skip_arr is not None:
+            skip_mask = pc.is_in(batch.column("task"), value_set=skip_arr)
+            passed = batch.filter(skip_mask)
+            batch = batch.filter(pc.invert(skip_mask))
+            if batch.num_rows == 0:
+                return passed
         keys = batch.column("h64").to_numpy(zero_copy_only=False).astype(np.uint64)
         seen_mask = seen.check_and_add(keys) if mark else seen.contains(keys)
-        return batch.filter(pa.array(~seen_mask))
+        kept = batch.filter(pa.array(~seen_mask))
+        if skip_arr is not None and passed.num_rows:
+            return pa.concat_tables([kept, passed])
+        return kept
 
     return fn
