@@ -281,14 +281,27 @@ def main() -> None:
         trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
         mult = int(os.environ.get("GRAFT_OP_MULT", "24"))
         op_dir = scaled_docs_dir(mult) if mult > 1 else SF_DIR
+        # graph ops read the synthesized pages corpus, not documents.parquet
+        # — they scale via CRAWLER_RAY_GRAPH_MULT over the real sf dir
+        # (link_graph multiplies the corpus itself) instead of the
+        # multiplied docs dir
+        graph_ops = {"pagerank", "hits"}
+        graph_mult = int(os.environ.get("GRAFT_GRAPH_MULT", "8"))
         n, n4 = SCALING_CPUS
         per_op: dict[str, dict[int, float]] = {o: {} for o in ops}
         for _ in range(trials):
             for cpus in (n, n4):
                 for op in ops:
-                    env = dict(
-                        os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=op_dir
-                    )
+                    if op in graph_ops:
+                        env = dict(
+                            os.environ, RAY_GRAFT_CPUS=str(cpus),
+                            GRAFT_SF_DIR=SF_DIR,
+                            CRAWLER_RAY_GRAPH_MULT=str(graph_mult),
+                        )
+                    else:
+                        env = dict(
+                            os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=op_dir
+                        )
                     out = subprocess.run(
                         ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
                          os.path.abspath(__file__), "--op-only", op],

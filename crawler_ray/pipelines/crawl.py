@@ -500,10 +500,22 @@ def run_crawl(
 
     timing = os.environ.get("CRAWLER_RAY_TIMING") == "1"
 
-    def _tick(label: str, t0: float) -> float:
+    # structured per-stage metrics (reference D5, log/log.go:13-38): every
+    # iteration's manifest carries one row per pipeline stage — wall
+    # seconds plus whatever row/byte counts the stage naturally knows —
+    # the scrape surface a cluster operator charts instead of grepping a
+    # debug print. stage_rows is reset at the top of each generation;
+    # _tick appends to it and optionally still prints under the env var.
+    stage_rows: list[dict] = []
+
+    def _tick(label: str, t0: float, stage: str | None = None, **extra) -> float:
         t1 = time.time()
         if timing:
             print(f"[crawl-timing] {label:28s} {t1 - t0:6.2f}s", flush=True)
+        if stage is not None:
+            row = {"stage": stage, "sec": round(t1 - t0, 4)}
+            row.update({k: v for k, v in extra.items() if v is not None})
+            stage_rows.append(row)
         return t1
 
     for it in range(start_iter, max_iterations):
@@ -516,6 +528,7 @@ def run_crawl(
         shutil.rmtree(ckdir, ignore_errors=True)
         os.makedirs(ckdir)
         t0 = it_t0 = time.time()
+        stage_rows = []
 
         if frontier_path is not None:
             # an empty final frontier leaves no parquet files behind —
@@ -564,7 +577,7 @@ def run_crawl(
                             agent=robots_agent,
                             base=cfg,
                         )
-                t0 = _tick(f"it{it} robots warm", t0)
+                t0 = _tick(f"it{it} robots warm", t0, stage="robots_warm")
             if sitemaps_from_corpus and len(hs):
                 new = hs[~hs["host"].isin(sitemap_checked)]
                 if len(new):
@@ -606,7 +619,7 @@ def run_crawl(
                                 batch_format="pyarrow",
                             )
                         )
-                t0 = _tick(f"it{it} sitemap warm", t0)
+                t0 = _tick(f"it{it} sitemap warm", t0, stage="sitemap_warm")
         fr = fr.map_batches(robots_filter_fn(cfg), batch_format="pyarrow")
         # Task.Reload bypasses the visited check entirely (the reference
         # skips HasVisited when Reload is set, engine/crawler.go:85,
@@ -652,7 +665,9 @@ def run_crawl(
             batch_format="pandas",
         )
         frontier_mat = fr.materialize()
-        t0 = _tick(f"it{it} admission", t0)
+        t0 = _tick(f"it{it} admission", t0, stage="admission",
+                   rows_out=frontier_mat.count(),
+                   shuffle_bytes=frontier_mat.size_bytes())
         if timing and os.environ.get("CRAWLER_RAY_STATS") == "1":
             print(f"[admission-stats it{it}]\n{frontier_mat.stats()}", flush=True)
 
@@ -696,7 +711,8 @@ def run_crawl(
             batch_size=batch_size,
             batch_format="pyarrow",
         ).materialize()
-        t0 = _tick(f"it{it} mark+fetch+extract", t0)
+        t0 = _tick(f"it{it} mark+fetch+extract", t0, stage="fetch_extract",
+                   rows_out=ex_mat.count(), bytes_out=ex_mat.size_bytes())
         if timing and os.environ.get("CRAWLER_RAY_STATS") == "1":
             print(f"[crawl-stats it{it}]\n{ex_mat.stats()}", flush=True)
 
@@ -731,7 +747,7 @@ def run_crawl(
             apply_backoff_updates(penalty, sched_hosts, banned_hosts)
             with open(os.path.join(ckdir, "backoff.json"), "w") as fh:
                 json.dump({"penalty": penalty}, fh)
-        t0 = _tick(f"it{it} order write n={n_sched}", t0)
+        t0 = _tick(f"it{it} order write n={n_sched}", t0, stage="order_write", rows_out=n_sched)
 
         # items sink, per rule (dynamic schema from ItemFields — W2);
         # row counts come from the written Parquet footers, not re-executions
@@ -764,12 +780,12 @@ def run_crawl(
             )
             typed.write_parquet(rule_dir)
             n_items += _parquet_rows(rule_dir)
-        t0 = _tick(f"it{it} items write", t0)
+        t0 = _tick(f"it{it} items write", t0, stage="items_write", rows_out=n_items)
 
         ex_mat.map_batches(
             _keep("kind", "text"), batch_size=65536, batch_format="pyarrow"
         ).select_columns(["url", "task", "rule", "payload"]).write_parquet(os.path.join(ckdir, "text"))
-        t0 = _tick(f"it{it} text write", t0)
+        t0 = _tick(f"it{it} text write", t0, stage="text_write")
 
         # children AND retry rows (FetchExtract emits both as kind=frontier)
         children = ex_mat.map_batches(
@@ -810,7 +826,7 @@ def run_crawl(
         if n_unmark and not all_reload:  # nothing was marked under reload
             seen.remove(np.concatenate(unmark_parts))
 
-        t0 = _tick(f"it{it} failures n={n_failed}", t0)
+        t0 = _tick(f"it{it} failures n={n_failed}", t0, stage="failures", rows_out=n_failed)
         # both branches are already coalesced to ~64k-row blocks, so the
         # union writes a handful of files per generation with no
         # repartition barrier (the r1 repartition(8) was an all-to-all of
@@ -828,7 +844,7 @@ def run_crawl(
             nxt = dm.union(cm)
         nxt.write_parquet(next_path)
         n_next = _parquet_rows(next_path)
-        t0 = _tick(f"it{it} frontier write n={n_next}", t0)
+        t0 = _tick(f"it{it} frontier write n={n_next}", t0, stage="frontier_write", rows_out=n_next)
 
         # seen-shard checkpoint: delta (O(keys touched this generation)) with
         # a full compaction every SEEN_COMPACT_EVERY iterations — the r1
@@ -844,7 +860,7 @@ def run_crawl(
             for s, d in enumerate(seen.dump_delta()):
                 np.savez(os.path.join(seendir, f"delta_{s}.npz"),
                          added=d["added"], removed=d["removed"])
-        t0 = _tick(f"it{it} seen dump ({seen_kind})", t0)
+        t0 = _tick(f"it{it} seen dump ({seen_kind})", t0, stage="seen_dump")
 
         if sitemaps_from_corpus:
             with open(os.path.join(ckdir, "sitemaps.json"), "w") as fh:
@@ -873,6 +889,9 @@ def run_crawl(
             "seen_mode": seen_mode,
             "exact_seen": exact_seen,
             "input_sig": f"{corpus.root}:{corpus.n_docs}",
+            # per-stage metrics rows (D5): [{stage, sec, rows_out?,
+            # bytes_out?, shuffle_bytes?}, ...] in execution order
+            "stages": stage_rows,
             "complete": True,
         }
         # atomic rename: a crash mid-dump must not leave truncated JSON that

@@ -50,6 +50,33 @@ def _final_seen_keys(out_dir: str) -> set[int]:
     return keys
 
 
+def test_manifest_stage_metrics(crawl_pair):
+    """D5 metrics surface: every completed generation's manifest carries
+    structured per-stage rows (stage, sec, and the counts the stage knows)
+    in execution order — the scrape surface replacing the reference's zap
+    log (log/log.go:13-38)."""
+    engine, _ = crawl_pair
+    assert engine.stats, "no completed generations"
+    for st in engine.stats:
+        stages = st["stages"]
+        names = [r["stage"] for r in stages]
+        # core stages always present, in pipeline order
+        core = ["admission", "fetch_extract", "order_write", "items_write",
+                "text_write", "failures", "frontier_write", "seen_dump"]
+        assert [n for n in names if n in core] == core
+        for r in stages:
+            assert r["sec"] >= 0
+        by = {r["stage"]: r for r in stages}
+        assert by["order_write"]["rows_out"] == st["scheduled"]
+        assert by["frontier_write"]["rows_out"] == st["next_frontier"]
+        assert by["admission"]["shuffle_bytes"] > 0
+        assert by["fetch_extract"]["bytes_out"] > 0
+    # the manifest on disk matches what the result object reports
+    with open(os.path.join(engine.out_dir, "iter_0000", "manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["stages"] == engine.stats[0]["stages"]
+
+
 def test_crawl_order_matches_oracle(crawl_pair):
     engine, oracle = crawl_pair
     df = engine.order_dataset().to_pandas()
