@@ -13,8 +13,10 @@ from __future__ import annotations
 
 import tempfile
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 
 from crawler_ray.pipelines.crawl import CrawlResult, run_crawl
@@ -250,10 +252,70 @@ def anchor_texts(sf_dir: str, nparts: int = 16) -> rd.Dataset:
     )
 
 
+def multitask_crawl_order(sf_dir: str) -> rd.Dataset:
+    """Multi-task single-engine surface (engine/crawler.go:48-75): SYNTH_TASK
+    and LINKSCAN_TASK seed into ONE engine run — shared frontier, shared
+    URL-seen set, shared per-host politeness budget, per-task rule/depth
+    dispatch by the frontier's ``task`` column — and this query returns the
+    task-qualified schedule. Rows-only; engine ≡ two-task oracle is pinned
+    by ``tests/test_multitask.py``."""
+    import dataclasses
+    import tempfile as _tf
+
+    from crawler_ray.rules import LINKSCAN_TASK
+
+    key = sf_dir + "@multitask"
+    res = _CACHE.get(key)
+    if res is None:
+        corpus = synth_corpus(sf_dir)
+        seeds = pq.read_table(corpus.seeds)
+        n = seeds.num_rows
+        # interleave task assignment with a shared middle range: even rows
+        # → synth_crawl, odd + the middle quarter → linkscan (overlap
+        # exercises the shared seen set: one fetch per url across tasks)
+        idx = np.arange(n)
+        is_scan = (idx % 2 == 1) | ((idx >= n // 4) & (idx < n // 2))
+        seeds = seeds.append_column(
+            "task",
+            pa.array(np.where(is_scan, "linkscan", "synth_crawl")),
+        ).set_column(
+            seeds.schema.get_field_index("rule"),
+            "rule",
+            pa.array(
+                np.where(is_scan, "hub", seeds.column("rule").to_numpy(zero_copy_only=False))
+            ),
+        )
+        sdir = _tf.mkdtemp(prefix="mt_seeds_")
+        spath = f"{sdir}/seeds.parquet"
+        pq.write_table(seeds, spath)
+        res = run_crawl(
+            dataclasses.replace(corpus, seeds=spath),
+            task=[SYNTH_TASK, LINKSCAN_TASK],
+            out_dir=_tf.mkdtemp(prefix="mtcrawl_q_"),
+            max_iterations=40,
+        )
+        _CACHE[key] = res
+    ds = res.order_dataset()
+    assert ds is not None
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "iteration": t["iteration"],
+                "task": t["task"],
+                "url": t["url"],
+                "rule": t["rule"],
+                "outcome": t["outcome"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "crawl_items": crawl_items,
     "crawl_order": crawl_order,
     "crawl_text": crawl_text,
+    "multitask_crawl_order": multitask_crawl_order,
     "frontier_host_stats": frontier_host_stats,
     "link_graph": link_graph,
     "anchor_texts": anchor_texts,

@@ -40,6 +40,8 @@ link-analysis operator (its crawl stops at emitting links,
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -367,6 +369,55 @@ def pagerank(sf_dir: str, iters: int = 10, damping: float = 0.85) -> rd.Dataset:
     )
 
 
+def _cc_small_cut(
+    edges: rd.Dataset, src: str, dst: str, cut_rows: int | None = None
+) -> "tuple[rd.Dataset, rd.Dataset | None]":
+    """Adaptive driver cut shared by both components entry points (the
+    ``shuffle_cut`` pattern, ``common.py``): similarity edges are typically
+    a tiny fraction of the corpus, and below ``cut_rows`` (default 1M pairs
+    ≈ 16 MB of int64 ids — comfortably driver-sized; override with
+    ``CRAWLER_RAY_CC_CUT``, 0 disables) a vectorized min-label +
+    pointer-jump over local numpy arrays replaces the distributed
+    supersteps, whose per-round exchange floor (~1 s/round of pure
+    scheduling) dwarfs the compute at that size. Above the cut the caller's
+    distributed path runs on the already-materialized edges — identical
+    (node, component = min id) labels either way.
+
+    Returns ``(materialized_edges, small_result_or_None)``."""
+    if cut_rows is None:
+        cut_rows = int(os.environ.get("CRAWLER_RAY_CC_CUT", str(1_000_000)))
+    mat = edges.materialize()
+    if cut_rows <= 0 or mat.count() > cut_rows:
+        return mat, None
+    df = mat.select_columns([src, dst]).to_pandas()
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+    )
+    if len(df) == 0:
+        return mat, rd.from_arrow(empty)
+    a = df[src].to_numpy(dtype=np.int64)
+    b = df[dst].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab
+        m = np.minimum(lab[ai], lab[bi])
+        lab = lab.copy()
+        np.minimum.at(lab, ai, m)
+        np.minimum.at(lab, bi, m)
+        while True:  # pointer-jump to the round's fixpoint
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, old):
+            break
+    return mat, rd.from_arrow(
+        pa.table({"node": pa.array(nodes), "component": pa.array(nodes[lab])})
+    )
+
+
 def connected_components(
     edges: rd.Dataset, src: str = "u", dst: str = "v", max_iters: int = 50
 ) -> rd.Dataset:
@@ -380,7 +431,11 @@ def connected_components(
     trade for near-dup clusters (tiny diameters); a web-graph-scale CC
     would add pointer-jumping (large-star/small-star) to cut rounds to
     O(log n). Convergence is a streamed changed-row count (one partial per
-    block on the driver)."""
+    block on the driver). Edge sets under the adaptive driver cut
+    (``_cc_small_cut``) resolve locally instead."""
+    edges, small = _cc_small_cut(edges, src, dst)
+    if small is not None:
+        return small
     P = _nparts()
 
     # undirected, tagged by hash(u); node ids are int64
@@ -748,7 +803,11 @@ def connected_components_ls(
     driver-held graph. Convergence = the canonical edge multiset's hash sum
     repeating (block partials, O(blocks) driver traffic). At the fixed
     point every component is a star centered at its min node; the label
-    table falls out of the final edges."""
+    table falls out of the final edges. Edge sets under the adaptive driver
+    cut (``_cc_small_cut``) resolve locally instead."""
+    edges, small = _cc_small_cut(edges, src, dst)
+    if small is not None:
+        return small
     P = _nparts()
 
     def seed(t: pa.Table) -> pa.Table:

@@ -268,8 +268,35 @@ SYNTH_TASK = TaskSpec(
     },
 )
 
+# Second task over the same synthetic corpus — the multi-task engine
+# surface (main/main.go:232-272 builds []*Task; engine/crawler.go:48-75
+# seeds each into ONE shared queue): scan tag pages for list links, then
+# flag list pages by predicate. Different rule names and a shallower
+# depth than SYNTH_TASK, so per-task dispatch, per-task depth limits and
+# the shared seen set are all exercised when the two run together.
+LINKSCAN_TASK = TaskSpec(
+    name="linkscan",
+    max_depth=1,
+    rules={
+        "hub": RuleSpec(
+            task="linkscan",
+            name="hub",
+            kind="link_extract",
+            regex=r'<a href="([^"]+)" class="tag">([^<]+)</a>',
+            next_rule="leaf",
+        ),
+        "leaf": RuleSpec(
+            task="linkscan",
+            name="leaf",
+            kind="predicate_extract",
+            regex=r'class="item"',
+            item_fields=("url",),
+        ),
+    },
+)
+
 BUILTIN_TASKS: dict[str, TaskSpec] = {
-    t.name: t for t in (DOUBAN_BOOK, DOUBAN_GROUP, SYNTH_TASK)
+    t.name: t for t in (DOUBAN_BOOK, DOUBAN_GROUP, SYNTH_TASK, LINKSCAN_TASK)
 }
 
 

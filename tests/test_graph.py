@@ -40,10 +40,15 @@ def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def test_connected_components_matches_union_find(ray_session):
+@pytest.mark.parametrize("cc_cut", ["0", "1000000"])
+def test_connected_components_matches_union_find(ray_session, monkeypatch, cc_cut):
+    """cc_cut='0' forces the distributed superstep path; the default cut
+    takes the driver min-label+pointer-jump fast path — identical labels."""
     import ray.data as rd
 
     from crawler_ray.pipelines.graph import connected_components
+
+    monkeypatch.setenv("CRAWLER_RAY_CC_CUT", cc_cut)
 
     # two chains (worst case for label propagation), a triangle, a 2-clique
     edges = [
@@ -157,10 +162,12 @@ def test_link_graph_is_triangle_free(ray_session):
     assert got["n_triangles"][0].as_py() == 0
 
 
-def test_ls_components_match_minlabel_and_long_path(ray_session):
+def test_ls_components_match_minlabel_and_long_path(ray_session, monkeypatch):
     """Large-star/small-star CC equals min-label on real similarity edges,
     and converges on a 2000-node path graph whose diameter would require
-    2000 min-label supersteps (the O(log n) pointer-jumping claim)."""
+    2000 min-label supersteps (the O(log n) pointer-jumping claim).
+    CC_CUT=0 forces both DISTRIBUTED paths (the adaptive driver cut would
+    otherwise capture these driver-sized edge sets)."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -170,6 +177,8 @@ def test_ls_components_match_minlabel_and_long_path(ray_session):
         connected_components,
         connected_components_ls,
     )
+
+    monkeypatch.setenv("CRAWLER_RAY_CC_CUT", "0")
 
     pairs = minhash_lsh_dups("/root/testdata/sf0.001")
     a = connected_components(pairs, src="a_id", dst="b_id").to_pandas()

@@ -18,32 +18,10 @@ import pytest
 
 from crawler_ray.pipelines.crawl import run_crawl
 from crawler_ray.pipelines.oracle import run_oracle
+from crawler_ray.rules import LINKSCAN_TASK as LINKSCAN
 from crawler_ray.rules import SYNTH_TASK, RuleSpec, TaskSpec, task_to_rows
 
 pytestmark = pytest.mark.usefixtures("ray_session")
-
-#: second task over the same corpus: scan tag pages for list links, then
-#: flag list pages (predicate) — different rule names, shallower depth
-LINKSCAN = TaskSpec(
-    name="linkscan",
-    max_depth=1,  # per-task depth: leaf children (depth 2) must be dropped
-    rules={
-        "hub": RuleSpec(
-            task="linkscan",
-            name="hub",
-            kind="link_extract",
-            regex=r'<a href="([^"]+)" class="tag">([^<]+)</a>',
-            next_rule="leaf",
-        ),
-        "leaf": RuleSpec(
-            task="linkscan",
-            name="leaf",
-            kind="predicate_extract",
-            regex=r'class="item"',
-            item_fields=("url",),
-        ),
-    },
-)
 
 
 def _seeds_with_tasks(corpus, tmp_path, split=(0, 6, 2, 8)) -> str:
