@@ -214,6 +214,43 @@ def scaled_docs_dir(mult: int) -> str:
     return out
 
 
+def _pagerank_core(sf_dir: str):
+    """Bench-only op: the pinned-partition PageRank ITERATION core over a
+    deterministic hash-generated graph (``GRAFT_PR_EDGES`` edges, default
+    2M, power-law-skewed in-degree) — isolates the per-round exchange
+    design from the corpus link extraction, whose wall on this VM is
+    memory-bandwidth-capped (see CPU_LIMIT note above) and whose scaling
+    the text-extraction ops already measure. The sf corpus graphs are
+    ~10^5 edges, where per-round executor fixed cost floors any N-vs-4N
+    comparison of the iterative core."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import pagerank_edges
+
+    n_edges = int(os.environ.get("GRAFT_PR_EDGES", "2000000"))
+    n_nodes = max(1, n_edges // 8)
+
+    def gen(t: pa.Table) -> pa.Table:
+        i = t["id"].to_numpy().astype(np.uint64)
+        h1 = i * np.uint64(0x9E3779B97F4A7C15)
+        h2 = (i + np.uint64(0x51ED2701)) * np.uint64(0xC2B2AE3D27D4EB4F)
+        src = (h1 % np.uint64(n_nodes)).astype(np.int64)
+        # quadratic skew: popular targets get ~sqrt-concentrated mass
+        frac = (h2 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        dst = (frac * frac * n_nodes).astype(np.int64)
+        return pa.table(
+            {
+                "src_url": pa.array([f"u{x}" for x in src], pa.string()),
+                "dst_url": pa.array([f"u{x}" for x in dst], pa.string()),
+            }
+        )
+
+    edges = rd.range(n_edges).map_batches(gen, batch_size=65536, batch_format="pyarrow")
+    return pagerank_edges(edges, iters=6)
+
+
 def _consume(res) -> int:
     """Force full execution of a query result and return its row count."""
     import pandas as pd
@@ -242,7 +279,10 @@ def main() -> None:
         _init_ray(NUM_CPUS)
         import __ray_entry__ as entrymod
 
-        fn = entrymod.queries()[name]
+        if name == "pagerank_core":
+            fn = _pagerank_core
+        else:
+            fn = entrymod.queries()[name]
 
         # Warm the worker pool before timing: Ray starts worker processes
         # (and they import numpy/pandas/pyarrow + this package) lazily on
@@ -285,7 +325,7 @@ def main() -> None:
         # — they scale via CRAWLER_RAY_GRAPH_MULT over the real sf dir
         # (link_graph multiplies the corpus itself) instead of the
         # multiplied docs dir
-        graph_ops = {"pagerank", "hits"}
+        graph_ops = {"pagerank", "hits", "pagerank_core"}
         graph_mult = int(os.environ.get("GRAFT_GRAPH_MULT", "8"))
         n, n4 = SCALING_CPUS
         per_op: dict[str, dict[int, float]] = {o: {} for o in ops}

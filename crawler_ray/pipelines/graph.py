@@ -3,35 +3,27 @@ connected components.
 
 The iterative-algorithm shape on Ray Data, without per-iteration joins:
 all per-node and per-edge state is tagged ONCE with a coarse partition id
-(``part = hash(key) % P``).  For PageRank the static edge partitions are
-then PINNED in the object store (``_PartCache``) and each power iteration
-is two node-sized exchanges:
-
-    state_part → groupby("part") → map_groups(scatter over pinned edges)
-    contrib ∪ nodes → groupby("part") → map_groups(gather)
-
-A scatter task sees every edge of its srcs (same hash partition) plus the
-src rank rows, so out-degree, contribution and the partial aggregate are
-all vectorized inside the group; gather co-locates contributions with
-their destination node rows the same way.  Measured trade-off at sf0.1
-(interleaved A/B, 32 cpus): re-shuffling edges through the exchange every
-iteration is ~1 s FASTER locally (7.6 vs 8.8 s — the tiny edge table costs
-less than the pin-load barrier + per-group plasma reads), but it ships the
-edge table iters× through the network where pinning ships it once and
-edges:nodes is ~10:1 on web graphs — at the 10^10-URL north-star scale the
-pinned layout is the only one that survives, so it is the default.  This
-replaces the round-1 join/groupby/join/repartition loop, whose
-per-iteration fixed cost (4 shuffle barriers + the Acero empty-partition
-schema workaround) dominated wall time ~10:1 over useful compute.  A
-fused gather+scatter single-shuffle-per-iteration variant was also
-measured SLOWER (9.3 vs 7.3 s) — the extra execution per iteration costs
-more than the saved barrier.
+(``part = hash(key) % P``).  Connected components run the supersteps as
+``groupby("part") → map_groups`` exchanges over that stable modulus.
+PageRank goes one step further: after the setup shuffles build per-
+partition edge + node tables, the power iterations run as a BSP (Pregel-
+style) layer of one stateful actor per partition (``_PRBsp``) — routing is
+factorized once in ``__init__`` and each round exchanges only P×P small
+dense float64 vectors actor-to-actor through the object store.  The
+previous design ran each round as two Dataset groupby executions; its
+per-round executor + sort fixed cost (~1.2 s regardless of CPU count)
+dominated iteration wall 10:1 on ≤10^6-edge graphs and floored N-vs-4N
+scaling at ~0.4.  The BSP core removes the per-round Dataset execution
+entirely; rounds are O(nodes/P) numpy work per actor plus value-vector
+exchanges, which is the shape that survives a 256-node cluster (static
+edge state never moves after setup; per-round network is node-sized).
 
 Driver-side values stay scalar: the dangling mass / changed-row count are
-read from one-row-per-block partials (O(blocks) driver traffic, never the
+read from one-row-per-partition partials (O(P) driver traffic, never the
 node table). ``P`` is the scale knob — it bounds shuffle fan-out at sandbox
 scale and becomes #cores×k on a cluster; group payloads stay
-O(edges / P).
+O(edges / P).  ``_nparts_for`` caps P so small graphs don't pay 2×CPU
+per-round task scheduling for sub-32k-row partitions.
 
 The reference has no graph surface — this is a "beyond the reference"
 link-analysis operator (its crawl stops at emitting links,
@@ -68,6 +60,97 @@ class _PartCache:
     def get_all(self) -> dict[int, "ray.ObjectRef"]:
         return dict(self._refs)
 
+
+@ray.remote
+class _PRBsp:
+    """One PageRank partition as a BSP (Pregel-style) actor: holds this
+    hash(url) partition's node slice (rank + dangling mask) and its pinned
+    edge slice with all routing FACTORIZED once in ``__init__`` —
+    src→local-row positions, dst edges grouped by target partition, each
+    target's url dictionary + bincount index. A round is then
+
+        scatter: c = rank[src_pos] / outdeg; per target q one
+                 ``np.bincount`` → dense value vector (ray.put)
+        gather:  rank = base + damping · Σ_q vals_q[pos_q]
+
+    with pure float64 vectors exchanged after a first-round handshake
+    ships each (sender → receiver) pair's static url dictionary. Peer
+    value arrays are accumulated in sender-part order, so the float sums
+    — and the returned ranks — are deterministic. Zero num_cpus: P can
+    exceed the core count (the 8-partition floor on a 2-cpu session) and
+    the actors are turn-based, never concurrently hot."""
+
+    def __init__(self, P, edge_ref, node_ref, damping, n) -> None:
+        # refs passed as top-level actor args arrive auto-dereferenced
+        # (plasma zero-copy); edge_ref is None for a part with no out-edges
+        nt: pa.Table = node_ref
+        self.urls = nt["url"].to_numpy(zero_copy_only=False)
+        self.m = nt["m"].to_numpy()
+        self.rank = np.full(len(self.urls), 1.0 / n, dtype=np.float64)
+        self.damping = damping
+        self.n = n
+        self._idx = pd.Index(self.urls)
+        self._pos_cache: dict[int, np.ndarray] = {}  # sender part → positions
+        self.targets: list[tuple[int, np.ndarray, np.ndarray, pa.Array]] = []
+        if edge_ref is not None:
+            e: pa.Table = edge_ref
+            src = e["src_url"].to_numpy(zero_copy_only=False)
+            self.src_pos = self._idx.get_indexer(src)  # hash(src)=p ⇒ all hit
+            self.inv_outdeg = 1.0 / e["outdeg"].to_numpy()
+            dst = e["dst_url"].to_numpy(zero_copy_only=False)
+            dpart = (pd.util.hash_array(dst) % np.uint64(P)).astype(np.int32)
+            for q in np.unique(dpart):
+                sel = np.flatnonzero(dpart == q)
+                uniq, inv = np.unique(dst[sel], return_inverse=True)
+                self.targets.append(
+                    (int(q), sel, inv.astype(np.int64), pa.array(uniq, pa.string()))
+                )
+        else:
+            self.src_pos = np.empty(0, dtype=np.int64)
+            self.inv_outdeg = np.empty(0, dtype=np.float64)
+        self._sent_handshake = False
+
+    def scatter(self):
+        d_p = float(np.sum(self.rank * self.m))
+        c = self.rank[self.src_pos] * self.inv_outdeg
+        out: dict[int, "ray.ObjectRef"] = {}
+        for q, sel, inv, uniq in self.targets:
+            vals = np.bincount(inv, weights=c[sel], minlength=len(uniq))
+            if self._sent_handshake:
+                out[q] = ray.put(vals)
+            else:
+                out[q] = ray.put(pa.table({"url": uniq, "c": pa.array(vals)}))
+        self._sent_handshake = True
+        return out, d_p
+
+    def gather(self, d_total: float, contribs: list) -> None:
+        base = (1.0 - self.damping) / self.n + self.damping * d_total / self.n
+        new = np.full(len(self.urls), base, dtype=np.float64)
+        for p, ref in sorted(contribs, key=lambda x: x[0]):
+            got = ray.get(ref)
+            if isinstance(got, pa.Table):  # first-round handshake
+                pos = self._idx.get_indexer(
+                    got["url"].to_numpy(zero_copy_only=False)
+                )
+                self._pos_cache[p] = pos
+                vals = got["c"].to_numpy()
+            else:
+                pos = self._pos_cache[p]
+                vals = got
+            new[pos] += self.damping * vals
+        self.rank = new
+
+    def ranks_ref(self) -> "ray.ObjectRef":
+        return ray.put(
+            pa.table(
+                {
+                    "url": pa.array(self.urls, pa.string()),
+                    "rank": pa.array(self.rank),
+                }
+            )
+        )
+
+
 # coarse shuffle fan-out: groups are the unit of parallelism for the local
 # merges, so ≥ the sandbox's useful core count; each group holds
 # O(edges / P) rows. A cluster run raises it with the corpus.
@@ -82,6 +165,17 @@ def _nparts() -> int:
     from crawler_ray.pipelines.common import effective_cpus
 
     return max(8, 2 * effective_cpus())
+
+
+def _nparts_for(rows: int) -> int:
+    """Data-aware partition count for iterative exchanges: ``_nparts()``
+    capped so each partition carries ≥~32k rows. A small graph split into
+    2×CPUs partitions pays per-round task scheduling (~the whole round's
+    wall at 10^5 edges) for compute that fits a handful of cores; at real
+    scale rows/32k ≫ 2×CPUs and this is exactly ``_nparts()``. Floor 8
+    keeps worst-case skew bounded. Call once per pipeline — every exchange
+    in one run must share the modulus (co-location)."""
+    return max(8, min(_nparts(), int(rows) // 32768 + 1))
 
 
 _P = 8  # fallback default for direct _part32/_ipart callers
@@ -135,18 +229,22 @@ def pagerank_edges(
 
     Iteration shape: the edge table is partitioned by hash(src) ONCE and
     each partition pinned in the object store (a zero-CPU cache actor owns
-    the ``ray.put`` refs, so worker churn can't drop them).  Per power
-    iteration only the node-sized rank state rides the two exchanges —
-    scatter tasks read their static edge partition zero-copy from plasma
-    (fetched once per node on a cluster, then served from the local
-    store).  Re-shuffling the edges every iteration — the previous design
-    — moved the edge table 10× for no information gain; edges:nodes is
-    ~10:1 on web graphs, so this cuts per-iteration exchange bytes ~10×.
+    the ``ray.put`` refs, so worker churn can't drop them); the node table
+    (url + dangling mask) is built and pinned the same way.  The power
+    iterations then run as a BSP layer of ``_PRBsp`` partition actors:
+    routing (src→local-row positions, dst grouped by target partition with
+    per-target url dictionaries) is factorized once per actor, and each
+    round is scatter (per-target ``np.bincount``) + gather (positional
+    adds) exchanging only small dense float64 vectors — no Dataset
+    execution, no edge movement, deterministic summation order.  See the
+    module docstring for the measured rationale.
     """
     import ray
 
     edges = edges.materialize()
-    P = _nparts()  # one consistent modulus for every exchange in this run
+    # one consistent modulus for every exchange in this run, sized to the
+    # edge count (small graphs don't amortize 2×CPU partitions per round)
+    P = _nparts_for(edges.count())
 
     # ---- setup (one pass over edges, one shuffle) -----------------------
     # tag edges by hash(src); inside each partition group, attach per-src
@@ -186,7 +284,11 @@ def pagerank_edges(
     refs = ray.get(cache.get_all.remote())  # {part: ObjectRef(arrow table)}
 
     # node table with dangling mask m (1.0 for nodes with no outlinks),
-    # built by one shuffle: src/dst occurrences keyed by the node url
+    # built by one shuffle: src/dst occurrences keyed by the node url;
+    # each partition's node table is pinned like the edges (the BSP
+    # actors below read them zero-copy)
+    ncache = _PartCache.options(num_cpus=0).remote()
+
     def node_occurrences(t: pa.Table) -> pa.Table:
         urls = pa.concat_arrays(
             [t["src_url"].combine_chunks(), t["dst_url"].combine_chunks()]
@@ -199,153 +301,76 @@ def pagerank_edges(
         )
         return pa.table({"url": urls, "is_src": is_src, "part": _part32(urls, P)})
 
-    def distinct_nodes(g: pd.DataFrame) -> pd.DataFrame:
+    def load_nodes(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("url", sort=False)["is_src"].max()
-        return pd.DataFrame(
+        p = int(g["part"].iat[0])
+        tbl = pa.table(
             {
-                "url": agg.index,
-                "m": (1.0 - agg.to_numpy().astype("float64")),
-                "part": np.full(len(agg), g["part"].iat[0], dtype=np.int32),
+                "url": pa.array(agg.index.to_numpy(dtype=object), pa.string()),
+                "m": pa.array(1.0 - agg.to_numpy().astype("float64")),
             }
         )
+        ray.get(ncache.put.remote(p, tbl))
+        return pd.DataFrame({"part": [p], "n_nodes": [len(agg)]})
 
-    nodes_m = (
+    node_meta = (
         edges.map_batches(node_occurrences, batch_size=65536, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(distinct_nodes, batch_format="pandas")
-        .materialize()
+        .map_groups(load_nodes, batch_format="pandas")
+        .to_pandas()  # P rows — forces the load pass
     )
-    n = nodes_m.count()
+    n = int(node_meta["n_nodes"].sum())
     if n == 0:
         return rd.from_arrow(
             pa.table({"url": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
         )
+    nrefs = ray.get(ncache.get_all.remote())
 
-    # phase-B side of the per-iteration union: node rows with a null
-    # contribution column (schema-aligned with the contribution rows)
-    nodes_b = nodes_m.map_batches(
-        lambda t: pa.table(
-            {
-                "url": t["url"],
-                "c": pa.nulls(t.num_rows, pa.float64()),
-                "m": t["m"],
-                "part": t["part"],
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    ranks = nodes_m.map_batches(
-        lambda t: pa.table(
-            {
-                "url": t["url"],
-                "rank": pa.array(np.full(t.num_rows, 1.0 / n)),
-                "m": t["m"],
-                "part": t["part"],
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    # ---- power iterations (two node-sized shuffles, ONE execution each) -
-    # the driver never reads a per-iteration scalar: each scatter group
-    # replicates its partial dangling mass to every gather partition as
-    # marker rows (url null), so gather reconstructs the global dangling
-    # sum and applies `base` locally.  (A fused gather+scatter single-
-    # shuffle variant was measured SLOWER here — 9.3 s vs 7.3 s at sf0.1 —
-    # the extra execution per iteration costs more than the saved barrier.)
-    def scatter(g: pd.DataFrame) -> pd.DataFrame:
-        """rank rows of one hash(url) partition: fetch the partition's
-        pinned edge table, map src→rank, contribute rank/outdeg,
-        pre-aggregate by dst; append one dangling-partial summary row per
-        gather partition."""
-        p = int(g["part"].iat[0])
-        d_p = float(np.nansum(g["rank"].to_numpy() * g["m"].to_numpy()))
-        ref = refs.get(p)
-        if ref is None:
-            urls = np.empty(0, dtype=object)
-            cs = np.empty(0, dtype=np.float64)
-            parts = np.empty(0, dtype=np.int32)
-        else:
-            e = ray.get(ref)  # zero-copy arrow read from the local store
-            src = e["src_url"].to_numpy(zero_copy_only=False)
-            src_rank = (
-                pd.Series(src)
-                .map(pd.Series(g["rank"].to_numpy(), index=g["url"].to_numpy()))
-                .to_numpy()
-            )
-            c = src_rank / e["outdeg"].to_numpy()
-            out = (
-                pd.DataFrame(
-                    {"url": e["dst_url"].to_numpy(zero_copy_only=False), "c": c}
-                )
-                .groupby("url", sort=False)["c"]
-                .sum()
-            )
-            urls = out.index.to_numpy(dtype=object)
-            cs = out.to_numpy()
-            parts = (pd.util.hash_array(urls) % np.uint64(P)).astype("int32")
-        return pd.DataFrame(
-            {
-                "url": np.concatenate([urls, np.full(P, None, dtype=object)]),
-                "c": np.concatenate([cs, np.full(P, d_p)]),
-                "part": np.concatenate([parts, np.arange(P, dtype=np.int32)]),
-            }
+    # ---- power iterations: BSP over one actor per partition -------------
+    # Each partition becomes a STATEFUL actor holding its pinned edge/node
+    # slices with routing factorized ONCE (src→local-row positions, dst
+    # grouped by target partition with a per-target dictionary); a round is
+    # then scatter (per-target np.bincount) + gather (positional adds) with
+    # P×P small dense float arrays exchanged actor-to-actor through the
+    # object store — no Dataset execution per round.  The previous design
+    # ran the same exchanges as two groupby executions per round; its
+    # per-round executor+sort fixed cost (~1.2 s regardless of CPUs)
+    # dominated iteration wall 10:1 at ≤10^6-edge graphs and put a hard
+    # floor under N-vs-4N scaling.  Contributions ride as pure value
+    # vectors after a first-round handshake ships each (sender, receiver)
+    # pair's static url dictionary; summation order is fixed (sender-part
+    # order), so ranks are deterministic.
+    actors = {
+        p: _PRBsp.options(num_cpus=0).remote(
+            P, refs.get(p), nref, damping, n
         )
-
-    def gather(g: pd.DataFrame) -> pd.DataFrame:
-        """node rows + contribution rows + dangling summaries, one
-        hash(url) partition; applies base locally."""
-        is_sum = g["url"].isna()
-        dangling = float(g.loc[is_sum, "c"].sum())
-        b = (1.0 - damping) / n + damping * dangling / n
-        rest = g[~is_sum]
-        is_node = rest["c"].isna()
-        nodes = rest[is_node]
-        contrib = rest[~is_node]
-        s = contrib.groupby("url", sort=False)["c"].sum()
-        got = nodes["url"].map(s).fillna(0.0).to_numpy()
-        return pd.DataFrame(
-            {
-                "url": nodes["url"].to_numpy(),
-                "rank": b + damping * got,
-                "m": nodes["m"].to_numpy(),
-                "part": nodes["part"].to_numpy(),
-            }
-        )
-
+        for p, nref in nrefs.items()
+    }
+    plist = sorted(actors)
     for _ in range(iters):
-        contrib = (
-            ranks.groupby("part")
-            .map_groups(scatter, batch_format="pandas")
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "url": t["url"],
-                        "c": t["c"],
-                        "m": pa.nulls(t.num_rows, pa.float64()),
-                        "part": pc.cast(t["part"], pa.int32()),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+        outs = ray.get([actors[p].scatter.remote() for p in plist])
+        d_total = float(sum(d for _, d in outs))
+        ray.get(
+            [
+                actors[q].gather.remote(
+                    d_total,
+                    [(p, outs[i][0][q]) for i, p in enumerate(plist) if q in outs[i][0]],
+                )
+                for q in plist
+            ]
         )
-        # materialize per iteration: one execution each (the dangling
-        # summaries remove the driver-scalar pass), and a flat lineage —
-        # a fully-lazy multi-iteration plan compiles chained shuffles and
-        # is measurably slower than flat executions on 2.49
-        ranks = _snapshot(
-            contrib.union(nodes_b)
-            .groupby("part")
-            .map_groups(gather, batch_format="pandas")
-            # batch_size coalesces: groupby emits ~one block per INPUT
-            # block, and union feeds it contrib+nodes blocks — without a
-            # re-bundle the per-iteration block count grows every round
-            # and task-scheduling overhead compounds; _snapshot cuts the
-            # per-round plan growth (see its docstring)
-            .map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
-        )
-    return ranks.select_columns(["url", "rank"])
+    # detach results from the actors' lifetime: refs → new executor-owned
+    # blocks, then the actors (and their pinned state) are released
+    final_refs = ray.get([actors[p].ranks_ref.remote() for p in plist])
+    out = (
+        rd.from_arrow_refs(final_refs)
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    del actors
+    return out
+
+
 
 
 
@@ -436,7 +461,7 @@ def connected_components(
     edges, small = _cc_small_cut(edges, src, dst)
     if small is not None:
         return small
-    P = _nparts()
+    P = _nparts_for(edges.count())
 
     # undirected, tagged by hash(u); node ids are int64
     def tag_und(t: pa.Table) -> pa.Table:
@@ -808,7 +833,7 @@ def connected_components_ls(
     edges, small = _cc_small_cut(edges, src, dst)
     if small is not None:
         return small
-    P = _nparts()
+    P = _nparts_for(edges.count())
 
     def seed(t: pa.Table) -> pa.Table:
         u = t[src].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
