@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q18_large_volume_customers",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
     "rollup_revenue",
     "approx_price_quantiles",
     # graph/text shuffle-heavy stragglers (VERDICT r2 #5)

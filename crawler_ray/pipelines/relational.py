@@ -1926,6 +1926,196 @@ def brand_price_quantiles(sf_dir: str, nparts: int = 8) -> rd.Dataset:
     )
 
 
+def q4_order_priority(
+    sf_dir: str, start: str = "1996-01-01", end: str = "1996-07-01", nparts: int = 8
+) -> pa.Table:
+    """TPC-H Q4 shape (EXISTS semi-join between two fact tables): count
+    orders in a date window by priority where at least one lineitem
+    shipped after the order date (this corpus has no commit/receipt
+    dates, so the late-line predicate is ``l_shipdate > o_orderdate``).
+
+    Scale shape: EXISTS(l_shipdate > o_orderdate) ⟺ per-order
+    MAX(l_shipdate) > o_orderdate, so lineitem reduces per batch to
+    (orderkey, max_ship) partials — the only lineitem-derived rows that
+    ever move.  Orders (date-gated) and the partials ride ONE coarse
+    orderkey-hash exchange; inside each partition a vectorized pandas
+    merge applies the predicate and collapses to ≤5 (priority, count)
+    rows.  Neither fact table is driver-collected or broadcast."""
+
+    t0 = int(np.datetime64(start, "us").astype(np.int64))
+    t1 = int(np.datetime64(end, "us").astype(np.int64))
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"ok": t["l_orderkey"], "d": t["l_shipdate"].cast(pa.int64())})
+            .group_by("ok")
+            .aggregate([("d", "max")])
+            .rename_columns(["ok", "d"])
+        )
+        k = g["ok"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "ok": g["ok"],
+                "d": g["d"],
+                "prio": pa.nulls(g.num_rows, pa.string()),
+                "part": pa.array(
+                    ((k * np.uint64(2654435761)) % np.uint64(nparts)).astype(np.int32)
+                ),
+            }
+        )
+
+    def order_gate(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, t0), pc.less(us, t1)))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "ok": t["o_orderkey"],
+                "d": t["o_orderdate"].cast(pa.int64()),
+                "prio": t["o_orderpriority"],
+                "part": pa.array(
+                    ((k * np.uint64(2654435761)) % np.uint64(nparts)).astype(np.int32)
+                ),
+            }
+        )
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        line_partial, batch_size=65536, batch_format="pyarrow"
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_gate, batch_size=65536, batch_format="pyarrow")
+
+    def exists_count(g: pd.DataFrame) -> pd.DataFrame:
+        is_order = g["prio"].notna()
+        o = g[is_order]
+        li = g[~is_order]
+        ms = li.groupby("ok")["d"].max()  # exact per-order max within the part
+        got = o["ok"].map(ms)
+        hit = o[got.notna() & (got > o["d"])]
+        out = hit.groupby("prio", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": out["prio"].astype(str),
+                "order_count": out["size"].astype("int64"),
+            }
+        )
+
+    partials = (
+        line.union(orders)
+        .groupby("part")
+        .map_groups(exists_count, batch_format="pandas")
+        .to_pandas()  # ≤ nparts × 5 rows
+    )
+    agg = partials.groupby("o_orderpriority", as_index=False)["order_count"].sum()
+    agg = agg.sort_values("o_orderpriority", ignore_index=True)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(agg.o_orderpriority, pa.string()),
+            "order_count": pa.array(agg.order_count.to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q14_promo_revenue(
+    sf_dir: str, start: str = "1996-09-01", end: str = "1996-10-01"
+) -> pa.Table:
+    """TPC-H Q14 shape (join + conditional aggregate ratio): promo vs
+    total revenue for lineitems shipped in one month.  The part side
+    reduces to a (p_partkey → is_promo) lookup attached via the
+    size-adaptive ``_lookup_inner_join`` (broadcast here; hash join when
+    part outgrows the broadcast bound); revenue rides as integer cents in
+    per-batch partials, so the driver sees O(blocks) two-column rows."""
+    t0 = int(np.datetime64(start, "us").astype(np.int64))
+    t1 = int(np.datetime64(end, "us").astype(np.int64))
+
+    def date_gate(t: pa.Table) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, t0), pc.less(us, t1)))
+        return t.select(["l_partkey", "l_extendedprice", "l_discount"])
+
+    line = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(date_gate, batch_size=65536, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = _lookup_inner_join(line, part, "l_partkey", "p_partkey", ["p_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ext * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        promo = pc.equal(t["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_c": pa.array([int(cents[promo].sum())], pa.int64()),
+                "total_c": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    s = joined.map_batches(partial, batch_format="pyarrow").to_pandas()  # O(blocks)
+    return pa.table(
+        {
+            "promo_revenue_c": pa.array([int(s.promo_c.sum())], pa.int64()),
+            "total_revenue_c": pa.array([int(s.total_c.sum())], pa.int64()),
+        }
+    )
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) disjunct bands — Q19's
+# OR-of-conjunctions over part and lineitem attributes
+_Q19_BANDS = (
+    ("Brand#1", 1, 10, 1.0, 15.0),
+    ("Brand#7", 5, 25, 10.0, 30.0),
+    ("Brand#15", 20, 40, 20.0, 50.0),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape (disjunctive multi-band predicate join): revenue of
+    lineitems matching any of three (brand, size-range, quantity-range)
+    bands.  Scale shape: the part side is pre-gated to the union of the
+    brand/size windows BEFORE the join — only qualifying parts (a few
+    percent of the table) ship through the size-adaptive lookup join —
+    and the per-band quantity conjunctions run vectorized per batch.
+    Revenue reduces to integer-cent per-batch partials."""
+
+    def part_gate(t: pa.Table) -> pa.Table:
+        sz = t["p_size"]
+        keep = None
+        for brand, lo, hi, _, _ in _Q19_BANDS:
+            m = pc.and_(
+                pc.equal(t["p_brand"], brand),
+                pc.and_(pc.greater_equal(sz, lo), pc.less_equal(sz, hi)),
+            )
+            keep = m if keep is None else pc.or_(keep, m)
+        return t.filter(keep).select(["p_partkey", "p_brand", "p_size"])
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+        part_gate, batch_size=65536, batch_format="pyarrow"
+    )
+    line = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    joined = _lookup_inner_join(
+        line, part, "l_partkey", "p_partkey", ["p_brand", "p_size"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        sz = t["p_size"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for b, slo, shi, qlo, qhi in _Q19_BANDS:
+            keep |= (brand == b) & (sz >= slo) & (sz <= shi) & (qty >= qlo) & (qty <= qhi)
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(ext * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents.sum())], pa.int64())})
+
+    s = joined.map_batches(partial, batch_format="pyarrow").to_pandas()  # O(blocks)
+    return pa.table({"revenue_c": pa.array([int(s.c.sum())], pa.int64())})
+
+
 QUERIES = {
     "user_funnel": user_funnel,
     "events_pivot_daily": events_pivot_daily,
@@ -1962,11 +2152,40 @@ QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q10_returned_items": q10_returned_items,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "q4_order_priority": q4_order_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "click_days_without_purchase": click_days_without_purchase,
     "user_interarrival_stats": user_interarrival_stats,
 }
 
 ORACLE_SQL = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q14_promo_revenue": """
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 10 AND l_quantity BETWEEN 1  AND 15)
+           OR (p_brand = 'Brand#7'  AND p_size BETWEEN 5  AND 25 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 50)
+    """,
     "urgent_order_revenue": """
         SELECT l_returnflag,
                CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
