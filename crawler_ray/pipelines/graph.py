@@ -73,42 +73,90 @@ class _PRBsp:
                  ``np.bincount`` → dense value vector (ray.put)
         gather:  rank = base + damping · Σ_q vals_q[pos_q]
 
-    with pure float64 vectors exchanged after a first-round handshake
-    ships each (sender → receiver) pair's static url dictionary. Peer
+    with pure float64 vectors exchanged (never urls, never edges). The
+    node slice itself is built from the ``handshake``/``build_nodes``
+    pre-round: each actor ships its per-target dst url dictionaries once,
+    and a partition's node set is unique(local srcs ∪ received dicts) —
+    which removes the second edge-sized Dataset exchange the old
+    node-table build paid (measured: setup was 2 exchanges ≈ 15 s of the
+    17 s 2-cpu wall at 2M edges, while all 6 BSP rounds cost ~1 s). Peer
     value arrays are accumulated in sender-part order, so the float sums
     — and the returned ranks — are deterministic. Zero num_cpus: P can
     exceed the core count (the 8-partition floor on a 2-cpu session) and
     the actors are turn-based, never concurrently hot."""
 
-    def __init__(self, P, edge_ref, node_ref, damping, n) -> None:
-        # refs passed as top-level actor args arrive auto-dereferenced
-        # (plasma zero-copy); edge_ref is None for a part with no out-edges
-        nt: pa.Table = node_ref
-        self.urls = nt["url"].to_numpy(zero_copy_only=False)
-        self.m = nt["m"].to_numpy()
-        self.rank = np.full(len(self.urls), 1.0 / n, dtype=np.float64)
+    def __init__(self, P, damping) -> None:
+        self.P = P
         self.damping = damping
-        self.n = n
-        self._idx = pd.Index(self.urls)
-        self._pos_cache: dict[int, np.ndarray] = {}  # sender part → positions
-        self.targets: list[tuple[int, np.ndarray, np.ndarray, pa.Array]] = []
-        if edge_ref is not None:
-            e: pa.Table = edge_ref
+        self.n = 0
+        self._pieces: list[pa.Table] = []
+        self.targets: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+
+    def accept(self, piece: pa.Table) -> None:
+        """Push-shuffle receiver: one hash(src)=p slice of one edge batch.
+        Arrives through the object store (auto-dereferenced); kept as-is
+        until ``factorize`` — arrival order doesn't matter because
+        factorize re-sorts."""
+        self._pieces.append(piece)
+
+    def factorize(self) -> None:
+        """Assemble the partition's edge slice from pushed pieces and
+        factorize all routing. A deterministic (src, dst) sort makes every
+        downstream float accumulation independent of piece arrival order;
+        out-degree is a run-length count over the sorted srcs (ALL of a
+        src's out-edges land here, so local counts are global)."""
+        if self._pieces:
+            e = pa.concat_tables(self._pieces).combine_chunks()
+            self._pieces = []
             src = e["src_url"].to_numpy(zero_copy_only=False)
-            self.src_pos = self._idx.get_indexer(src)  # hash(src)=p ⇒ all hit
-            self.inv_outdeg = 1.0 / e["outdeg"].to_numpy()
             dst = e["dst_url"].to_numpy(zero_copy_only=False)
-            dpart = (pd.util.hash_array(dst) % np.uint64(P)).astype(np.int32)
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            self._src = src
+            uniq_src, counts = np.unique(src, return_counts=True)
+            self.inv_outdeg = np.repeat(1.0 / counts, counts)
+            self._src_uniq = uniq_src
+            dpart = (pd.util.hash_array(dst) % np.uint64(self.P)).astype(np.int32)
             for q in np.unique(dpart):
                 sel = np.flatnonzero(dpart == q)
                 uniq, inv = np.unique(dst[sel], return_inverse=True)
-                self.targets.append(
-                    (int(q), sel, inv.astype(np.int64), pa.array(uniq, pa.string()))
-                )
+                self.targets.append((int(q), sel, inv.astype(np.int64), uniq))
         else:
-            self.src_pos = np.empty(0, dtype=np.int64)
+            self._src = np.empty(0, dtype=object)
+            self._src_uniq = np.empty(0, dtype=object)
             self.inv_outdeg = np.empty(0, dtype=np.float64)
-        self._sent_handshake = False
+
+    def handshake(self) -> dict:
+        """{target part: ref(dst url dictionary)} — shipped once; every
+        later round sends only a value vector aligned to this dictionary."""
+        return {
+            q: ray.put(pa.array(uniq, pa.string())) for q, _, _, uniq in self.targets
+        }
+
+    def build_nodes(self, incoming: list) -> int:
+        """Assemble this partition's node slice from local srcs plus the
+        dst dictionaries received from every sender (self included); the
+        dangling mask is 'never a src anywhere' — and since hash(src)
+        routes ALL of a url's out-edges here, local absence is global
+        absence. Returns the node count for the driver's global n."""
+        src_uniq = self._src_uniq
+        dicts = [
+            (p, ray.get(ref).to_numpy(zero_copy_only=False))
+            for p, ref in sorted(incoming, key=lambda x: x[0])
+        ]
+        self.urls = np.unique(np.concatenate([src_uniq] + [a for _, a in dicts]))
+        self._idx = pd.Index(self.urls)
+        self.src_pos = self._idx.get_indexer(self._src)  # hash(src)=p ⇒ all hit
+        self._pos_cache = {p: self._idx.get_indexer(a) for p, a in dicts}
+        m = np.ones(len(self.urls), dtype=np.float64)
+        if len(src_uniq):
+            m[self._idx.get_indexer(src_uniq)] = 0.0
+        self.m = m
+        return len(self.urls)
+
+    def init_ranks(self, n: int) -> None:
+        self.n = n
+        self.rank = np.full(len(self.urls), 1.0 / n, dtype=np.float64)
 
     def scatter(self):
         d_p = float(np.sum(self.rank * self.m))
@@ -116,28 +164,14 @@ class _PRBsp:
         out: dict[int, "ray.ObjectRef"] = {}
         for q, sel, inv, uniq in self.targets:
             vals = np.bincount(inv, weights=c[sel], minlength=len(uniq))
-            if self._sent_handshake:
-                out[q] = ray.put(vals)
-            else:
-                out[q] = ray.put(pa.table({"url": uniq, "c": pa.array(vals)}))
-        self._sent_handshake = True
+            out[q] = ray.put(vals)
         return out, d_p
 
     def gather(self, d_total: float, contribs: list) -> None:
         base = (1.0 - self.damping) / self.n + self.damping * d_total / self.n
         new = np.full(len(self.urls), base, dtype=np.float64)
         for p, ref in sorted(contribs, key=lambda x: x[0]):
-            got = ray.get(ref)
-            if isinstance(got, pa.Table):  # first-round handshake
-                pos = self._idx.get_indexer(
-                    got["url"].to_numpy(zero_copy_only=False)
-                )
-                self._pos_cache[p] = pos
-                vals = got["c"].to_numpy()
-            else:
-                pos = self._pos_cache[p]
-                vals = got
-            new[pos] += self.damping * vals
+            new[self._pos_cache[p]] += self.damping * ray.get(ref)
         self.rank = new
 
     def ranks_ref(self) -> "ray.ObjectRef":
@@ -227,126 +261,68 @@ def pagerank_edges(
     (url, rank) with ranks summing to 1. Fixed iteration count keeps the
     computation deterministic (no convergence predicate on floats).
 
-    Iteration shape: the edge table is partitioned by hash(src) ONCE and
-    each partition pinned in the object store (a zero-CPU cache actor owns
-    the ``ray.put`` refs, so worker churn can't drop them); the node table
-    (url + dangling mask) is built and pinned the same way.  The power
-    iterations then run as a BSP layer of ``_PRBsp`` partition actors:
-    routing (src→local-row positions, dst grouped by target partition with
-    per-target url dictionaries) is factorized once per actor, and each
-    round is scatter (per-target ``np.bincount``) + gather (positional
-    adds) exchanging only small dense float64 vectors — no Dataset
-    execution, no edge movement, deterministic summation order.  See the
-    module docstring for the measured rationale.
+    Iteration shape: a BSP layer of ``_PRBsp`` partition actors. Setup is
+    ONE streaming pass over the edge dataset — each batch splits by
+    hash(src) and pushes its slices straight to the owning actors (a push
+    shuffle: no sort, no all-to-all barrier, and actor process spawn
+    overlaps the pass).  ``factorize`` then sorts each slice
+    deterministically and factorizes routing (src→local-row positions,
+    dst grouped by target partition with per-target url dictionaries); the
+    node slices are built from the handshake dictionaries, so NOTHING
+    edge-sized ever rides a Dataset exchange.  Each power round is scatter
+    (per-target ``np.bincount``) + gather (positional adds) exchanging
+    only small dense float64 vectors.  Earlier designs, in order: two
+    groupby executions per round (~1.2 s fixed cost per round regardless
+    of CPUs — 10:1 over useful compute on ≤10^6-edge graphs), then a
+    sort-shuffle pin pass + a second node-table exchange (together ~15 s
+    of a 17 s 2-cpu wall at 2M edges).  The per-actor slice must fit the
+    actor heap — the same bound any pinned-partition layout carries; P
+    scales with the cluster.
     """
     import ray
 
     edges = edges.materialize()
-    # one consistent modulus for every exchange in this run, sized to the
-    # edge count (small graphs don't amortize 2×CPU partitions per round)
-    P = _nparts_for(edges.count())
+    # one consistent modulus for the whole run. 1× the core budget (not
+    # the 2× the groupby exchanges use): hash partitions are balanced and
+    # rounds are turn-based barriers, so extra actors add process-spawn
+    # cost without straggler slack; the row cap keeps small graphs from
+    # paying per-round scheduling for sub-32k partitions.
+    from crawler_ray.pipelines.common import effective_cpus
 
-    # ---- setup (one pass over edges, one shuffle) -----------------------
-    # tag edges by hash(src); inside each partition group, attach per-src
-    # out-degree (all out-edges of a src co-locate, so no join) and pin the
-    # partition's edge table in plasma via the cache actor
-    def tag_edges(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src_url": t["src_url"],
-                "dst_url": t["dst_url"],
-                "part": _part32(t["src_url"], P),
-            }
-        )
+    P = max(8, min(max(8, effective_cpus()), edges.count() // 32768 + 1))
 
-    cache = _PartCache.options(num_cpus=0).remote()
+    actors = {
+        p: _PRBsp.options(num_cpus=0).remote(P, damping) for p in range(P)
+    }
+    plist = sorted(actors)
 
-    def load_part(g: pd.DataFrame) -> pd.DataFrame:
-        p = int(g["part"].iat[0])
-        od = g.groupby("src_url")["dst_url"].transform("size").astype("float64")
-        tbl = pa.table(
-            {
-                "src_url": pa.array(g["src_url"].to_numpy(), pa.string()),
-                "dst_url": pa.array(g["dst_url"].to_numpy(), pa.string()),
-                "outdeg": pa.array(od.to_numpy()),
-            }
-        )
-        ray.get(cache.put.remote(p, tbl))
-        return pd.DataFrame({"part": [p], "n_edges": [len(g)]})
+    # ---- setup: ONE streaming pass, push shuffle into the actors --------
+    def push(t: pa.Table, _actors=actors) -> pa.Table:
+        part = _part32(t["src_url"], P).to_numpy()
+        pending = []
+        for q in np.unique(part):
+            piece = t.filter(pa.array(part == q)).select(["src_url", "dst_url"])
+            pending.append(_actors[int(q)].accept.remote(piece))
+        ray.get(pending)  # backpressure: the map can't outrun the actors
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
-    edge_meta = (
-        edges.map_batches(tag_edges, batch_size=65536, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(load_part, batch_format="pandas")
-        .to_pandas()  # P rows — forces the load pass
+    edges.map_batches(push, batch_size=65536, batch_format="pyarrow").materialize()
+    ray.get([actors[p].factorize.remote() for p in plist])
+    hs = ray.get([actors[p].handshake.remote() for p in plist])
+    counts = ray.get(
+        [
+            actors[q].build_nodes.remote(
+                [(p, hs[i][q]) for i, p in enumerate(plist) if q in hs[i]]
+            )
+            for q in plist
+        ]
     )
-    del edge_meta
-    refs = ray.get(cache.get_all.remote())  # {part: ObjectRef(arrow table)}
-
-    # node table with dangling mask m (1.0 for nodes with no outlinks),
-    # built by one shuffle: src/dst occurrences keyed by the node url;
-    # each partition's node table is pinned like the edges (the BSP
-    # actors below read them zero-copy)
-    ncache = _PartCache.options(num_cpus=0).remote()
-
-    def node_occurrences(t: pa.Table) -> pa.Table:
-        urls = pa.concat_arrays(
-            [t["src_url"].combine_chunks(), t["dst_url"].combine_chunks()]
-        )
-        is_src = pa.concat_arrays(
-            [
-                pa.array(np.ones(len(t["src_url"]), dtype=np.int8)),
-                pa.array(np.zeros(len(t["dst_url"]), dtype=np.int8)),
-            ]
-        )
-        return pa.table({"url": urls, "is_src": is_src, "part": _part32(urls, P)})
-
-    def load_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("url", sort=False)["is_src"].max()
-        p = int(g["part"].iat[0])
-        tbl = pa.table(
-            {
-                "url": pa.array(agg.index.to_numpy(dtype=object), pa.string()),
-                "m": pa.array(1.0 - agg.to_numpy().astype("float64")),
-            }
-        )
-        ray.get(ncache.put.remote(p, tbl))
-        return pd.DataFrame({"part": [p], "n_nodes": [len(agg)]})
-
-    node_meta = (
-        edges.map_batches(node_occurrences, batch_size=65536, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(load_nodes, batch_format="pandas")
-        .to_pandas()  # P rows — forces the load pass
-    )
-    n = int(node_meta["n_nodes"].sum())
+    n = int(sum(counts))
     if n == 0:
         return rd.from_arrow(
             pa.table({"url": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
         )
-    nrefs = ray.get(ncache.get_all.remote())
-
-    # ---- power iterations: BSP over one actor per partition -------------
-    # Each partition becomes a STATEFUL actor holding its pinned edge/node
-    # slices with routing factorized ONCE (src→local-row positions, dst
-    # grouped by target partition with a per-target dictionary); a round is
-    # then scatter (per-target np.bincount) + gather (positional adds) with
-    # P×P small dense float arrays exchanged actor-to-actor through the
-    # object store — no Dataset execution per round.  The previous design
-    # ran the same exchanges as two groupby executions per round; its
-    # per-round executor+sort fixed cost (~1.2 s regardless of CPUs)
-    # dominated iteration wall 10:1 at ≤10^6-edge graphs and put a hard
-    # floor under N-vs-4N scaling.  Contributions ride as pure value
-    # vectors after a first-round handshake ships each (sender, receiver)
-    # pair's static url dictionary; summation order is fixed (sender-part
-    # order), so ranks are deterministic.
-    actors = {
-        p: _PRBsp.options(num_cpus=0).remote(
-            P, refs.get(p), nref, damping, n
-        )
-        for p, nref in nrefs.items()
-    }
-    plist = sorted(actors)
+    ray.get([actors[p].init_ranks.remote(n) for p in plist])
     for _ in range(iters):
         outs = ray.get([actors[p].scatter.remote() for p in plist])
         d_total = float(sum(d for _, d in outs))
