@@ -5,18 +5,18 @@ The iterative-algorithm shape on Ray Data, without per-iteration joins:
 all per-node and per-edge state is tagged ONCE with a coarse partition id
 (``part = hash(key) % P``).  Connected components run the supersteps as
 ``groupby("part") → map_groups`` exchanges over that stable modulus.
-PageRank goes one step further: after the setup shuffles build per-
-partition edge + node tables, the power iterations run as a BSP (Pregel-
-style) layer of one stateful actor per partition (``_PRBsp``) — routing is
-factorized once in ``__init__`` and each round exchanges only P×P small
-dense float64 vectors actor-to-actor through the object store.  The
-previous design ran each round as two Dataset groupby executions; its
-per-round executor + sort fixed cost (~1.2 s regardless of CPU count)
-dominated iteration wall 10:1 on ≤10^6-edge graphs and floored N-vs-4N
-scaling at ~0.4.  The BSP core removes the per-round Dataset execution
-entirely; rounds are O(nodes/P) numpy work per actor plus value-vector
-exchanges, which is the shape that survives a 256-node cluster (static
-edge state never moves after setup; per-round network is node-sized).
+PageRank and HITS go one step further: setup is a push shuffle straight
+into a BSP (Pregel-style) layer of one stateful actor per partition
+(``_GraphBsp``) — routing is factorized once and each round exchanges
+only P×P small dense float64 vectors actor-to-actor through the object
+store.  The previous design ran each round as two Dataset groupby
+executions; its per-round executor + sort fixed cost (~1.2 s regardless
+of CPU count) dominated iteration wall 10:1 on ≤10^6-edge graphs and
+floored N-vs-4N scaling at ~0.4.  The BSP core removes the per-round
+Dataset execution entirely; rounds are O(nodes/P) numpy work per actor
+plus value-vector exchanges, which is the shape that survives a 256-node
+cluster (static edge state never moves after setup; per-round network is
+node-sized).
 
 Driver-side values stay scalar: the dangling mass / changed-row count are
 read from one-row-per-partition partials (O(P) driver traffic, never the
@@ -62,32 +62,37 @@ class _PartCache:
 
 
 @ray.remote
-class _PRBsp:
-    """One PageRank partition as a BSP (Pregel-style) actor: holds this
-    hash(url) partition's node slice (rank + dangling mask) and its pinned
-    edge slice with all routing FACTORIZED once in ``__init__`` —
+class _GraphBsp:
+    """One link-graph partition as a BSP (Pregel-style) actor — the shared
+    iterate layer under PageRank and HITS: holds this hash(url) partition's
+    node slice plus its edge slice with all routing FACTORIZED once —
     src→local-row positions, dst edges grouped by target partition, each
-    target's url dictionary + bincount index. A round is then
+    target's url dictionary + bincount index. A PageRank round is
 
         scatter: c = rank[src_pos] / outdeg; per target q one
                  ``np.bincount`` → dense value vector (ray.put)
         gather:  rank = base + damping · Σ_q vals_q[pos_q]
 
-    with pure float64 vectors exchanged (never urls, never edges). The
-    node slice itself is built from the ``handshake``/``build_nodes``
-    pre-round: each actor ships its per-target dst url dictionaries once,
-    and a partition's node set is unique(local srcs ∪ received dicts) —
-    which removes the second edge-sized Dataset exchange the old
-    node-table build paid (measured: setup was 2 exchanges ≈ 15 s of the
-    17 s 2-cpu wall at 2M edges, while all 6 BSP rounds cost ~1 s). Peer
-    value arrays are accumulated in sender-part order, so the float sums
-    — and the returned ranks — are deterministic. Zero num_cpus: P can
-    exceed the core count (the 8-partition floor on a 2-cpu session) and
-    the actors are turn-based, never concurrently hot."""
+    and a HITS iteration is the auth half-step (same scatter shape over
+    hub mass) plus the hub half-step, which runs BACKWARD along the same
+    handshake dictionaries: the dst-side owner returns its authority
+    values aligned to each sender's dictionary, and the sender bincounts
+    them onto its src rows — so one src-partitioned layout serves both
+    directions with no second (dst-keyed) edge copy. All exchanges are
+    pure float64 vectors (never urls, never edges). The node slice itself
+    is built from the ``handshake``/``build_nodes`` pre-round: each actor
+    ships its per-target dst url dictionaries once, and a partition's
+    node set is unique(local srcs ∪ received dicts) — which removes the
+    second edge-sized Dataset exchange the old node-table build paid
+    (measured: setup was 2 exchanges ≈ 15 s of the 17 s 2-cpu wall at 2M
+    edges, while all 6 BSP rounds cost ~1 s). Peer value arrays are
+    accumulated in sender-part order, so the float sums — and the
+    returned scores — are deterministic. Zero num_cpus: P can exceed the
+    core count (the 8-partition floor on a 2-cpu session) and the actors
+    are turn-based, never concurrently hot."""
 
-    def __init__(self, P, damping) -> None:
+    def __init__(self, P) -> None:
         self.P = P
-        self.damping = damping
         self.n = 0
         self._pieces: list[pa.Table] = []
         self.targets: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
@@ -154,8 +159,9 @@ class _PRBsp:
         self.m = m
         return len(self.urls)
 
-    def init_ranks(self, n: int) -> None:
+    def init_ranks(self, n: int, damping: float) -> None:
         self.n = n
+        self.damping = damping
         self.rank = np.full(len(self.urls), 1.0 / n, dtype=np.float64)
 
     def scatter(self):
@@ -180,6 +186,60 @@ class _PRBsp:
                 {
                     "url": pa.array(self.urls, pa.string()),
                     "rank": pa.array(self.rank),
+                }
+            )
+        )
+
+    # ---- HITS (hubs & authorities) --------------------------------------
+
+    def init_hits(self) -> None:
+        self.h = np.ones(len(self.urls), dtype=np.float64)
+        self.a = np.ones(len(self.urls), dtype=np.float64)
+
+    def auth_scatter(self, inv_nh: float):
+        """a-half: send Σ h[src] per unique dst (multiplicity preserved —
+        each edge row contributes once), hub normalization applied lazily."""
+        hs = self.h[self.src_pos] * inv_nh
+        return {
+            q: ray.put(np.bincount(inv, weights=hs[sel], minlength=len(uniq)))
+            for q, sel, inv, uniq in self.targets
+        }
+
+    def auth_gather(self, contribs: list) -> float:
+        new = np.zeros(len(self.urls), dtype=np.float64)
+        for p, ref in sorted(contribs, key=lambda x: x[0]):
+            new[self._pos_cache[p]] += ray.get(ref)
+        self.a = new
+        return float(np.square(new).sum())  # partial ‖a‖² for the driver
+
+    def hub_backscatter(self, inv_na: float):
+        """h-half, phase 1: the dst-side owner returns its (lazily
+        normalized) authority values aligned to each sender's handshake
+        dictionary — the reverse edge direction without a dst-keyed copy."""
+        return {
+            p: ray.put(self.a[pos] * inv_na) for p, pos in self._pos_cache.items()
+        }
+
+    def hub_gather(self, backs: list) -> float:
+        """h-half, phase 2: per-edge authority = dict values[inv]; bincount
+        onto this partition's src rows, accumulated in target order."""
+        new = np.zeros(len(self.urls), dtype=np.float64)
+        by_q = dict(
+            (q, ray.get(ref)) for q, ref in sorted(backs, key=lambda x: x[0])
+        )
+        for q, sel, inv, uniq in self.targets:
+            vals = by_q[q][inv]
+            new += np.bincount(self.src_pos[sel], weights=vals, minlength=len(new))
+        self.h = new
+        return float(np.square(new).sum())
+
+    def hits_ref(self, inv_nh: float, inv_na: float) -> "ray.ObjectRef":
+        return ray.put(
+            pa.table(
+                {
+                    "url": pa.array(self.urls, pa.string()),
+                    "hub": pa.array(self.h * inv_nh),
+                    "auth": pa.array(self.a * inv_na),
                 }
             )
         )
@@ -254,49 +314,26 @@ def _block_sums(ds: rd.Dataset, expr) -> float:
     return float(sum(r["d"] for r in partial.take_all()))
 
 
-def pagerank_edges(
-    edges: rd.Dataset, iters: int = 10, damping: float = 0.85
-) -> rd.Dataset:
-    """PageRank over an (src_url, dst_url) edge dataset; returns
-    (url, rank) with ranks summing to 1. Fixed iteration count keeps the
-    computation deterministic (no convergence predicate on floats).
+def _bsp_setup(edges: rd.Dataset):
+    """Shared BSP-layer setup for the iterative link-graph scorers:
+    materialize the edges, spawn one ``_GraphBsp`` actor per hash(src)
+    partition, stream the edge batches into them (push shuffle — the only
+    edge-sized movement in the whole op), factorize routing, and build the
+    node slices from the handshake dictionaries. Returns
+    (actors, sorted part list, global node count).
 
-    Iteration shape: a BSP layer of ``_PRBsp`` partition actors. Setup is
-    ONE streaming pass over the edge dataset — each batch splits by
-    hash(src) and pushes its slices straight to the owning actors (a push
-    shuffle: no sort, no all-to-all barrier, and actor process spawn
-    overlaps the pass).  ``factorize`` then sorts each slice
-    deterministically and factorizes routing (src→local-row positions,
-    dst grouped by target partition with per-target url dictionaries); the
-    node slices are built from the handshake dictionaries, so NOTHING
-    edge-sized ever rides a Dataset exchange.  Each power round is scatter
-    (per-target ``np.bincount``) + gather (positional adds) exchanging
-    only small dense float64 vectors.  Earlier designs, in order: two
-    groupby executions per round (~1.2 s fixed cost per round regardless
-    of CPUs — 10:1 over useful compute on ≤10^6-edge graphs), then a
-    sort-shuffle pin pass + a second node-table exchange (together ~15 s
-    of a 17 s 2-cpu wall at 2M edges).  The per-actor slice must fit the
-    actor heap — the same bound any pinned-partition layout carries; P
-    scales with the cluster.
-    """
-    import ray
-
-    edges = edges.materialize()
-    # one consistent modulus for the whole run. 1× the core budget (not
-    # the 2× the groupby exchanges use): hash partitions are balanced and
-    # rounds are turn-based barriers, so extra actors add process-spawn
-    # cost without straggler slack; the row cap keeps small graphs from
-    # paying per-round scheduling for sub-32k partitions.
+    P is 1× the core budget (not the 2× the groupby exchanges use): hash
+    partitions are balanced and rounds are turn-based barriers, so extra
+    actors add process-spawn cost without straggler slack; the row cap
+    keeps small graphs from paying per-round scheduling for sub-32k
+    partitions."""
     from crawler_ray.pipelines.common import effective_cpus
 
+    edges = edges.materialize()
     P = max(8, min(max(8, effective_cpus()), edges.count() // 32768 + 1))
-
-    actors = {
-        p: _PRBsp.options(num_cpus=0).remote(P, damping) for p in range(P)
-    }
+    actors = {p: _GraphBsp.options(num_cpus=0).remote(P) for p in range(P)}
     plist = sorted(actors)
 
-    # ---- setup: ONE streaming pass, push shuffle into the actors --------
     def push(t: pa.Table, _actors=actors) -> pa.Table:
         part = _part32(t["src_url"], P).to_numpy()
         pending = []
@@ -317,12 +354,40 @@ def pagerank_edges(
             for q in plist
         ]
     )
-    n = int(sum(counts))
+    return actors, plist, int(sum(counts))
+
+
+def pagerank_edges(
+    edges: rd.Dataset, iters: int = 10, damping: float = 0.85
+) -> rd.Dataset:
+    """PageRank over an (src_url, dst_url) edge dataset; returns
+    (url, rank) with ranks summing to 1. Fixed iteration count keeps the
+    computation deterministic (no convergence predicate on floats).
+
+    Iteration shape: a BSP layer of ``_GraphBsp`` partition actors. Setup is
+    ONE streaming pass over the edge dataset — each batch splits by
+    hash(src) and pushes its slices straight to the owning actors (a push
+    shuffle: no sort, no all-to-all barrier, and actor process spawn
+    overlaps the pass).  ``factorize`` then sorts each slice
+    deterministically and factorizes routing (src→local-row positions,
+    dst grouped by target partition with per-target url dictionaries); the
+    node slices are built from the handshake dictionaries, so NOTHING
+    edge-sized ever rides a Dataset exchange.  Each power round is scatter
+    (per-target ``np.bincount``) + gather (positional adds) exchanging
+    only small dense float64 vectors.  Earlier designs, in order: two
+    groupby executions per round (~1.2 s fixed cost per round regardless
+    of CPUs — 10:1 over useful compute on ≤10^6-edge graphs), then a
+    sort-shuffle pin pass + a second node-table exchange (together ~15 s
+    of a 17 s 2-cpu wall at 2M edges).  The per-actor slice must fit the
+    actor heap — the same bound any pinned-partition layout carries; P
+    scales with the cluster.
+    """
+    actors, plist, n = _bsp_setup(edges)
     if n == 0:
         return rd.from_arrow(
             pa.table({"url": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
         )
-    ray.get([actors[p].init_ranks.remote(n) for p in plist])
+    ray.get([actors[p].init_ranks.remote(n, damping) for p in plist])
     for _ in range(iters):
         outs = ray.get([actors[p].scatter.remote() for p in plist])
         d_total = float(sum(d for _, d in outs))
@@ -580,194 +645,58 @@ def hits_edges(edges: rd.Dataset, iters: int = 20) -> rd.Dataset:
     edge list; per iteration ``a ∝ Aᵀh`` then ``h ∝ Aa``, each L2-normalized
     — the other classic link-analysis scorer next to PageRank.
 
-    Iteration shape: ONE pinned dual-direction edge layout (each edge
-    stored under both endpoints' hash partitions with a direction flag), so
-    both half-steps scatter from the same pinned partition their state rows
-    already live in; per half-step one node-sized exchange plus an O(blocks)
-    norm partial (driver scalar — the marker-row replication PageRank uses
-    would remove even that). Fixed iteration count keeps it deterministic."""
-    P = _nparts()
-
-    def tag_dual(t: pa.Table) -> pa.Table:
-        src = t["src_url"].combine_chunks()
-        dst = t["dst_url"].combine_chunks()
-        center = pa.concat_arrays([src, dst])
-        other = pa.concat_arrays([dst, src])
-        fwd = pa.array(
-            np.r_[np.ones(len(src), np.int8), np.zeros(len(dst), np.int8)]
-        )
-        return pa.table(
-            {"center": center, "other": other, "fwd": fwd, "part": _part32(center, P)}
-        )
-
-    cache = _PartCache.options(num_cpus=0).remote()
-
-    def load_part(g: pd.DataFrame) -> pd.DataFrame:
-        p = int(g["part"].iat[0])
-        tbl = pa.table(
-            {
-                "center": pa.array(g["center"].to_numpy(), pa.string()),
-                "other": pa.array(g["other"].to_numpy(), pa.string()),
-                "fwd": pa.array(g["fwd"].to_numpy(), pa.int8()),
-            }
-        )
-        ray.get(cache.put.remote(p, tbl))
-        uu = pd.unique(g["center"].to_numpy())
-        return pd.DataFrame(
-            {
-                "url": uu,
-                "h": np.ones(len(uu)),
-                "a": np.ones(len(uu)),
-                "part": np.full(len(uu), p, dtype=np.int32),
-            }
-        )
-
-    scores = _snapshot(
-        edges.map_batches(tag_dual, batch_size=65536, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(load_part, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
-    )
-    if scores.count() == 0:
+    Iteration shape: the shared ``_GraphBsp`` layer (see ``_bsp_setup`` /
+    the class docstring). The auth half-step scatters hub mass along the
+    forward routing exactly like PageRank; the hub half-step runs BACKWARD
+    along the same handshake dictionaries — each dst-side owner returns
+    its authority values aligned to the sender's dictionary and the sender
+    bincounts them onto its src rows — so ONE src-partitioned edge layout
+    serves both directions (the previous design pinned every edge twice
+    under both endpoints and ran two Dataset groupby exchanges per
+    half-step, ~1.2 s fixed cost each regardless of CPUs). L2 norms ride
+    as O(P) scalar partials and are applied lazily; fixed iteration count
+    keeps it deterministic."""
+    actors, plist, n = _bsp_setup(edges)
+    if n == 0:
         return rd.from_arrow(
             pa.table({"url": pa.array([], pa.string()),
                       "hub": pa.array([], pa.float64()),
                       "auth": pa.array([], pa.float64())}))
-    refs = ray.get(cache.get_all.remote())
-
-    def make_scatter(direction: int, col: str, inv_norm: float):
-        def scatter(g: pd.DataFrame) -> pd.DataFrame:
-            p = int(g["part"].iat[0])
-            ref = refs.get(p)
-            if ref is None:
-                return pd.DataFrame({"url": [], "c": [], "part": []}).astype(
-                    {"url": "object", "c": "float64", "part": "int32"}
-                )
-            e = ray.get(ref)
-            mask = e["fwd"].to_numpy(zero_copy_only=False) == direction
-            center = e["center"].to_numpy(zero_copy_only=False)[mask]
-            other = e["other"].to_numpy(zero_copy_only=False)[mask]
-            # normalization of the previous half-step applied lazily here —
-            # saves a whole divide pass + materialize per half-step
-            val = (
-                pd.Series(center)
-                .map(pd.Series(g[col].to_numpy() * inv_norm, index=g["url"].to_numpy()))
-                .to_numpy()
-            )
-            out = (
-                pd.DataFrame({"url": other, "c": val}).groupby("url", sort=False)["c"].sum()
-            )
-            uu = out.index.to_numpy(dtype=object)
-            return pd.DataFrame(
-                {
-                    "url": uu,
-                    "c": out.to_numpy(),
-                    "part": (pd.util.hash_array(uu) % np.uint64(P)).astype("int32"),
-                }
-            )
-
-        return scatter
-
-    def make_gather(target: str):
-        def gather(g: pd.DataFrame) -> pd.DataFrame:
-            is_node = g["c"].isna() if "c" in g else pd.Series(True, index=g.index)
-            nodes = g[is_node]
-            contrib = g[~is_node]
-            s = contrib.groupby("url", sort=False)["c"].sum()
-            got = nodes["url"].map(s).fillna(0.0).to_numpy()
-            out = {
-                "url": nodes["url"].to_numpy(),
-                "h": nodes["h"].to_numpy(),
-                "a": nodes["a"].to_numpy(),
-                "part": nodes["part"].to_numpy(),
-            }
-            out[target] = got
-            return pd.DataFrame(out)
-
-        return gather
-
-    def half_step(
-        scores: rd.Dataset, direction: int, src_col: str, target: str, inv_norm: float
-    ) -> tuple[rd.Dataset, float]:
-        """One HITS half-step: returns the UNNORMALIZED updated table plus
-        the L2 norm of the target column (applied lazily by the next
-        scatter / the final emit)."""
-        contrib = (
-            scores.groupby("part")
-            .map_groups(make_scatter(direction, src_col, inv_norm), batch_format="pandas")
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "url": t["url"],
-                        "h": pa.nulls(t.num_rows, pa.float64()),
-                        "a": pa.nulls(t.num_rows, pa.float64()),
-                        "c": t["c"],
-                        "part": pc.cast(t["part"], pa.int32()),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-        )
-        nodes_b = scores.map_batches(
-            lambda t: pa.table(
-                {
-                    "url": t["url"],
-                    "h": t["h"],
-                    "a": t["a"],
-                    "c": pa.nulls(t.num_rows, pa.float64()),
-                    "part": pc.cast(t["part"], pa.int32()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        import os as _os
-        import time as _time
-
-        _t0 = _time.time()
-        updated = (
-            contrib.union(nodes_b)
-            .groupby("part")
-            .map_groups(make_gather(target), batch_format="pandas")
-            # re-bundle: both union inputs derive from `scores`, so without
-            # this the block count DOUBLES per half-step (exponential task
-            # growth — measured 4× wall per iteration doubling)
-            .map_batches(lambda t: t, batch_size=65536, batch_format="pyarrow")
-        )
-        updated = _snapshot(updated)
-        _t1 = _time.time()
-        norm = np.sqrt(
-            _block_sums(updated, lambda t, _c=target: float(
-                np.square(t[_c].to_numpy(zero_copy_only=False)).sum()
-            ))
-        )
-        if _os.environ.get("CRAWLER_RAY_TIMING") == "1":
-            print(f"[hits]   mat {_t1 - _t0:.2f}s norm {_time.time() - _t1:.2f}s", flush=True)
-        return updated, norm
-
-    import os as _os
-    import time as _time
-
-    _dbg = _os.environ.get("CRAWLER_RAY_TIMING") == "1"
+    ray.get([actors[p].init_hits.remote() for p in plist])
     nh = na = 1.0
-    for _i in range(iters):
-        _t0 = _time.time()
-        scores, na = half_step(scores, 1, "h", "a", 1.0 / nh if nh > 0 else 0.0)
-        _t1 = _time.time()
-        scores, nh = half_step(scores, 0, "a", "h", 1.0 / na if na > 0 else 0.0)
-        if _dbg:
-            print(f"[hits] iter {_i}: a-step {_t1 - _t0:.2f}s h-step {_time.time() - _t1:.2f}s blocks={scores.num_blocks()}", flush=True)
-    ia = 1.0 / na if na > 0 else 0.0
+    for _ in range(iters):
+        inv_nh = 1.0 / nh if nh > 0 else 0.0
+        outs = ray.get([actors[p].auth_scatter.remote(inv_nh) for p in plist])
+        sq = ray.get(
+            [
+                actors[q].auth_gather.remote(
+                    [(p, outs[i][q]) for i, p in enumerate(plist) if q in outs[i]]
+                )
+                for q in plist
+            ]
+        )
+        na = float(np.sqrt(sum(sq)))
+        inv_na = 1.0 / na if na > 0 else 0.0
+        backs = ray.get([actors[q].hub_backscatter.remote(inv_na) for q in plist])
+        sqh = ray.get(
+            [
+                actors[p].hub_gather.remote(
+                    [(q, backs[j][p]) for j, q in enumerate(plist) if p in backs[j]]
+                )
+                for p in plist
+            ]
+        )
+        nh = float(np.sqrt(sum(sqh)))
     ih = 1.0 / nh if nh > 0 else 0.0
-    return scores.map_batches(
-        lambda t, _ia=ia, _ih=ih: pa.table(
-            {
-                "url": t["url"],
-                "hub": pc.multiply(t["h"], pa.scalar(_ih)),
-                "auth": pc.multiply(t["a"], pa.scalar(_ia)),
-            }
-        ),
-        batch_format="pyarrow",
+    ia = 1.0 / na if na > 0 else 0.0
+    final_refs = ray.get([actors[p].hits_ref.remote(ih, ia) for p in plist])
+    out = (
+        rd.from_arrow_refs(final_refs)
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
     )
+    del actors
+    return out
 
 
 def hits_scores(sf_dir: str, iters: int = 8) -> rd.Dataset:
