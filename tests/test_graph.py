@@ -236,3 +236,86 @@ def test_hits_matches_dense_power_iteration(ray_session):
     for i in range(n):
         assert abs(gh[f"u{i}"] - h[i]) < 1e-8
         assert abs(ga[f"u{i}"] - a[i]) < 1e-8
+
+
+def test_pagerank_self_loops_and_multi_edges(ray_session):
+    """BSP PageRank preserves multi-edge multiplicity and handles
+    self-loops — both flow through the same (outdeg, bincount) path the
+    dense oracle models row-by-row."""
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import pagerank_edges
+
+    edges = [
+        ("a", "a"),                       # self-loop
+        ("a", "b"), ("a", "b"),           # doubled edge: 2/3 of a's mass to b
+        ("b", "c"), ("c", "a"),
+        ("d", "a"), ("d", "a"), ("d", "d"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([s for s, _ in edges]),
+                "dst_url": pa.array([d for _, d in edges]),
+            }
+        )
+    )
+    got = {
+        r["url"]: r["rank"]
+        for r in pagerank_edges(ds, iters=8, damping=0.85).take_all()
+    }
+    want = _numpy_pagerank(edges, iters=8, damping=0.85)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-9), u
+
+
+def test_bsp_graph_ops_empty_edges(ray_session):
+    """Empty edge inputs return empty, correctly-typed results (the BSP
+    setup short-circuits before spawning iteration state)."""
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import hits_edges, pagerank_edges
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([], pa.string()),
+                "dst_url": pa.array([], pa.string()),
+            }
+        )
+    )
+    pr = pagerank_edges(empty, iters=3)
+    assert pr.count() == 0
+    assert set(pr.schema().names) == {"url", "rank"}
+    ht = hits_edges(empty, iters=3)
+    assert ht.count() == 0
+    assert set(ht.schema().names) == {"url", "hub", "auth"}
+
+
+def test_pagerank_sink_heavy_graph(ray_session):
+    """A graph where most mass drains into dangling sinks: the dangling
+    redistribution term dominates and must still match the dense oracle
+    (and ranks must still sum to 1)."""
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import pagerank_edges
+
+    # one source fanning into 12 sinks, plus a 2-cycle feeding the source
+    edges = [("s", f"sink{i}") for i in range(12)] + [("x", "s"), ("s", "x")]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([s for s, _ in edges]),
+                "dst_url": pa.array([d for _, d in edges]),
+            }
+        )
+    )
+    got = {
+        r["url"]: r["rank"]
+        for r in pagerank_edges(ds, iters=12, damping=0.85).take_all()
+    }
+    want = _numpy_pagerank(edges, iters=12, damping=0.85)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-9), u
