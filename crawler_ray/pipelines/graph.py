@@ -164,6 +164,31 @@ class _GraphBsp:
         self.damping = damping
         self.rank = np.full(len(self.urls), 1.0 / n, dtype=np.float64)
 
+    def accept_ranks(self, piece: pa.Table) -> None:
+        """Checkpoint-restore receiver: one hash(url)=p slice of a saved
+        (url, rank) table, pushed the same way edges are."""
+        self._rank_pieces = getattr(self, "_rank_pieces", [])
+        self._rank_pieces.append(piece)
+
+    def apply_ranks(self) -> int:
+        """Overwrite the freshly-initialized ranks with checkpointed
+        values; every checkpoint url must exist in this partition (same
+        edge set ⇒ same node set). Returns rows applied (driver sanity:
+        Σ == n)."""
+        applied = 0
+        for piece in getattr(self, "_rank_pieces", []):
+            urls = piece["url"].to_numpy(zero_copy_only=False)
+            pos = self._idx.get_indexer(urls)
+            if (pos < 0).any():
+                raise ValueError(
+                    "pagerank checkpoint does not match this edge set "
+                    f"({int((pos < 0).sum())} unknown urls)"
+                )
+            self.rank[pos] = piece["rank"].to_numpy()
+            applied += len(urls)
+        self._rank_pieces = []
+        return applied
+
     def scatter(self):
         d_p = float(np.sum(self.rank * self.m))
         c = self.rank[self.src_pos] * self.inv_outdeg
@@ -354,11 +379,15 @@ def _bsp_setup(edges: rd.Dataset):
             for q in plist
         ]
     )
-    return actors, plist, int(sum(counts))
+    return actors, plist, int(sum(counts)), P
 
 
 def pagerank_edges(
-    edges: rd.Dataset, iters: int = 10, damping: float = 0.85
+    edges: rd.Dataset,
+    iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> rd.Dataset:
     """PageRank over an (src_url, dst_url) edge dataset; returns
     (url, rank) with ranks summing to 1. Fixed iteration count keeps the
@@ -381,14 +410,76 @@ def pagerank_edges(
     of a 17 s 2-cpu wall at 2M edges).  The per-actor slice must fit the
     actor heap — the same bound any pinned-partition layout carries; P
     scales with the cluster.
+
+    Checkpoint/resume: with ``checkpoint_dir`` set, the node-sized
+    (url, rank) state is written as sharded Parquet after every
+    ``checkpoint_every`` iterations (and at completion), with a meta.json
+    committed last (write-tmp + atomic rename — the repo's marker
+    contract). A rerun rebuilds the graph from the SAME edge input, then
+    pushes the newest checkpoint's rank vectors back through the hash
+    routing — valid at any P, so a resumed job may use a different
+    cluster size — and runs only the remaining iterations. Rank vectors
+    round-trip Parquet exactly (float64), so a resumed run is
+    bit-identical to an uninterrupted one. At 10^10 urls an iteration is
+    expensive; restartability here is the same contract the crawl and the
+    shard exporter already honor.
     """
-    actors, plist, n = _bsp_setup(edges)
+    import json as _json
+    import shutil as _shutil
+
+    actors, plist, n, P = _bsp_setup(edges)
     if n == 0:
         return rd.from_arrow(
             pa.table({"url": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
         )
     ray.get([actors[p].init_ranks.remote(n, damping) for p in plist])
-    for _ in range(iters):
+
+    start_iter = 0
+    meta_path = os.path.join(checkpoint_dir, "meta.json") if checkpoint_dir else None
+    if checkpoint_dir and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        if meta["n"] != n or meta["damping"] != damping:
+            raise ValueError(
+                "pagerank checkpoint was written for a different graph/config "
+                f"(n={meta['n']} vs {n}, damping={meta['damping']} vs {damping})"
+            )
+        k = int(meta["iters_done"])
+        if k > iters:
+            raise ValueError(
+                f"checkpoint already at iteration {k} > requested iters={iters}"
+            )
+        saved = rd.read_parquet(os.path.join(checkpoint_dir, f"ranks_{k:04d}"))
+
+        def push_ranks(t: pa.Table, _actors=actors) -> pa.Table:
+            part = _part32(t["url"], P).to_numpy()
+            pending = []
+            for q in np.unique(part):
+                piece = t.filter(pa.array(part == q)).select(["url", "rank"])
+                pending.append(_actors[int(q)].accept_ranks.remote(piece))
+            ray.get(pending)
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+        saved.map_batches(push_ranks, batch_size=65536, batch_format="pyarrow").materialize()
+        applied = sum(ray.get([actors[p].apply_ranks.remote() for p in plist]))
+        if applied != n:
+            raise ValueError(f"checkpoint restored {applied} of {n} node ranks")
+        start_iter = k
+
+    def write_checkpoint(done: int) -> None:
+        refs = ray.get([actors[p].ranks_ref.remote() for p in plist])
+        d = os.path.join(checkpoint_dir, f"ranks_{done:04d}")
+        tmp = d + ".tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        rd.from_arrow_refs(refs).write_parquet(tmp)
+        _shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+        mtmp = meta_path + ".tmp"
+        with open(mtmp, "w") as f:
+            _json.dump({"iters_done": done, "n": n, "damping": damping}, f)
+        os.replace(mtmp, meta_path)  # meta commits last — torn writes resume older
+
+    for it in range(start_iter, iters):
         outs = ray.get([actors[p].scatter.remote() for p in plist])
         d_total = float(sum(d for _, d in outs))
         ray.get(
@@ -400,6 +491,11 @@ def pagerank_edges(
                 for q in plist
             ]
         )
+        done = it + 1
+        if checkpoint_dir and (
+            (checkpoint_every > 0 and done % checkpoint_every == 0) or done == iters
+        ):
+            write_checkpoint(done)
     # detach results from the actors' lifetime: refs → new executor-owned
     # blocks, then the actors (and their pinned state) are released
     final_refs = ray.get([actors[p].ranks_ref.remote() for p in plist])
@@ -656,7 +752,7 @@ def hits_edges(edges: rd.Dataset, iters: int = 20) -> rd.Dataset:
     half-step, ~1.2 s fixed cost each regardless of CPUs). L2 norms ride
     as O(P) scalar partials and are applied lazily; fixed iteration count
     keeps it deterministic."""
-    actors, plist, n = _bsp_setup(edges)
+    actors, plist, n, _P = _bsp_setup(edges)
     if n == 0:
         return rd.from_arrow(
             pa.table({"url": pa.array([], pa.string()),

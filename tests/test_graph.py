@@ -319,3 +319,54 @@ def test_pagerank_sink_heavy_graph(ray_session):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for u in want:
         assert got[u] == pytest.approx(want[u], rel=1e-9), u
+
+
+def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    """Kill/restart drive for the iterative BSP job: run 3 of 6
+    iterations with checkpointing (the simulated kill), then re-invoke
+    with iters=6 on the same checkpoint dir — the resumed run must start
+    from the saved vectors (meta says 3) and produce ranks BIT-identical
+    to an uninterrupted 6-iteration run (float64 Parquet round-trips
+    exactly; summation order is deterministic)."""
+    import json
+
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import pagerank_edges
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 40, 200)
+    dst = (src + 1 + rng.integers(0, 39, 200)) % 40
+
+    def ds():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src_url": pa.array([f"u{i}" for i in src]),
+                    "dst_url": pa.array([f"u{i}" for i in dst]),
+                }
+            )
+        )
+
+    full = {r["url"]: r["rank"] for r in pagerank_edges(ds(), iters=6).take_all()}
+
+    ck = str(tmp_path / "pr_ck")
+    import os
+
+    os.makedirs(ck)
+    pagerank_edges(ds(), iters=3, checkpoint_dir=ck, checkpoint_every=1)
+    meta = json.load(open(os.path.join(ck, "meta.json")))
+    assert meta["iters_done"] == 3
+
+    resumed = {
+        r["url"]: r["rank"]
+        for r in pagerank_edges(
+            ds(), iters=6, checkpoint_dir=ck, checkpoint_every=2
+        ).take_all()
+    }
+    assert resumed == full  # exact equality, not approx
+    assert json.load(open(os.path.join(ck, "meta.json")))["iters_done"] == 6
+
+    # config drift must fail loudly, not silently restart
+    with pytest.raises(ValueError):
+        pagerank_edges(ds(), iters=6, checkpoint_dir=ck, damping=0.5)
