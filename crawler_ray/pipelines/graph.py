@@ -162,7 +162,29 @@ class _GraphBsp:
     def init_ranks(self, n: int, damping: float) -> None:
         self.n = n
         self.damping = damping
+        self.s = None  # uniform teleport unless set_seeds/scale_seeds runs
         self.rank = np.full(len(self.urls), 1.0 / n, dtype=np.float64)
+
+    def set_seeds(self, piece: pa.Table) -> float:
+        """Personalized teleport, phase 1: store this partition's slice of
+        the seed set (pushed by hash(url) like everything else); seeds not
+        present in the graph are dropped. Returns the locally-matched
+        weight so the driver can normalize over matched seeds only."""
+        urls = piece["url"].to_numpy(zero_copy_only=False)
+        w = piece["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = self._idx.get_indexer(urls)
+        ok = pos >= 0
+        self._seed_pos, self._seed_w = pos[ok], w[ok]
+        return float(self._seed_w.sum())
+
+    def scale_seeds(self, total: float) -> None:
+        """Phase 2: normalize to a distribution and restart from it (the
+        standard personalized-PageRank r₀ = s)."""
+        s = np.zeros(len(self.urls), dtype=np.float64)
+        if len(getattr(self, "_seed_pos", ())):
+            s[self._seed_pos] = self._seed_w / total
+        self.s = s
+        self.rank = s.copy()
 
     def accept_ranks(self, piece: pa.Table) -> None:
         """Checkpoint-restore receiver: one hash(url)=p slice of a saved
@@ -199,8 +221,13 @@ class _GraphBsp:
         return out, d_p
 
     def gather(self, d_total: float, contribs: list) -> None:
-        base = (1.0 - self.damping) / self.n + self.damping * d_total / self.n
-        new = np.full(len(self.urls), base, dtype=np.float64)
+        if self.s is None:
+            base = (1.0 - self.damping) / self.n + self.damping * d_total / self.n
+            new = np.full(len(self.urls), base, dtype=np.float64)
+        else:
+            # personalized teleport: restart mass and dangling mass both
+            # land on the seed distribution instead of uniformly
+            new = (1.0 - self.damping + self.damping * d_total) * self.s
         for p, ref in sorted(contribs, key=lambda x: x[0]):
             new[self._pos_cache[p]] += self.damping * ray.get(ref)
         self.rank = new
@@ -388,10 +415,17 @@ def pagerank_edges(
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
+    seeds: "dict[str, float] | None" = None,
 ) -> rd.Dataset:
     """PageRank over an (src_url, dst_url) edge dataset; returns
     (url, rank) with ranks summing to 1. Fixed iteration count keeps the
     computation deterministic (no convergence predicate on floats).
+    ``seeds`` ({url: weight}) switches to PERSONALIZED PageRank: restart
+    and dangling mass teleport to the normalized seed distribution
+    instead of uniformly — the crawl-frontier prioritization variant
+    (score pages by proximity to the task's seed roots). Seed slices ship
+    hash-partitioned like everything else; seeds absent from the graph
+    are dropped and the rest renormalized.
 
     Iteration shape: a BSP layer of ``_GraphBsp`` partition actors. Setup is
     ONE streaming pass over the edge dataset — each batch splits by
@@ -434,15 +468,43 @@ def pagerank_edges(
         )
     ray.get([actors[p].init_ranks.remote(n, damping) for p in plist])
 
+    seeds_sig = None
+    if seeds:
+        import hashlib as _hashlib
+
+        items = sorted(seeds.items())
+        seeds_sig = _hashlib.md5(repr(items).encode()).hexdigest()
+        surls = np.array([u for u, _ in items], dtype=object)
+        sw = np.array([float(w) for _, w in items], dtype=np.float64)
+        spart = (pd.util.hash_array(surls) % np.uint64(P)).astype(np.int32)
+        matched = ray.get(
+            [
+                actors[q].set_seeds.remote(
+                    pa.table(
+                        {
+                            "url": pa.array(surls[spart == q], pa.string()),
+                            "weight": pa.array(sw[spart == q]),
+                        }
+                    )
+                )
+                for q in plist
+            ]
+        )
+        total = float(sum(matched))
+        if total <= 0:
+            raise ValueError("no personalization seed url exists in the graph")
+        ray.get([actors[p].scale_seeds.remote(total) for p in plist])
+
     start_iter = 0
     meta_path = os.path.join(checkpoint_dir, "meta.json") if checkpoint_dir else None
     if checkpoint_dir and os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = _json.load(f)
-        if meta["n"] != n or meta["damping"] != damping:
+        if meta["n"] != n or meta["damping"] != damping or meta.get("seeds_sig") != seeds_sig:
             raise ValueError(
                 "pagerank checkpoint was written for a different graph/config "
-                f"(n={meta['n']} vs {n}, damping={meta['damping']} vs {damping})"
+                f"(n={meta['n']} vs {n}, damping={meta['damping']} vs {damping}, "
+                f"seeds_sig={meta.get('seeds_sig')} vs {seeds_sig})"
             )
         k = int(meta["iters_done"])
         if k > iters:
@@ -476,7 +538,10 @@ def pagerank_edges(
         os.rename(tmp, d)
         mtmp = meta_path + ".tmp"
         with open(mtmp, "w") as f:
-            _json.dump({"iters_done": done, "n": n, "damping": damping}, f)
+            _json.dump(
+                {"iters_done": done, "n": n, "damping": damping, "seeds_sig": seeds_sig},
+                f,
+            )
         os.replace(mtmp, meta_path)  # meta commits last — torn writes resume older
 
     for it in range(start_iter, iters):
@@ -518,6 +583,39 @@ def pagerank(sf_dir: str, iters: int = 10, damping: float = 0.85) -> rd.Dataset:
     from crawler_ray.pipelines.crawl_queries import link_graph
 
     ranks = pagerank_edges(link_graph(sf_dir), iters=iters, damping=damping)
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "rank_micro": pc.cast(
+                    pc.round(pc.multiply(t["rank"], 1_000_000.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_seeded(sf_dir: str, iters: int = 10, damping: float = 0.85) -> rd.Dataset:
+    """Personalized PageRank seeded on the crawl task's seed roots — the
+    frontier-prioritization scorer (pages ranked by link proximity to the
+    seeds, the bias a focused crawler schedules by). Seeds come from the
+    corpus seed frontier (uniform weights); rows-only in the driver
+    (iterative float algorithm), pinned against a dense personalized
+    power-iteration oracle in ``tests/test_graph.py``."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.crawl_queries import link_graph
+    from crawler_ray.sources.pages import synth_corpus
+
+    corpus = synth_corpus(sf_dir)
+    seed_urls = pq.read_table(corpus.seeds, columns=["url"])["url"].to_pylist()
+    ranks = pagerank_edges(
+        link_graph(sf_dir),
+        iters=iters,
+        damping=damping,
+        seeds={u: 1.0 for u in seed_urls},
+    )
     return ranks.map_batches(
         lambda t: pa.table(
             {
@@ -1176,6 +1274,7 @@ def hits(sf_dir: str) -> rd.Dataset:
 
 QUERIES = {
     "pagerank": pagerank,
+    "pagerank_seeded": pagerank_seeded,
     "hits": hits,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_ls": dedup_clusters_ls,

@@ -370,3 +370,67 @@ def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
     # config drift must fail loudly, not silently restart
     with pytest.raises(ValueError):
         pagerank_edges(ds(), iters=6, checkpoint_dir=ck, damping=0.5)
+
+
+def _numpy_ppr(
+    edges: list[tuple[str, str]],
+    iters: int,
+    damping: float,
+    seeds: dict[str, float],
+) -> dict[str, float]:
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    s = np.zeros(n)
+    for u, w in seeds.items():
+        if u in idx:
+            s[idx[u]] = w
+    s /= s.sum()
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = s.copy()
+    for _ in range(iters):
+        dangling = r[outdeg == 0].sum()
+        nxt = (1.0 - damping + damping * dangling) * s
+        for u, v in edges:
+            nxt[idx[v]] += damping * r[idx[u]] / outdeg[idx[u]]
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+def test_personalized_pagerank_matches_dense_oracle(ray_session):
+    """Seeded teleport: restart + dangling mass both land on the seed
+    distribution; seeds absent from the graph are dropped and the rest
+    renormalized."""
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import pagerank_edges
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("a", "d"), ("d", "e"), ("e", "f"),   # f dangling
+        ("g", "a"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([s for s, _ in edges]),
+                "dst_url": pa.array([d for _, d in edges]),
+            }
+        )
+    )
+    seeds = {"a": 3.0, "e": 1.0, "zzz-not-in-graph": 5.0}
+    got = {
+        r["url"]: r["rank"]
+        for r in pagerank_edges(ds, iters=9, damping=0.85, seeds=seeds).take_all()
+    }
+    want = _numpy_ppr(edges, iters=9, damping=0.85, seeds=seeds)
+    assert set(got) == set(want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-9, abs=1e-12), u
+
+    # an entirely-absent seed set fails loudly
+    with pytest.raises(ValueError):
+        pagerank_edges(ds, iters=2, seeds={"nope": 1.0})
