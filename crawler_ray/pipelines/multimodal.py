@@ -3,12 +3,21 @@
 Media (image/audio/video) travels as a ``binary`` column with typed
 metadata columns, exactly like the pages ``html`` column — the Ray-side
 plumbing (schema, actor-pool decode stage, small batch sizes for large
-payloads, per-frame flat_map) is real and tested; the *codec* itself is
-stubbed because no image/audio libraries exist in this container:
+payloads, per-frame flat_map) is real and tested. Codec status:
 
-- ``MediaDecoder`` tries ``PIL`` at actor init (once per actor); absent, it
-  falls back to a deterministic fake decoder that parses our self-describing
-  fake header. A real deployment swaps the decode body only.
+- **Images are REAL**: the synthetic table stores genuine 24-bit
+  uncompressed BMP files and ``MediaDecoder`` parses them with a pure-
+  numpy decoder (header fields, bottom-up padded rows, top-down
+  negative-height variant) — no image library needed. P6 PPM is decoded
+  too for externally-supplied bytes.
+- **Audio is REAL**: genuine PCM WAV files (RIFF/fmt/data chunk walk,
+  8/16-bit mono) decoded the same way.
+- **Video stays stubbed**: no pure-numpy video codec is feasible; video
+  rows carry the self-describing ``MEDIA_MAGIC`` header the deterministic
+  fake decoder parses. A real deployment swaps only the decode body.
+- ``MediaDecoder`` tries ``PIL`` at actor init (once per actor); present,
+  non-synthetic image bytes route through ``Image.open`` (the pil branch
+  is exercised by module-injection in tests).
 - ``frame_sample`` shows the 1→N explode (video → sampled frames) as a
   batch transform.
 
@@ -28,11 +37,68 @@ import ray.data as rd
 MEDIA_MAGIC = b"FAKEMEDIA1"
 
 
+def encode_bmp24(pixels: "np.ndarray") -> bytes:
+    """Genuine 24-bit uncompressed BMP from an (h, w, 3) uint8 BGR array —
+    14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up rows padded
+    to 4 bytes. Pure construction; the numpy decoder (and any real image
+    library) reads it back."""
+    h, w, _ = pixels.shape
+    pad = (-(w * 3)) % 4
+    rows = b"".join(
+        pixels[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    off = 54
+    return b"".join(
+        [
+            b"BM",
+            (off + len(rows)).to_bytes(4, "little"),
+            b"\x00\x00\x00\x00",
+            off.to_bytes(4, "little"),
+            (40).to_bytes(4, "little"),
+            w.to_bytes(4, "little", signed=True),
+            h.to_bytes(4, "little", signed=True),
+            (1).to_bytes(2, "little"),
+            (24).to_bytes(2, "little"),
+            (0).to_bytes(4, "little"),  # BI_RGB (uncompressed)
+            len(rows).to_bytes(4, "little"),
+            (2835).to_bytes(4, "little"),
+            (2835).to_bytes(4, "little"),
+            (0).to_bytes(4, "little"),
+            (0).to_bytes(4, "little"),
+            rows,
+        ]
+    )
+
+
+def encode_wav_pcm8(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Genuine 8-bit mono PCM WAV (RIFF / fmt / data chunks) from a uint8
+    sample array."""
+    data = samples.tobytes()
+    fmt = b"".join(
+        [
+            b"fmt ",
+            (16).to_bytes(4, "little"),
+            (1).to_bytes(2, "little"),  # PCM
+            (1).to_bytes(2, "little"),  # mono
+            rate.to_bytes(4, "little"),
+            rate.to_bytes(4, "little"),  # byte rate (8-bit mono)
+            (1).to_bytes(2, "little"),  # block align
+            (8).to_bytes(2, "little"),  # bits/sample
+        ]
+    )
+    data_chunk = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt + data_chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
-    """Deterministic media table: doc_id, media_type, media (binary with a
-    self-describing header), declared_w, declared_h."""
+    """Deterministic media table: doc_id, media_type, media (binary),
+    declared_w, declared_h. Image rows are REAL 24-bit BMPs, audio rows
+    REAL 8-bit PCM WAVs (declared_w/h are 0 — audio has no dimensions);
+    video rows carry the self-describing ``MEDIA_MAGIC`` stub header (no
+    pure-numpy video codec exists)."""
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tag = f"media_{os.path.basename(os.path.normpath(sf_dir))}_{n}_v2"
+    tag = f"media_{os.path.basename(os.path.normpath(sf_dir))}_{n}_v3"
     path = os.path.join(cache_root, tag + ".parquet")
     if os.path.exists(path):
         return path
@@ -41,16 +107,6 @@ def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
     for i in range(n):
         rng = np.random.default_rng(1000 + i)
         kind = ("image", "audio", "video")[i % 3]
-        w, h = int(16 + (i % 32) * 8), int(16 + (i % 24) * 8)
-        nframes = 1 if kind == "image" else (8 if kind == "video" else 0)
-        payload = rng.integers(0, 256, size=256 + (i % 512), dtype=np.uint8).tobytes()
-        header = (
-            MEDIA_MAGIC
-            + kind.encode().ljust(8, b"\0")
-            + w.to_bytes(4, "big")
-            + h.to_bytes(4, "big")
-            + nframes.to_bytes(4, "big")
-        )
         ids.append(i)
         if i % 5 == 4 and i >= 5:
             # every 5th row re-posts an earlier asset byte-for-byte (the
@@ -61,8 +117,28 @@ def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
             ws.append(ws[i - 4])
             hs.append(hs[i - 4])
             continue
+        if kind == "image":
+            w, h = int(8 + (i % 32) * 2), int(8 + (i % 24) * 2)
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blob = encode_bmp24(px)
+        elif kind == "audio":
+            w = h = 0
+            blob = encode_wav_pcm8(
+                rng.integers(0, 256, size=512 + (i % 1024), dtype=np.uint8)
+            )
+        else:  # video — stub header + opaque payload
+            w, h = int(16 + (i % 32) * 8), int(16 + (i % 24) * 8)
+            payload = rng.integers(0, 256, size=256 + (i % 512), dtype=np.uint8).tobytes()
+            blob = (
+                MEDIA_MAGIC
+                + b"video".ljust(8, b"\0")
+                + w.to_bytes(4, "big")
+                + h.to_bytes(4, "big")
+                + (8).to_bytes(4, "big")
+                + payload
+            )
         types.append(kind)
-        blobs.append(header + payload)
+        blobs.append(blob)
         ws.append(w)
         hs.append(h)
     tbl = pa.table(
@@ -97,7 +173,7 @@ class MediaDecoder:
 
                 backend = "pil"
             except ImportError:
-                backend = "fake"
+                backend = "numpy"
         self.backend = backend
 
     def _decode_fake(self, blob: bytes) -> tuple[str, int, int, int, int]:
@@ -110,6 +186,79 @@ class MediaDecoder:
         body = np.frombuffer(blob[30:], dtype=np.uint8)
         return (kind, w, h, nframes, int(body.mean() * 1000) if len(body) else 0)
 
+    @staticmethod
+    def _decode_bmp(blob: bytes) -> tuple[str, int, int, int, int]:
+        """Pure-numpy 24-bit uncompressed BMP: header fields, bottom-up
+        padded rows (negative height = top-down)."""
+        off = int.from_bytes(blob[10:14], "little")
+        w = int.from_bytes(blob[18:22], "little", signed=True)
+        h = int.from_bytes(blob[22:26], "little", signed=True)
+        bpp = int.from_bytes(blob[28:30], "little")
+        compression = int.from_bytes(blob[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return ("invalid", 0, 0, 0, 0)
+        ah = abs(h)
+        rowsize = (w * 3 + 3) // 4 * 4
+        if off + rowsize * ah > len(blob):
+            return ("invalid", 0, 0, 0, 0)
+        px = np.frombuffer(blob, np.uint8, count=rowsize * ah, offset=off)
+        px = px.reshape(ah, rowsize)[:, : w * 3]
+        if h > 0:
+            px = px[::-1]  # bottom-up storage → top-down array
+        return ("image", w, ah, 1, int(px.mean() * 1000))
+
+    @staticmethod
+    def _decode_ppm(blob: bytes) -> tuple[str, int, int, int, int]:
+        """Binary P6 PPM: ASCII header tokens then raw RGB."""
+        try:
+            parts = blob.split(maxsplit=4)
+            w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+            if maxval > 255 or w <= 0 or h <= 0:
+                return ("invalid", 0, 0, 0, 0)
+            px = np.frombuffer(parts[4][: w * h * 3], np.uint8)
+            if len(px) < w * h * 3:
+                return ("invalid", 0, 0, 0, 0)
+            return ("image", w, h, 1, int(px.mean() * 1000))
+        except (ValueError, IndexError):
+            return ("invalid", 0, 0, 0, 0)
+
+    @staticmethod
+    def _decode_wav(blob: bytes) -> tuple[str, int, int, int, int]:
+        """RIFF/WAVE chunk walk; PCM 8/16-bit data means in 8-bit units."""
+        if blob[8:12] != b"WAVE":
+            return ("invalid", 0, 0, 0, 0)
+        pos, bits = 12, 8
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            clen = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+            body = blob[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                bits = int.from_bytes(body[14:16], "little") or 8
+            elif cid == b"data":
+                if bits == 16:
+                    s = np.frombuffer(body[: len(body) // 2 * 2], "<i2")
+                    mean = int((s.astype(np.float64).mean() / 256.0 + 128.0) * 1000) if len(s) else 0
+                else:
+                    s = np.frombuffer(body, np.uint8)
+                    mean = int(s.mean() * 1000) if len(s) else 0
+                return ("audio", 0, 0, 0, mean)
+            pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+        return ("invalid", 0, 0, 0, 0)
+
+    def _decode_numpy(self, blob: bytes) -> tuple[str, int, int, int, int]:
+        """Real decoders for the uncompressed formats (BMP, P6 PPM, PCM
+        WAV) — no image/audio library required; ``MEDIA_MAGIC`` stub blobs
+        (video) take the header parse; anything else is invalid."""
+        if blob.startswith(MEDIA_MAGIC):
+            return self._decode_fake(blob)
+        if blob[:2] == b"BM" and len(blob) >= 54:
+            return self._decode_bmp(blob)
+        if blob[:2] == b"P6":
+            return self._decode_ppm(blob)
+        if blob[:4] == b"RIFF" and len(blob) >= 12:
+            return self._decode_wav(blob)
+        return ("invalid", 0, 0, 0, 0)
+
     def _decode_pil(self, blob: bytes) -> tuple[str, int, int, int, int]:
         import io
 
@@ -117,6 +266,8 @@ class MediaDecoder:
 
         if blob.startswith(MEDIA_MAGIC):  # synthetic blob in a real env
             return self._decode_fake(blob)
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":  # audio isn't PIL's job
+            return self._decode_wav(blob)
         try:
             with Image.open(io.BytesIO(blob)) as im:
                 w, h = im.size
@@ -130,7 +281,7 @@ class MediaDecoder:
     def _decode(self, blob: bytes) -> tuple[str, int, int, int, int]:
         if self.backend == "pil":
             return self._decode_pil(blob)
-        return self._decode_fake(blob)
+        return self._decode_numpy(blob)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         kinds, ws, hs, nf, mb = [], [], [], [], []

@@ -586,3 +586,49 @@ def test_media_dedup_exact_vs_bruteforce(ray_session):
     want = {h: (min(ds), len(ds)) for h, ds in groups.items()}
     for h, d, c in zip(got.media_md5, got.doc_id, got.dup_count):
         assert want[h] == (d, c)
+
+
+def test_bmp_wav_numpy_decoders_roundtrip():
+    """The pure-numpy codecs: encode a known-pixel BMP / known-sample WAV
+    and decode them back exactly — plus the top-down BMP variant and
+    truncated-input rejection."""
+    import numpy as np
+
+    import crawler_ray.pipelines.multimodal as mm
+
+    dec = mm.MediaDecoder(backend="numpy")
+
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[0, 0] = (10, 20, 30)
+    px[1, 2] = (90, 120, 150)
+    blob = mm.encode_bmp24(px)
+    kind, w, h, nf, mean = dec._decode(blob)
+    assert (kind, w, h, nf) == ("image", 3, 2, 1)
+    assert mean == int(px.mean() * 1000)
+
+    # top-down variant: negative height, rows NOT flipped
+    td = bytearray(blob)
+    td[22:26] = (-2).to_bytes(4, "little", signed=True)
+    rows = blob[54:]
+    # reorder the two padded rows back to top-down
+    rowsize = len(rows) // 2
+    td[54:] = rows[rowsize:] + rows[:rowsize]
+    kind2, w2, h2, _, mean2 = dec._decode(bytes(td))
+    assert (kind2, w2, h2, mean2) == ("image", 3, 2, mean)
+
+    # truncated pixel data → invalid, not a crash
+    assert dec._decode(blob[:60])[0] == "invalid"
+
+    samples = np.arange(256, dtype=np.uint8)
+    wav = mm.encode_wav_pcm8(samples)
+    kind3, _, _, _, mean3 = dec._decode(wav)
+    assert kind3 == "audio"
+    assert mean3 == int(samples.mean() * 1000)
+
+    # P6 PPM
+    ppm = b"P6\n3 2\n255\n" + bytes(range(18))
+    kind4, w4, h4, _, mean4 = dec._decode(ppm)
+    assert (kind4, w4, h4) == ("image", 3, 2)
+    assert mean4 == int(np.arange(18).mean() * 1000)
+
+    assert dec._decode(b"not-media")[0] == "invalid"
