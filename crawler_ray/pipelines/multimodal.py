@@ -70,6 +70,29 @@ def encode_bmp24(pixels: "np.ndarray") -> bytes:
     )
 
 
+def decode_bmp24(blob: bytes) -> "np.ndarray | None":
+    """Parse a 24-bit uncompressed BMP into an (h, w, 3) uint8 BGR array
+    (top-down); None for anything malformed, truncated, or unsupported."""
+    if blob[:2] != b"BM" or len(blob) < 54:
+        return None
+    off = int.from_bytes(blob[10:14], "little")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    ah = abs(h)
+    rowsize = (w * 3 + 3) // 4 * 4
+    if off + rowsize * ah > len(blob):
+        return None
+    px = np.frombuffer(blob, np.uint8, count=rowsize * ah, offset=off)
+    px = px.reshape(ah, rowsize)[:, : w * 3].reshape(ah, w, 3)
+    if h > 0:
+        px = px[::-1]  # bottom-up storage → top-down array
+    return px
+
+
 def encode_wav_pcm8(samples: "np.ndarray", rate: int = 8000) -> bytes:
     """Genuine 8-bit mono PCM WAV (RIFF / fmt / data chunks) from a uint8
     sample array."""
@@ -190,22 +213,11 @@ class MediaDecoder:
     def _decode_bmp(blob: bytes) -> tuple[str, int, int, int, int]:
         """Pure-numpy 24-bit uncompressed BMP: header fields, bottom-up
         padded rows (negative height = top-down)."""
-        off = int.from_bytes(blob[10:14], "little")
-        w = int.from_bytes(blob[18:22], "little", signed=True)
-        h = int.from_bytes(blob[22:26], "little", signed=True)
-        bpp = int.from_bytes(blob[28:30], "little")
-        compression = int.from_bytes(blob[30:34], "little")
-        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        px = decode_bmp24(blob)
+        if px is None:
             return ("invalid", 0, 0, 0, 0)
-        ah = abs(h)
-        rowsize = (w * 3 + 3) // 4 * 4
-        if off + rowsize * ah > len(blob):
-            return ("invalid", 0, 0, 0, 0)
-        px = np.frombuffer(blob, np.uint8, count=rowsize * ah, offset=off)
-        px = px.reshape(ah, rowsize)[:, : w * 3]
-        if h > 0:
-            px = px[::-1]  # bottom-up storage → top-down array
-        return ("image", w, ah, 1, int(px.mean() * 1000))
+        h, w = px.shape[:2]
+        return ("image", w, h, 1, int(px.mean() * 1000))
 
     @staticmethod
     def _decode_ppm(blob: bytes) -> tuple[str, int, int, int, int]:
@@ -314,6 +326,69 @@ def media_features(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(MediaDecoder, concurrency=(1, 4), batch_size=128, batch_format="pyarrow")
 
 
+class MediaResizer:
+    """Actor-pool resize stage: image payloads are decoded (pure-numpy
+    BMP), nearest-neighbor downsampled so max(w, h) ≤ ``max_dim`` with
+    aspect preserved, and re-encoded as BMP; non-image (and already-small
+    or undecodable) rows pass through byte-identical with resized=False.
+    Nearest-neighbor via integer index gather — fully vectorized per
+    image, deterministic. The standard thumbnail/normalize step a
+    multimodal training pipeline runs before feature extraction."""
+
+    def __init__(self, max_dim: int = 16):
+        self.max_dim = max_dim
+
+    def _resize(self, px: "np.ndarray") -> "np.ndarray":
+        h, w = px.shape[:2]
+        scale = self.max_dim / max(h, w)
+        nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+        yi = np.minimum(((np.arange(nh) + 0.5) / scale).astype(np.int64), h - 1)
+        xi = np.minimum(((np.arange(nw) + 0.5) / scale).astype(np.int64), w - 1)
+        return px[yi][:, xi]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs, ws, hs, flags = [], [], [], []
+        for blob in t["media"].to_pylist():
+            px = decode_bmp24(blob)
+            if px is None or max(px.shape[:2]) <= self.max_dim:
+                blobs.append(blob)
+                h, w = (px.shape[:2]) if px is not None else (0, 0)
+                ws.append(w)
+                hs.append(h)
+                flags.append(False)
+                continue
+            small = self._resize(px)
+            blobs.append(encode_bmp24(np.ascontiguousarray(small)))
+            hs.append(small.shape[0])
+            ws.append(small.shape[1])
+            flags.append(True)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "media_type": t["media_type"],
+                "media": pa.array(blobs, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "resized": pa.array(flags, pa.bool_()),
+            }
+        )
+
+
+def media_resize(sf_dir: str, max_dim: int = 16) -> rd.Dataset:
+    """Thumbnail pass over the media table: real decode → nearest-neighbor
+    downsample → real re-encode for images; other modalities pass through
+    untouched (actor pool, small batches — payloads are heavy)."""
+    path = synth_media(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "media_type", "media"])
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"max_dim": max_dim},
+        concurrency=(1, 4),
+        batch_size=128,
+        batch_format="pyarrow",
+    )
+
+
 def frame_sample(sf_dir: str) -> rd.Dataset:
     """Video rows explode into sampled frame rows (every 2nd frame) — the
     1→N media transform shape."""
@@ -377,6 +452,7 @@ def media_dedup_exact(sf_dir: str) -> rd.Dataset:
 QUERIES = {
     "media_features": media_features,
     "media_frame_sample": frame_sample,
+    "media_resize": media_resize,
     "media_dedup_exact": media_dedup_exact,
 }
 

@@ -632,3 +632,41 @@ def test_bmp_wav_numpy_decoders_roundtrip():
     assert mean4 == int(np.arange(18).mean() * 1000)
 
     assert dec._decode(b"not-media")[0] == "invalid"
+
+
+def test_media_resize_real_roundtrip(ray_session):
+    """Resize is a REAL decode→downsample→re-encode: resized payloads
+    decode back at the reduced dimensions with pixels equal to the
+    nearest-neighbor gather of the originals; non-image rows pass through
+    byte-identical."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import crawler_ray.pipelines.multimodal as mm
+    from crawler_ray.pipelines.multimodal import media_resize, synth_media
+
+    orig = pq.read_table(synth_media(SF), columns=["doc_id", "media_type", "media"])
+    by_id = dict(zip(orig["doc_id"].to_pylist(), orig["media"].to_pylist()))
+    kinds = dict(zip(orig["doc_id"].to_pylist(), orig["media_type"].to_pylist()))
+
+    out = media_resize(SF, max_dim=16).to_pandas()
+    assert len(out) == len(by_id)
+    r = mm.MediaResizer(max_dim=16)
+    checked_resized = checked_passthrough = 0
+    for row in out.itertuples():
+        if row.media_type != "image":
+            assert not row.resized
+            assert row.media == by_id[row.doc_id]  # byte-identical passthrough
+            checked_passthrough += 1
+            continue
+        src = mm.decode_bmp24(by_id[row.doc_id])
+        if max(src.shape[:2]) <= 16:
+            assert not row.resized
+            continue
+        assert row.resized and max(row.height, row.width) == 16
+        got = mm.decode_bmp24(row.media)
+        assert got.shape == (row.height, row.width, 3)
+        want = r._resize(src)
+        assert np.array_equal(got, want)
+        checked_resized += 1
+    assert checked_resized > 50 and checked_passthrough > 100
