@@ -26,6 +26,7 @@ all-to-all exchanges; candidate verification stays per-bucket-local.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -205,16 +206,18 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
     def multi_blocks(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("bh", sort=False)["c"].sum()
         s = s[s >= 2]
-        return pd.DataFrame({"bh": s.index.to_numpy(np.int64)})
+        return pd.DataFrame(
+            {"bh": s.index.to_numpy(np.int64), "c": s.to_numpy(np.int64)}
+        )
 
-    cand = (
+    cand_df = (
         ds.map_batches(count_partial, batch_format="pyarrow")
         .groupby("part")
         .map_groups(multi_blocks, batch_format="pandas")
-        .to_pandas()["bh"]  # dup-family-sized; see docstring for fallback
-        .to_numpy(np.int64)
+        .to_pandas()  # dup-family-sized; see docstring for fallback
     )
-    cand = np.sort(cand)  # copy: to_numpy may hand back a read-only view
+    cand = np.sort(cand_df["bh"].to_numpy(np.int64))
+    cand_docs = int(cand_df["c"].sum())  # docs in multi-member blocks
     cand_ref = ray.put(cand)
 
     # pass 2: only candidate docs' text enters the exchange
@@ -257,6 +260,16 @@ def prefix_jaccard_pairs(sf_dir: str, block_cap: int = 256) -> rd.Dataset:
             }
         )
 
+    # adaptive candidate cut (the _cc_small_cut pattern): the count pass
+    # already knows how many docs live in multi-member blocks; below the
+    # cut the pair pass runs locally on one collect of exactly those rows
+    # — strictly cheaper than the groupby exchange it replaces (same gate,
+    # no sort). Above it, the coarse-partition exchange runs as before.
+    cut = int(os.environ.get("CRAWLER_RAY_PAIRS_CUT", "20000"))
+    if cand_docs <= cut:
+        g = ds.to_pandas()
+        out = pairs(g)
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
     return (
         ds.groupby("part")
         .map_groups(pairs, batch_format="pandas")
@@ -332,6 +345,13 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, block_cap: int = 256) -> rd.Dat
             }
         )
 
+    # adaptive cut: a driver-sized blocked table (by doc count — this op
+    # has no pre-gate pass to size the candidate family) runs the pair
+    # pass locally, skipping the groupby exchange entirely
+    cut = int(os.environ.get("CRAWLER_RAY_PAIRS_CUT", "20000"))
+    if ds.count() <= cut:
+        out = pairs(ds.to_pandas())
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
     return ds.groupby("part").map_groups(pairs, batch_format="pandas")
 
 

@@ -1093,6 +1093,51 @@ def dedup_clusters(sf_dir: str, min_jacc: int = 50, method: str = "minlabel") ->
     )
 
 
+def _tri_small_cut(eds: rd.Dataset, src: str, dst: str) -> "pa.Table | None":
+    """Adaptive driver cut for triangle counting (the ``_cc_small_cut``
+    pattern): below ``CRAWLER_RAY_TRI_CUT`` edges (default 100k — wedge
+    volume is O(m^1.5), so the local bound is ~3×10^7 pair checks) the
+    whole count runs as one vectorized local pass — same orientation, same
+    wedge closure, none of the ~4 Dataset executions whose fixed cost
+    dwarfs the compute at that size. Returns None above the cut."""
+    cut = int(os.environ.get("CRAWLER_RAY_TRI_CUT", "100000"))
+    if cut <= 0 or eds.count() > cut:
+        return None
+    df = eds.select_columns([src, dst]).to_pandas()
+    a = pd.util.hash_array(df[src].to_numpy(dtype=object)).astype(np.int64)
+    b = pd.util.hash_array(df[dst].to_numpy(dtype=object)).astype(np.int64)
+    u, v = np.minimum(a, b), np.maximum(a, b)
+    keep = u != v
+    e = pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+    if not len(e):
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    nodes, inv = np.unique(
+        np.concatenate([e["u"].to_numpy(), e["v"].to_numpy()]), return_inverse=True
+    )
+    n = len(nodes)
+    deg = np.bincount(inv, minlength=n)
+    ui, vi = inv[: len(e)], inv[len(e) :]
+    fwd = (deg[ui] < deg[vi]) | ((deg[ui] == deg[vi]) & (ui < vi))
+    aa = np.where(fwd, ui, vi)  # lower-ordered center
+    bb = np.where(fwd, vi, ui)
+    o = np.lexsort((bb, deg[bb], aa))  # neighbors in (deg, id) order per center
+    aa, bb = aa[o], bb[o]
+    packed = np.sort(aa.astype(np.int64) * n + bb)  # oriented edge keys
+    starts = np.flatnonzero(np.r_[True, aa[1:] != aa[:-1]])
+    ends = np.r_[starts[1:], len(aa)]
+    total = 0
+    for s, t in zip(starts, ends):  # runs are few and small by orientation
+        if t - s < 2:
+            continue
+        nb = bb[s:t]
+        i, j = np.triu_indices(len(nb), k=1)
+        keys = nb[i].astype(np.int64) * n + nb[j]
+        pos = np.searchsorted(packed, keys)
+        pos = np.minimum(pos, len(packed) - 1)
+        total += int((packed[pos] == keys).sum())
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
 def triangle_count_edges(edges: rd.Dataset, src: str = "src_url", dst: str = "dst_url") -> pa.Table:
     """Distributed triangle count over an undirected edge list.
 
@@ -1108,8 +1153,13 @@ def triangle_count_edges(edges: rd.Dataset, src: str = "src_url", dst: str = "ds
     Degrees are broadcast as sorted arrays (node-table-sized: fine for a
     host graph; for a 10^10-node page graph attach degrees with the same
     two coarse-partition passes the PageRank setup uses instead).
+    Below the adaptive cut (``_tri_small_cut``) the identical count runs
+    locally instead.
     """
     eds = edges.materialize()
+    small = _tri_small_cut(eds, src, dst)
+    if small is not None:
+        return small
     P = _nparts()
 
     def canon(t: pa.Table) -> pa.Table:

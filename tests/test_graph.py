@@ -120,13 +120,17 @@ def _brute_triangles(edges: list[tuple[int, int]]) -> int:
     return total // 3
 
 
-def test_triangle_count_matches_brute_force(ray_session):
-    """Degree-oriented distributed count equals the adjacency-set brute
-    force, on a synthetic graph with hubs, duplicate and reversed edges,
-    and self-loops."""
+@pytest.mark.parametrize("tri_cut", ["0", "100000"])
+def test_triangle_count_matches_brute_force(ray_session, monkeypatch, tri_cut):
+    """Degree-oriented count equals the adjacency-set brute force, on a
+    synthetic graph with hubs, duplicate and reversed edges, and
+    self-loops — both through the distributed supersteps (cut disabled)
+    and the adaptive local cut (identical result)."""
     import ray.data as rd
 
     from crawler_ray.pipelines.graph import triangle_count_edges
+
+    monkeypatch.setenv("CRAWLER_RAY_TRI_CUT", tri_cut)
 
     rng = np.random.default_rng(11)
     m = 600
