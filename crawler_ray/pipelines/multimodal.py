@@ -31,6 +31,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -91,6 +92,27 @@ def decode_bmp24(blob: bytes) -> "np.ndarray | None":
     if h > 0:
         px = px[::-1]  # bottom-up storage → top-down array
     return px
+
+
+def decode_wav_pcm(blob: bytes) -> "tuple[np.ndarray, int, int] | None":
+    """RIFF/WAVE chunk walk: returns (raw samples — uint8 for 8-bit, int16
+    for 16-bit — , bits, sample_rate) or None for malformed bytes."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, bits, rate = 12, 8, 8000
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        clen = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            bits = int.from_bytes(body[14:16], "little") or 8
+            rate = int.from_bytes(body[4:8], "little") or 8000
+        elif cid == b"data":
+            if bits == 16:
+                return (np.frombuffer(body[: len(body) // 2 * 2], "<i2"), 16, rate)
+            return (np.frombuffer(body, np.uint8), 8, rate)
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+    return None
 
 
 def encode_wav_pcm8(samples: "np.ndarray", rate: int = 8000) -> bytes:
@@ -236,26 +258,18 @@ class MediaDecoder:
 
     @staticmethod
     def _decode_wav(blob: bytes) -> tuple[str, int, int, int, int]:
-        """RIFF/WAVE chunk walk; PCM 8/16-bit data means in 8-bit units."""
-        if blob[8:12] != b"WAVE":
+        """RIFF/WAVE via the shared chunk walk; means in 8-bit units."""
+        dec = decode_wav_pcm(blob)
+        if dec is None:
             return ("invalid", 0, 0, 0, 0)
-        pos, bits = 12, 8
-        while pos + 8 <= len(blob):
-            cid = blob[pos : pos + 4]
-            clen = int.from_bytes(blob[pos + 4 : pos + 8], "little")
-            body = blob[pos + 8 : pos + 8 + clen]
-            if cid == b"fmt ":
-                bits = int.from_bytes(body[14:16], "little") or 8
-            elif cid == b"data":
-                if bits == 16:
-                    s = np.frombuffer(body[: len(body) // 2 * 2], "<i2")
-                    mean = int((s.astype(np.float64).mean() / 256.0 + 128.0) * 1000) if len(s) else 0
-                else:
-                    s = np.frombuffer(body, np.uint8)
-                    mean = int(s.mean() * 1000) if len(s) else 0
-                return ("audio", 0, 0, 0, mean)
-            pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
-        return ("invalid", 0, 0, 0, 0)
+        samples, bits, _rate = dec
+        if not len(samples):
+            return ("audio", 0, 0, 0, 0)
+        if bits == 16:
+            mean = int((samples.astype(np.float64).mean() / 256.0 + 128.0) * 1000)
+        else:
+            mean = int(samples.mean() * 1000)
+        return ("audio", 0, 0, 0, mean)
 
     def _decode_numpy(self, blob: bytes) -> tuple[str, int, int, int, int]:
         """Real decoders for the uncompressed formats (BMP, P6 PPM, PCM
@@ -374,6 +388,66 @@ class MediaResizer:
         )
 
 
+class AudioFeatures:
+    """Actor-pool audio feature extraction — REAL DSP over the decoded PCM
+    samples (numpy only): RMS level, zero-crossing rate, and the dominant
+    frequency via an rFFT magnitude argmax (DC excluded). The standard
+    cheap audio-quality/content signals a multimodal curation pipeline
+    gates on. Integer outputs for a stable driver schema."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, ns, rates, rms, zcr, dom = [], [], [], [], [], []
+        for did, blob in zip(t["doc_id"].to_pylist(), t["media"].to_pylist()):
+            dec = decode_wav_pcm(blob)
+            if dec is None:
+                continue
+            samples, bits, rate = dec
+            if bits == 16:
+                x = samples.astype(np.float64) / 32768.0
+            else:
+                x = (samples.astype(np.float64) - 128.0) / 128.0
+            n = len(x)
+            ids.append(did)
+            ns.append(n)
+            rates.append(rate)
+            if n == 0:
+                rms.append(0)
+                zcr.append(0)
+                dom.append(0)
+                continue
+            rms.append(int(np.sqrt(np.mean(x * x)) * 1_000_000))
+            signs = np.signbit(x)
+            zcr.append(int((signs[1:] != signs[:-1]).sum() * 1_000_000) // max(n - 1, 1))
+            mag = np.abs(np.fft.rfft(x))
+            dom.append(int(round(np.argmax(mag[1:]) + 1) * rate / n) if len(mag) > 1 else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "rms_micro": pa.array(rms, pa.int64()),
+                "zcr_micro": pa.array(zcr, pa.int64()),
+                "dominant_freq_hz": pa.array(dom, pa.int64()),
+            }
+        )
+
+
+def media_audio_features(sf_dir: str) -> rd.Dataset:
+    """Audio-row feature extraction over the media table (actor pool;
+    non-WAV rows are filtered ahead of decode)."""
+    path = synth_media(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "media_type", "media"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "audio")).drop_columns(
+            ["media_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.map_batches(
+        AudioFeatures, concurrency=(1, 4), batch_size=128, batch_format="pyarrow"
+    )
+
+
 def media_resize(sf_dir: str, max_dim: int = 16) -> rd.Dataset:
     """Thumbnail pass over the media table: real decode → nearest-neighbor
     downsample → real re-encode for images; other modalities pass through
@@ -453,6 +527,7 @@ QUERIES = {
     "media_features": media_features,
     "media_frame_sample": frame_sample,
     "media_resize": media_resize,
+    "media_audio_features": media_audio_features,
     "media_dedup_exact": media_dedup_exact,
 }
 

@@ -670,3 +670,37 @@ def test_media_resize_real_roundtrip(ray_session):
         assert np.array_equal(got, want)
         checked_resized += 1
     assert checked_resized > 50 and checked_passthrough > 100
+
+
+def test_audio_features_real_dsp(ray_session):
+    """AudioFeatures computes real DSP: a constructed pure sine WAV comes
+    back with its known dominant frequency, RMS ≈ A/√2, and ZCR ≈ 2f/rate;
+    the corpus query yields one feature row per audio asset."""
+    import numpy as np
+
+    import crawler_ray.pipelines.multimodal as mm
+    from crawler_ray.pipelines.multimodal import media_audio_features
+
+    rate, f, n = 8000, 440, 8000
+    x = np.sin(2 * np.pi * f * np.arange(n) / rate)
+    samples = np.clip((x * 127 + 128), 0, 255).astype(np.uint8)
+    wav = mm.encode_wav_pcm8(samples, rate=rate)
+    import pyarrow as pa
+
+    out = mm.AudioFeatures()(
+        pa.table({"doc_id": pa.array([7], pa.int64()), "media": pa.array([wav], pa.binary())})
+    )
+    row = out.to_pylist()[0]
+    assert row["n_samples"] == n and row["sample_rate"] == rate
+    assert abs(row["dominant_freq_hz"] - f) <= 1
+    assert abs(row["rms_micro"] / 1e6 - (127 / 128) / np.sqrt(2)) < 0.01
+    assert abs(row["zcr_micro"] / 1e6 - 2 * f / rate) < 0.005
+    # garbage bytes are skipped, not crashed on
+    empty = mm.AudioFeatures()(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "media": pa.array([b"junk"], pa.binary())})
+    )
+    assert empty.num_rows == 0
+
+    feats = media_audio_features(SF).to_pandas()
+    assert len(feats) > 100  # one row per audio asset
+    assert (feats.n_samples > 0).all() and (feats.sample_rate == 8000).all()
