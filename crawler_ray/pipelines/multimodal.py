@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -94,6 +95,24 @@ def decode_bmp24(blob: bytes) -> "np.ndarray | None":
     return px
 
 
+def dhash64(px: "np.ndarray") -> int:
+    """64-bit difference hash of an (h, w, 3) uint8 image: grayscale cell
+    means on an 8×9 grid (area means via one bincount over an index map —
+    robust to few-pixel noise where nearest-neighbor sampling is not),
+    then the horizontal gradient sign gives 8×8 bits. The standard cheap
+    perceptual fingerprint for near-duplicate image detection."""
+    g = px.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    yi = (np.arange(h, dtype=np.int64) * 8) // h
+    xi = (np.arange(w, dtype=np.int64) * 9) // w
+    idx = (yi[:, None] * 9 + xi[None, :]).ravel()
+    sums = np.bincount(idx, weights=g.ravel(), minlength=72)
+    cnts = np.bincount(idx, minlength=72)
+    m = (sums / np.maximum(cnts, 1)).reshape(8, 9)
+    bits = (m[:, 1:] > m[:, :-1]).ravel()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
 def decode_wav_pcm(blob: bytes) -> "tuple[np.ndarray, int, int] | None":
     """RIFF/WAVE chunk walk: returns (raw samples — uint8 for 8-bit, int16
     for 16-bit — , bits, sample_rate) or None for malformed bytes."""
@@ -143,7 +162,7 @@ def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
     video rows carry the self-describing ``MEDIA_MAGIC`` stub header (no
     pure-numpy video codec exists)."""
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tag = f"media_{os.path.basename(os.path.normpath(sf_dir))}_{n}_v3"
+    tag = f"media_{os.path.basename(os.path.normpath(sf_dir))}_{n}_v4"
     path = os.path.join(cache_root, tag + ".parquet")
     if os.path.exists(path):
         return path
@@ -163,6 +182,23 @@ def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
             hs.append(hs[i - 4])
             continue
         if kind == "image":
+            if i % 30 == 21 and i >= 51:
+                # NEAR-duplicate (not byte-identical): an earlier image
+                # with a few pixels perturbed — the re-encoded/retouched
+                # repost pattern perceptual dedup exists for (i-21 ≡ i
+                # mod 3 and mod 5·3, so the source is a fresh image row)
+                src = decode_bmp24(blobs[i - 21]).copy()
+                hh, ww = src.shape[:2]
+                for _ in range(4):
+                    src[rng.integers(0, hh), rng.integers(0, ww)] = rng.integers(
+                        0, 256, 3, dtype=np.uint8
+                    )
+                blob = encode_bmp24(src)
+                types.append("image")
+                blobs.append(blob)
+                ws.append(ww)
+                hs.append(hh)
+                continue
             w, h = int(8 + (i % 32) * 2), int(8 + (i % 24) * 2)
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             blob = encode_bmp24(px)
@@ -448,6 +484,94 @@ def media_audio_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+def media_dedup_near(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """NEAR-duplicate image pairs — the perceptual twin of
+    ``media_dedup_exact`` (retouched/re-encoded reposts that md5 can't
+    see): 64-bit dHash per image (real decode, cell-mean gradient),
+    pigeonhole blocking on 4 16-bit bands (hamming ≤ 3 ⇒ one band
+    identical — the ``simhash_dups`` shape exactly), partition-local
+    vectorized hamming verification, then a (a_id, b_id) Min-aggregate
+    dedup of the ≤4 band hits per pair. Only (doc_id, 8-byte hash) rows
+    ride the exchange — payloads never move after the decode pass."""
+    from ray.data.aggregate import Min
+
+    NPARTS = 64
+    path = synth_media(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "media_type", "media"])
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["media_type"], "image"))
+        ids, hs = [], []
+        for did, blob in zip(t["doc_id"].to_pylist(), t["media"].to_pylist()):
+            px = decode_bmp24(blob)
+            if px is None:
+                continue
+            ids.append(did)
+            hs.append(dhash64(px))
+        dids = np.array(ids, np.int64)
+        h64 = np.array(hs, np.uint64)
+        ids4 = np.repeat(dids, 4)
+        h_rep = np.repeat(h64, 4)
+        c = np.tile(np.arange(4, dtype=np.uint64), len(dids))
+        chunk = (h_rep >> (np.uint64(16) * c)) & np.uint64(0xFFFF)
+        karr = (c.astype(np.int64) << 16) | chunk.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids4, pa.int64()),
+                "block": pa.array(karr),
+                "part": pa.array((karr % NPARTS).astype(np.int32)),
+                "dhash": pa.array(h_rep),
+            }
+        )
+
+    banded = ds.map_batches(hash_batch, batch_size=128, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame, maxh=max_hamming) -> pd.DataFrame:
+        g = g.drop_duplicates(["block", "doc_id"]).sort_values(
+            ["block", "doc_id"], kind="mergesort"
+        )
+        blocks = g["block"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        hs = g["dhash"].to_numpy()
+        starts = np.r_[0, np.nonzero(blocks[1:] != blocks[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(blocks)]
+        multi = ends - starts >= 2
+        a_ids, b_ids, ham = [], [], []
+        for s, e in zip(starts[multi], ends[multi]):
+            run_h = hs[s:e]
+            run_i = ids[s:e]
+            iu, ju = np.triu_indices(e - s, k=1)
+            x = run_h[iu] ^ run_h[ju]
+            d = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                d += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            ok = d <= maxh
+            a_ids.append(run_i[iu[ok]])
+            b_ids.append(run_i[ju[ok]])
+            ham.append(d[ok])
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pd.DataFrame(
+            {"a_id": cat(a_ids), "b_id": cat(b_ids), "hamming": cat(ham)}
+        )
+
+    out = banded.groupby("part").map_groups(pairs, batch_format="pandas")
+    return (
+        out.groupby(["a_id", "b_id"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "a_id": pc.cast(t["a_id"], pa.int64()),
+                    "b_id": pc.cast(t["b_id"], pa.int64()),
+                    "hamming": pc.cast(t["hamming"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def media_resize(sf_dir: str, max_dim: int = 16) -> rd.Dataset:
     """Thumbnail pass over the media table: real decode → nearest-neighbor
     downsample → real re-encode for images; other modalities pass through
@@ -528,6 +652,7 @@ QUERIES = {
     "media_frame_sample": frame_sample,
     "media_resize": media_resize,
     "media_audio_features": media_audio_features,
+    "media_dedup_near": media_dedup_near,
     "media_dedup_exact": media_dedup_exact,
 }
 

@@ -704,3 +704,51 @@ def test_audio_features_real_dsp(ray_session):
     feats = media_audio_features(SF).to_pandas()
     assert len(feats) > 100  # one row per audio asset
     assert (feats.n_samples > 0).all() and (feats.sample_rate == 8000).all()
+
+
+def test_media_dedup_near_vs_bruteforce(ray_session):
+    """Perceptual near-dup pairs ≡ brute-force all-pairs dHash hamming ≤ 3
+    over every decodable image (the banded pigeonhole is exact at that
+    radius: 4 disjoint 16-bit bands, ≤3 differing bits ⇒ one band equal).
+    The v4 corpus plants retouched reposts (few-pixel perturbations) so the
+    result is non-trivially non-empty."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    import crawler_ray.pipelines.multimodal as mm
+    from crawler_ray.pipelines.multimodal import media_dedup_near, synth_media
+
+    got = (
+        media_dedup_near(SF)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+    t = pq.read_table(synth_media(SF), columns=["doc_id", "media_type", "media"])
+    hs = {}
+    for did, kind, blob in zip(
+        t["doc_id"].to_pylist(), t["media_type"].to_pylist(), t["media"].to_pylist()
+    ):
+        if kind != "image":
+            continue
+        px = mm.decode_bmp24(blob)
+        if px is not None:
+            hs[did] = mm.dhash64(px)
+    want = sorted(
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hs), 2)
+        if bin(hs[a] ^ hs[b]).count("1") <= 3
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert len(want) > 10  # planted reposts really exist
+    # the retouched (non-byte-identical) reposts are caught too: at least
+    # one near pair is NOT an exact md5 duplicate
+    import hashlib
+
+    md5 = {
+        did: hashlib.md5(blob).hexdigest()
+        for did, blob in zip(t["doc_id"].to_pylist(), t["media"].to_pylist())
+    }
+    assert any(md5[a] != md5[b] for a, b, _ in want)
