@@ -2116,6 +2116,495 @@ def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
     return pa.table({"revenue_c": pa.array([int(s.c.sum())], pa.int64())})
 
 
+def q13_order_count_distribution(sf_dir: str, nparts: int = 8) -> pa.Table:
+    """TPC-H Q13 shape (left join + double aggregation): the distribution
+    of per-customer order counts, zero-order customers included (the
+    classic `NOT LIKE '%special%requests%'` gate becomes a priority
+    filter on this corpus).  Plan: per-batch (custkey, n) combiners over
+    the gated orders, ONE coarse custkey-hash exchange for exact
+    per-customer counts, then each partition collapses to a bounded
+    count-of-counts histogram summed on the driver.  The zero bucket is
+    ``count(customer) − Σ custdist`` — a metadata-cheap count, so neither
+    fact table is ever driver-collected."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"], "1-URGENT"))
+        g = (
+            t.group_by(["o_custkey"])
+            .aggregate([("o_custkey", "count")])
+            .rename_columns(["ck", "n"])
+        )
+        k = g["ck"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return g.append_column(
+            "part",
+            pa.array(((k * np.uint64(2654435761)) % np.uint64(nparts)).astype(np.int32)),
+        )
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("ck")["n"].sum()  # exact: custkey fully co-located
+        vc = per_cust.value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": vc.index.to_numpy().astype("int64"),
+                "custdist": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    h = (
+        orders.map_batches(partial, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(hist, batch_format="pandas")
+        .to_pandas()  # ≤ nparts × |distinct counts| rows
+    )
+    agg = h.groupby("c_count", as_index=False)["custdist"].sum()
+    zero = _read(sf_dir, "customer", ["c_custkey"]).count() - int(agg.custdist.sum())
+    if zero > 0:
+        agg = pd.concat(
+            [agg, pd.DataFrame({"c_count": [0], "custdist": [zero]})], ignore_index=True
+        )
+    agg = agg.sort_values(["custdist", "c_count"], ascending=False, ignore_index=True)
+    return pa.table(
+        {
+            "c_count": pa.array(agg.c_count.to_numpy(), pa.int64()),
+            "custdist": pa.array(agg.custdist.to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q15_top_supplier(
+    sf_dir: str, start: str = "1996-01-01", end: str = "1996-04-01", nparts: int = 8
+) -> pa.Table:
+    """TPC-H Q15 shape (aggregate → global max → equality re-filter): the
+    supplier(s) with the maximum quarterly revenue.  Plan: per-batch
+    (suppkey, cents) combiners, one coarse suppkey-hash exchange for
+    exact per-supplier revenue (materialized — it is supplier-sized, not
+    lineitem-sized), a scalar ``max`` aggregate, an equality gate against
+    the broadcast max, and a survivor-gated name attach — the revenue
+    table never rides a second all-to-all and supplier is never
+    driver-collected whole."""
+    t0 = int(np.datetime64(start, "us").astype(np.int64))
+    t1 = int(np.datetime64(end, "us").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, t0), pc.less(us, t1)))
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ext * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pa.table({"sk": t["l_suppkey"], "rev": pa.array(cents)})
+            .group_by(["sk"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["sk", "rev"])
+        )
+        k = g["sk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return g.append_column(
+            "part",
+            pa.array(((k * np.uint64(2654435761)) % np.uint64(nparts)).astype(np.int32)),
+        )
+
+    def exact(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("sk", as_index=False)["rev"].sum()
+        return out.astype({"sk": "int64", "rev": "int64"})
+
+    per_supp = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(exact, batch_format="pandas")
+        .materialize()  # supplier-sized
+    )
+    best = int(per_supp.max("rev"))
+    winners = per_supp.map_batches(
+        lambda t, _m=best: t.filter(pc.equal(t["rev"], _m)), batch_format="pyarrow"
+    ).to_pandas()  # ties only — a handful of rows
+
+    wk = np.sort(winners.sk.to_numpy().astype(np.int64))
+    ref = ray.put(wk)
+
+    def name_gate(t: pa.Table, _ref=ref) -> pa.Table:
+        keys = ray.get(_ref)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == sk))
+
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(name_gate, batch_size=65536, batch_format="pyarrow")
+        .to_pandas()
+    )
+    nm = dict(zip(names.s_suppkey, names.s_name))
+    winners = winners.sort_values("sk", ignore_index=True)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners.sk.to_numpy(), pa.int64()),
+            "s_name": pa.array([nm[int(k)] for k in winners.sk], pa.string()),
+            "total_revenue_c": pa.array(winners.rev.to_numpy(), pa.int64()),
+        }
+    )
+
+
+_Q16_SIZES = (1, 3, 9, 14, 19, 23, 36, 45)
+
+
+def q16_supplier_counts(sf_dir: str, nparts: int = 8) -> pa.Table:
+    """TPC-H Q16 shape (COUNT DISTINCT over a gated join; lineitem's
+    (partkey, suppkey) pairs stand in for partsupp — this corpus has no
+    partsupp table): distinct suppliers per (brand, type, size) excluding
+    one brand/type and gating to a size set.  Plan: per-batch pair dedup
+    over lineitem, part attributes attach via the size-adaptive lookup
+    join with the part side pre-gated, then ONE exchange partitioned by
+    ``p_size`` (each (brand,type,size) group is fully co-located) where a
+    vectorized pandas ``nunique`` produces the bounded result."""
+    sizes = list(_Q16_SIZES)
+
+    def part_gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.not_equal(t["p_brand"], "Brand#5"), pc.not_equal(t["p_type"], "PROMO")
+            ),
+            pc.is_in(t["p_size"], value_set=pa.array(sizes, t["p_size"].type)),
+        )
+        return t.filter(keep)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+        part_gate, batch_size=65536, batch_format="pyarrow"
+    )
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        lambda t: t.group_by(["l_partkey", "l_suppkey"]).aggregate([]),
+        batch_size=65536,
+        batch_format="pyarrow",
+    )
+    joined = _lookup_inner_join(
+        pairs, part, "l_partkey", "p_partkey", ["p_brand", "p_type", "p_size"]
+    )
+
+    def band(t: pa.Table, _n=nparts) -> pa.Table:
+        t = t.group_by(["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate([])
+        sz = t["p_size"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "part", pa.array(((sz * np.uint64(2654435761)) % np.uint64(_n)).astype(np.int32))
+        )
+
+    def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+            .groupby(["p_brand", "p_type", "p_size"], as_index=False)["l_suppkey"]
+            .nunique()
+        )
+        return out.rename(columns={"l_suppkey": "supplier_cnt"})
+
+    res = (
+        joined.map_batches(band, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(nuniq, batch_format="pandas")
+        .to_pandas()  # ≤ |brand|×|type|×|sizes| rows
+    ).sort_values(["p_brand", "p_type", "p_size"], ignore_index=True)
+    return pa.table(
+        {
+            "p_brand": pa.array(res.p_brand, pa.string()),
+            "p_type": pa.array(res.p_type, pa.string()),
+            "p_size": pa.array(res.p_size.to_numpy().astype(np.int64), pa.int64()),
+            "supplier_cnt": pa.array(res.supplier_cnt.to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#3", nparts: int = 8
+) -> pa.Table:
+    """TPC-H Q17 shape (correlated scalar subquery → two-pass aggregate):
+    revenue of lineitems whose quantity is below 20% of their part's mean
+    quantity, for one brand.  Plan: broadcast the brand-gated partkeys
+    (|part|/|brands| keys), pass 1 reduces the gated lineitems to exact
+    per-part (qty_sum, cnt) via per-batch combiners + one coarse
+    partkey-hash exchange, the resulting threshold table (brand-sized,
+    like the broadcast side of any dim join) ships once via ``ray.put``,
+    and pass 2 re-streams the gated lineitems against it, emitting
+    integer-cent per-batch partials — the driver only ever holds
+    O(|brand parts| + blocks) rows."""
+    bp = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["p_brand"], brand)).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    pk = np.sort(bp.p_partkey.to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+
+    def gate(t: pa.Table, _ref=pk_ref) -> pa.Table:
+        keys = ray.get(_ref)
+        v = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == v))
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(t: pa.Table, _n=nparts) -> pa.Table:
+        g = (
+            pa.table({"pk": t["l_partkey"], "q": t["l_quantity"]})
+            .group_by(["pk"])
+            .aggregate([("q", "sum"), ("q", "count")])
+            .rename_columns(["pk", "qs", "qn"])
+        )
+        k = g["pk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return g.append_column(
+            "part", pa.array(((k * np.uint64(2654435761)) % np.uint64(_n)).astype(np.int32))
+        )
+
+    def qty_exact(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pk", as_index=False)[["qs", "qn"]].sum()
+        return out.astype({"pk": "int64", "qs": "float64", "qn": "int64"})
+
+    th = (
+        line.map_batches(gate, batch_size=65536, batch_format="pyarrow")
+        .map_batches(qty_partial, batch_size=65536, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(qty_exact, batch_format="pandas")
+        .to_pandas()  # one row per brand-gated part
+    ).sort_values("pk", ignore_index=True)
+    tk = th.pk.to_numpy().astype(np.int64)
+    # 0.2 * AVG(l_quantity): same float expression DuckDB evaluates
+    tv = 0.2 * (th.qs.to_numpy() / th.qn.to_numpy())
+    th_ref = ray.put((tk, tv))
+
+    def rev_partial(t: pa.Table, _ref=th_ref) -> pa.Table:
+        keys, thr = ray.get(_ref)
+        v = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+        hit = keys[idx] == v
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = hit & (qty < thr[idx])
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(ext * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents.sum())], pa.int64())})
+
+    s = line.map_batches(rev_partial, batch_size=65536, batch_format="pyarrow").to_pandas()
+    return pa.table({"small_qty_revenue_c": pa.array([int(s.c.sum())], pa.int64())})
+
+
+def q22_dormant_customers(sf_dir: str) -> pa.Table:
+    """TPC-H Q22 shape (scalar subquery + NOT EXISTS anti-join): customers
+    with above-average positive balance and no URGENT orders, counted per
+    nation (nationkey stands in for the phone country code this corpus
+    lacks; the no-orders-at-all set is empty at every sf — 10 orders per
+    customer in expectation — so the gate is priority-scoped to keep the
+    anti-join non-trivial).
+    Plan: the average is a per-batch (sum, count) partial reduce; the
+    rich-customer gate runs vectorized against the broadcast scalar; the
+    anti-join is the hash-partitioned ``left_anti`` with the orders side
+    pre-deduped per batch; the final per-nation aggregate reduces through
+    bounded per-batch partials."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        b = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0.0]
+        return pa.table(
+            {
+                "s": pa.array([float(pos.sum())], pa.float64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    p = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    avg = float(p.s.sum()) / float(p.n.sum())
+
+    rich = cust.map_batches(
+        lambda t, _a=avg: t.filter(pc.greater(t["c_acctbal"], _a)),
+        batch_size=65536,
+        batch_format="pyarrow",
+    )
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        .group_by(["o_custkey"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    dormant = rich.join(
+        okeys,
+        join_type="left_anti",
+        num_partitions=JOIN_PARTITIONS,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pa.table({"nk": t["c_nationkey"], "c": pa.array(cents), "one": pa.array(np.ones(t.num_rows, np.int64))})
+            .group_by(["nk"])
+            .aggregate([("one", "sum"), ("c", "sum")])
+            .rename_columns(["nk", "numcust", "totacctbal_c"])
+        )
+        return g
+
+    parts = dormant.map_batches(
+        nation_partial, batch_size=65536, batch_format="pyarrow"
+    ).to_pandas()
+    if parts.empty:  # schema-typed empty result, not a KeyError
+        parts = pd.DataFrame({"nk": [], "numcust": [], "totacctbal_c": []})
+    out = (
+        parts.groupby("nk", as_index=False)[["numcust", "totacctbal_c"]]
+        .sum()
+        .sort_values("nk", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "c_nationkey": pa.array(out.nk.to_numpy().astype(np.int64), pa.int64()),
+            "numcust": pa.array(out.numcust.to_numpy().astype(np.int64), pa.int64()),
+            "totacctbal_c": pa.array(out.totacctbal_c.to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q7_nation_volume(
+    sf_dir: str,
+    nation_a: int = 7,
+    nation_b: int = 13,
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+    nparts: int = 8,
+) -> pa.Table:
+    """TPC-H Q7 shape (two-fact join with dimension gates on both arms):
+    shipping volume between two nations by year.  Plan: supplier gated to
+    the pair and broadcast as a (suppkey → nationkey) sorted lookup;
+    customer gated to the pair and attached to orders via the
+    size-adaptive lookup join; lineitem date+supplier-gated reduces to
+    per-batch (orderkey, supp_nation, year, cents) combiners.  The two
+    reduced arms ride ONE coarse orderkey-hash exchange (the Q4 union
+    shape), merge vectorized per partition, and collapse to the bounded
+    (supp, cust, year) result summed on the driver; nation names attach
+    from the constant-sized nation table."""
+    t0 = int(np.datetime64(start, "us").astype(np.int64))
+    t1 = int(np.datetime64(end, "us").astype(np.int64))
+    pair = (nation_a, nation_b)
+
+    sup = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=pa.array(pair, t["s_nationkey"].type))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # 2/|nations| of supplier — the broadcast dim side
+    ).sort_values("s_suppkey", ignore_index=True)
+    sk = sup.s_suppkey.to_numpy().astype(np.int64)
+    snk = sup.s_nationkey.to_numpy().astype(np.int64)
+    sup_ref = ray.put((sk, snk))
+
+    def line_arm(t: pa.Table, _ref=sup_ref, _n=nparts) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, t0), pc.less(us, t1)))
+        keys, nk = ray.get(_ref)
+        v = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys, v), max(len(keys) - 1, 0))
+        hit = keys[idx] == v if len(keys) else np.zeros(len(v), bool)
+        t = t.filter(pa.array(hit))
+        idx = idx[hit]
+        yr = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ext * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "ok": t["l_orderkey"],
+                    "snk": pa.array(nk[idx]),
+                    "yr": pa.array(yr),
+                    "rev": pa.array(cents),
+                }
+            )
+            .group_by(["ok", "snk", "yr"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["ok", "snk", "yr", "rev"])
+        )
+        k = g["ok"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "ok": g["ok"].cast(pa.int64()),
+                "snk": g["snk"],
+                "yr": g["yr"],
+                "rev": g["rev"].cast(pa.int64()),
+                "cnk": pa.nulls(g.num_rows, pa.int64()),
+                "part": pa.array(((k * np.uint64(2654435761)) % np.uint64(_n)).astype(np.int32)),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=pa.array(pair, t["c_nationkey"].type))),
+        batch_format="pyarrow",
+    )
+    orders_g = _lookup_inner_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust,
+        "o_custkey",
+        "c_custkey",
+        ["c_nationkey"],
+    )
+
+    def order_arm(t: pa.Table, _n=nparts) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "ok": t["o_orderkey"].cast(pa.int64()),
+                "snk": pa.nulls(t.num_rows, pa.int64()),
+                "yr": pa.nulls(t.num_rows, pa.int64()),
+                "rev": pa.nulls(t.num_rows, pa.int64()),
+                "cnk": pc.cast(t["c_nationkey"], pa.int64()),
+                "part": pa.array(((k * np.uint64(2654435761)) % np.uint64(_n)).astype(np.int32)),
+            }
+        )
+
+    line = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(line_arm, batch_size=65536, batch_format="pyarrow")
+    orders = orders_g.map_batches(order_arm, batch_size=65536, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame, _a=nation_a, _b=nation_b) -> pd.DataFrame:
+        li = g[g["cnk"].isna()]
+        od = g[g["cnk"].notna()]
+        m = li.merge(od[["ok", "cnk"]], on="ok", suffixes=("", "_o"))
+        m = m[
+            ((m["snk"] == _a) & (m["cnk_o"] == _b)) | ((m["snk"] == _b) & (m["cnk_o"] == _a))
+        ]
+        out = m.groupby(["snk", "cnk_o", "yr"], as_index=False)["rev"].sum()
+        return pd.DataFrame(
+            {
+                "snk": out["snk"].astype("int64"),
+                "cnk": out["cnk_o"].astype("int64"),
+                "l_year": out["yr"].astype("int64"),
+                "revenue_c": out["rev"].astype("int64"),
+            }
+        )
+
+    partials = (
+        line.union(orders).groupby("part").map_groups(merge, batch_format="pandas").to_pandas()
+    )
+    if partials.empty:  # tiny corpora can have zero volume for the pair
+        partials = pd.DataFrame({"snk": [], "cnk": [], "l_year": [], "revenue_c": []})
+    agg = partials.groupby(["snk", "cnk", "l_year"], as_index=False)["revenue_c"].sum()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()  # 25 rows
+    nm = dict(zip(nat.n_nationkey, nat.n_name))
+    agg = agg.sort_values(["snk", "cnk", "l_year"], ignore_index=True)
+    return pa.table(
+        {
+            "supp_nation": pa.array([nm[int(k)] for k in agg.snk], pa.string()),
+            "cust_nation": pa.array([nm[int(k)] for k in agg.cnk], pa.string()),
+            "l_year": pa.array(agg.l_year.to_numpy(), pa.int64()),
+            "revenue_c": pa.array(agg.revenue_c.to_numpy(), pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "user_funnel": user_funnel,
     "events_pivot_daily": events_pivot_daily,
@@ -2155,11 +2644,77 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q7_nation_volume": q7_nation_volume,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_counts": q16_supplier_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_dormant_customers": q22_dormant_customers,
     "click_days_without_purchase": click_days_without_purchase,
     "user_interarrival_stats": user_interarrival_stats,
 }
 
 ORACLE_SQL = {
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_nationkey = 7 AND n2.n_nationkey = 13)
+            OR (n1.n_nationkey = 13 AND n2.n_nationkey = 7))
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q13_order_count_distribution": """
+        WITH oc AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM oc GROUP BY c_count
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey AS suppkey,
+                   SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS total_revenue_c
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_revenue_c AS BIGINT) AS total_revenue_c
+        FROM supplier JOIN rev ON s_suppkey = suppkey
+        WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM rev)
+    """,
+    "q16_supplier_counts": """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q17_small_quantity_revenue": """
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS small_qty_revenue_c
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    "q22_dormant_customers": """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_c
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         FROM orders o
