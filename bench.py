@@ -111,6 +111,14 @@ BENCH_QUERIES = [
     "dedup_clusters_ls",
     "click_days_without_purchase",
     "user_interarrival_stats",
+    # round-4 additions
+    "media_dedup_near",
+    "q7_nation_volume",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
 ]
 
 
