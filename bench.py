@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "click_days_without_purchase",
     "user_interarrival_stats",
     # round-4 additions
+    "kmeans_clusters",
     "media_dedup_near",
     "q7_nation_volume",
     "q13_order_count_distribution",

@@ -352,7 +352,99 @@ def knn_graph(sf_dir: str, k: int = KNN_K, num_blocks: int | None = None) -> rd.
     return rd.from_arrow_refs([_knn_block.remote(b, blocks, k) for b in blocks])
 
 
+_KM_SCALE = 1_000_000  # µ-unit integer partials: exact, order-insensitive sums
+
+
+def kmeans_fit(
+    sf_dir: str, k: int = 16, iters: int = 6, scale: int = _KM_SCALE
+) -> "np.ndarray":
+    """Exact full-corpus Euclidean k-means (Lloyd), the distributed
+    trainer complementing the sample-trained ``_spherical_kmeans`` the
+    IVF/semdedup paths use.  Per iteration ONE streaming pass: each batch
+    assigns rows to the broadcast centroids (vectorized argmin on the
+    expanded squared distance) and reduces to per-cluster µ-unit INTEGER
+    coordinate sums + counts via a single flattened ``bincount`` — so the
+    driver reduce sees O(blocks × k) rows of exact int64 partials, and the
+    update is bit-identical regardless of batch boundaries or reduce
+    order (the property the pytest oracle pins).  Empty clusters keep
+    their previous centroid.  No shuffle at any point; the corpus is
+    re-streamed per iteration (at 100 TB: k-means passes are the cost of
+    the algorithm — cache the column in plasma if memory allows).
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=max(k, 1), columns=["embedding"]))
+    cent = np.vstack(first.column("embedding").to_pylist()).astype(np.float64)[:k]
+    d = cent.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=ref, _k=k, _d=d, _s=scale) -> pa.Table:
+            c = ray.get(_ref)
+            m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            d2 = (m * m).sum(1, keepdims=True) - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+            a = d2.argmin(1)
+            q = np.rint(m * _s).astype(np.int64)
+            flat = (a[:, None] * _d + np.arange(_d)[None, :]).ravel()
+            # float64 bincount is exact here: per-batch |sum| ≤ 65536·scale/2 < 2^53
+            sums = np.bincount(flat, weights=q.ravel().astype(np.float64), minlength=_k * _d)
+            cnt = np.bincount(a, minlength=_k)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(_k, dtype=np.int64)),
+                    "n": pa.array(cnt.astype(np.int64)),
+                    "sums": pa.array(
+                        list(sums.astype(np.int64).reshape(_k, _d)),
+                        pa.list_(pa.int64()),
+                    ),
+                }
+            )
+
+        parts = (
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+            .map_batches(partial, batch_size=65536, batch_format="pyarrow")
+            .to_pandas()  # O(blocks × k) rows
+        )
+        g = parts.groupby("cluster")
+        n = g["n"].sum().to_numpy()
+        sums = np.vstack(
+            [np.sum(np.vstack(rows.to_numpy()), axis=0) for _, rows in g["sums"]]
+        )
+        nz = n > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / (float(scale) * n[nz][:, None])
+    return cent
+
+
+def kmeans_clusters(sf_dir: str, k: int = 16, iters: int = 6) -> rd.Dataset:
+    """Per-vector cluster assignment from the exact distributed
+    ``kmeans_fit`` trainer — one final streaming pass against the
+    broadcast centroids.  Rows-only for the driver (iterative k-means is
+    not SQL-expressible); pinned by a pytest oracle running the identical
+    integer-exact update rule densely."""
+    cent = kmeans_fit(sf_dir, k=k, iters=iters)
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d2 = (m * m).sum(1, keepdims=True) - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(d2.argmin(1).astype(np.int64)),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_size=65536, batch_format="pyarrow")
+
+
 QUERIES = {
+    "kmeans_clusters": kmeans_clusters,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,

@@ -752,3 +752,42 @@ def test_media_dedup_near_vs_bruteforce(ray_session):
         for did, blob in zip(t["doc_id"].to_pylist(), t["media"].to_pylist())
     }
     assert any(md5[a] != md5[b] for a, b, _ in want)
+
+
+def test_kmeans_exact_vs_dense_oracle(ray_session):
+    """The distributed Lloyd trainer is bit-identical to a dense
+    single-process run of the same integer-exact update rule: same init
+    (first k vectors), same µ-unit integer sums, same argmin ties —
+    centroids and assignments must match exactly, independent of Ray's
+    batch boundaries and reduce order."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.ann import _KM_SCALE, kmeans_clusters, kmeans_fit
+
+    k, iters = 8, 4
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+
+    cent = m[:k].copy()
+    q = np.rint(m * _KM_SCALE).astype(np.int64)
+    for _ in range(iters):
+        d2 = (m * m).sum(1, keepdims=True) - 2.0 * (m @ cent.T) + (cent * cent).sum(1)[None, :]
+        a = d2.argmin(1)
+        new = cent.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                new[c] = q[sel].sum(axis=0) / (float(_KM_SCALE) * sel.sum())
+        cent = new
+    d2 = (m * m).sum(1, keepdims=True) - 2.0 * (m @ cent.T) + (cent * cent).sum(1)[None, :]
+    want = dict(zip(ids, d2.argmin(1)))
+
+    got_cent = kmeans_fit(SF, k=k, iters=iters)
+    assert np.array_equal(got_cent, cent)  # bit-identical, not just close
+
+    got = kmeans_clusters(SF, k=k, iters=iters).to_pandas()
+    assert len(got) == len(ids)
+    assert all(want[v] == c for v, c in zip(got.vec_id, got.cluster))
+    assert got.cluster.nunique() > 1  # the corpus genuinely partitions
