@@ -42,12 +42,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out.update(crawl_queries.QUERIES)
     try:
-        from crawler_ray.pipelines import ann, curate, dedup, graph, prep, sampling, sketches, text
+        from crawler_ray.pipelines import (
+            ann,
+            bpe,
+            curate,
+            dedup,
+            graph,
+            prep,
+            sampling,
+            sketches,
+            text,
+        )
 
         out.update(dedup.QUERIES)
         out.update(graph.QUERIES)
         out.update(ann.QUERIES)
         out.update(text.QUERIES)
+        out.update(bpe.QUERIES)
         out.update(curate.QUERIES)
         out.update(prep.QUERIES)
         out.update(sketches.QUERIES)

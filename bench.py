@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "user_interarrival_stats",
     # round-4 additions
     "kmeans_clusters",
+    "bpe_merges",
     "media_dedup_near",
     "q7_nation_volume",
     "q13_order_count_distribution",

@@ -206,3 +206,23 @@ def test_bm25_topk_matches_single_process_oracle(ray_session):
     assert list(got.score_e6) == [int(round(s * 1e6)) for s in scores[order]]
     assert list(got["rank"]) == list(range(1, k + 1))
     assert (np.diff(got.score_e6) <= 0).all()
+
+
+def test_bpe_merges_vs_reference(ray_session):
+    """Distributed BPE trainer ≡ the single-process reference (same
+    tokenizer, greedy merge scan, and tie-break) on the real corpus: the
+    full (rank, left, right, merged, pair_count) merge table matches
+    exactly, so partitioning and incremental pair bookkeeping change
+    nothing."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.bpe import bpe_merges, reference_bpe
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_merges(sf, n_merges=48).to_pandas()
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+    want = reference_bpe(texts, 48)
+    assert got.equals(want)
+    assert len(got) == 48 and (got.pair_count > 0).all()
+    # merges really compose: some merged token is longer than 2 chars
+    assert got.merged.str.len().max() > 2
