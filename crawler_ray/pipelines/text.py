@@ -85,6 +85,74 @@ def quality_score(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(sf_dir: str) -> rd.Dataset:
+    """Gopher-style quality rules (Rae et al. 2021 §A1.1, re-expressed as
+    exact-integer signals so the DuckDB oracle hash-matches): word count
+    bounds, mean word length band, symbol-to-word ratio, alphabetic-word
+    fraction, and stop-word presence.  Fully vectorized — every signal is
+    a pyarrow.compute kernel over the raw string column; no Python loop,
+    no tokenised intermediate ever materializes."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        low = pc.utf8_lower(txt)
+        n_words = pc.count_substring_regex(txt, pattern=r"[A-Za-z0-9]+").to_numpy().astype(np.int64)
+        # total alnum chars == sum of token lengths (tokens are maximal runs)
+        alnum_chars = (
+            pc.count_substring_regex(txt, pattern=r"[A-Za-z0-9]").to_numpy().astype(np.int64)
+        )
+        d = np.maximum(n_words, 1)
+        mean_word_len_e2 = (100 * alnum_chars) // d
+        # a maximal alnum run containing >=1 letter matches exactly once
+        alpha_words = (
+            pc.count_substring_regex(txt, pattern=r"[0-9]*[A-Za-z][A-Za-z0-9]*")
+            .to_numpy()
+            .astype(np.int64)
+        )
+        alpha_word_pct = (100 * alpha_words) // d
+        n_sym = (
+            pc.count_substring(txt, pattern="#").to_numpy().astype(np.int64)
+            + pc.count_substring(txt, pattern="...").to_numpy().astype(np.int64)
+            + pc.count_substring(txt, pattern="…").to_numpy().astype(np.int64)
+        )
+        symbol_ratio_e4 = (10000 * n_sym) // d
+        hits = np.zeros(t.num_rows, np.int64)
+        for w in _GOPHER_STOPWORDS:
+            hits += (
+                pc.match_substring_regex(low, pattern=rf"(^|[^a-z0-9]){w}([^a-z0-9]|$)")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        # Gopher's published bands, with the mean-word-length ceiling and
+        # stop-word minimum tightened so the gate is non-degenerate on the
+        # synthetic word-salad corpus (hits saturate at 1 there)
+        keep = (
+            (n_words >= 50)
+            & (n_words <= 100000)
+            & (mean_word_len_e2 >= 300)
+            & (mean_word_len_e2 <= 460)
+            & (symbol_ratio_e4 <= 1000)
+            & (alpha_word_pct >= 80)
+            & (hits >= 1)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words),
+                "mean_word_len_e2": pa.array(mean_word_len_e2),
+                "symbol_ratio_e4": pa.array(symbol_ratio_e4),
+                "alpha_word_pct": pa.array(alpha_word_pct),
+                "stopword_hits": pa.array(hits),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def lang_id(sf_dir: str) -> rd.Dataset:
     """Language-ID: marker-token counts + CJK-char count, fixed-priority
     argmax — fully vectorized with count_substring_regex kernels."""
@@ -929,6 +997,7 @@ QUERIES = {
     "source_mixture": source_mixture,
     "token_stats": token_stats,
     "quality_score": quality_score,
+    "gopher_quality": gopher_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprints": winnow_fingerprints,
@@ -1064,6 +1133,42 @@ ORACLE_SQL = {
                               ELSE 0 END) >= 30
                     THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM s
+    """,
+    "gopher_quality": r"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]')) AS BIGINT) AS alnum_chars,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]*[A-Za-z][A-Za-z0-9]*')) AS BIGINT)
+                       AS alpha_words,
+                   CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+                        + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3
+                        + (LENGTH(text) - LENGTH(REPLACE(text, '…', ''))) AS BIGINT) AS n_sym,
+                   CAST((CASE WHEN REGEXP_MATCHES(LOWER(text), '(^|[^a-z0-9])the([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                      + (CASE WHEN REGEXP_MATCHES(LOWER(text), '(^|[^a-z0-9])be([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                      + (CASE WHEN REGEXP_MATCHES(LOWER(text), '(^|[^a-z0-9])to([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                      + (CASE WHEN REGEXP_MATCHES(LOWER(text), '(^|[^a-z0-9])of([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                      + (CASE WHEN REGEXP_MATCHES(LOWER(text), '(^|[^a-z0-9])and([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                      + (CASE WHEN REGEXP_MATCHES(LOWER(text), '(^|[^a-z0-9])that([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                      + (CASE WHEN REGEXP_MATCHES(LOWER(text), '(^|[^a-z0-9])have([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                      + (CASE WHEN REGEXP_MATCHES(LOWER(text), '(^|[^a-z0-9])with([^a-z0-9]|$)') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS stopword_hits
+            FROM documents),
+        m AS (
+            SELECT doc_id, n_words, stopword_hits,
+                   (100 * alnum_chars) // GREATEST(n_words, 1) AS mean_word_len_e2,
+                   (10000 * n_sym) // GREATEST(n_words, 1) AS symbol_ratio_e4,
+                   (100 * alpha_words) // GREATEST(n_words, 1) AS alpha_word_pct
+            FROM s)
+        SELECT doc_id, n_words, mean_word_len_e2, symbol_ratio_e4, alpha_word_pct,
+               stopword_hits,
+               CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                         AND mean_word_len_e2 BETWEEN 300 AND 460
+                         AND symbol_ratio_e4 <= 1000
+                         AND alpha_word_pct >= 80
+                         AND stopword_hits >= 1
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m
     """,
     "lang_id": r"""
         WITH c AS (

@@ -226,3 +226,31 @@ def test_bpe_merges_vs_reference(ray_session):
     assert len(got) == 48 and (got.pair_count > 0).all()
     # merges really compose: some merged token is longer than 2 chars
     assert got.merged.str.len().max() > 2
+
+
+def test_gopher_quality_rule_branches(ray_session, tmp_path):
+    """Each Gopher rule trips on the doc built to violate exactly it."""
+    from crawler_ray.pipelines.text import gopher_quality
+
+    good = ("the quick brown fox jumps over a lazy dog near the " * 8).strip()
+    sf = _write_docs(
+        tmp_path,
+        [
+            good,                                   # passes every band
+            "the ox " * 60,                         # mean word len 250 < 300
+            "the " + "extraordinarily " * 60,       # mean word len > 460
+            "word " * 30,                           # 31 words < 50
+            ("the fox " + "# " * 0 + "ok ") * 30 + "#" * 40,  # symbol ratio
+            ("12 34 56 78 90 " * 12 + "the fox"),   # alpha pct < 80
+            "quick brown fox jumps high " * 12,     # zero stopword hits
+        ],
+    )
+    df = gopher_quality(sf).to_pandas().set_index("doc_id").sort_index()
+    assert df.loc[0, "keep"] == 1
+    assert list(df.keep[1:]) == [0, 0, 0, 0, 0, 0]
+    assert df.loc[1, "mean_word_len_e2"] < 300
+    assert df.loc[2, "mean_word_len_e2"] > 460
+    assert df.loc[3, "n_words"] < 50
+    assert df.loc[4, "symbol_ratio_e4"] > 1000
+    assert df.loc[5, "alpha_word_pct"] < 80
+    assert df.loc[6, "stopword_hits"] == 0
