@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from crawler_ray.pipelines.common import emb_matrix
+
 NUM_QUERIES = 8
 TOP_K = 10
 
@@ -34,7 +36,7 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     ids = t["vec_id"].to_numpy()
     sel = ids < NUM_QUERIES
     qids = ids[sel]
-    qmat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(np.float64)
+    qmat = emb_matrix(t["embedding"])[sel]
     order = np.argsort(qids)
     return qids[order], qmat[order]
 
@@ -51,7 +53,7 @@ def ann_bruteforce_topk(sf_dir: str) -> pa.Table:
     def local_topk(t: pa.Table, ref=q_ref) -> pa.Table:
         qids, qmat, qnorm = ray.get(ref)
         bids = t["vec_id"].to_numpy()
-        bmat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        bmat = emb_matrix(t["embedding"])
         bnorm = np.linalg.norm(bmat, axis=1)
         cos = (qmat @ bmat.T) / np.outer(qnorm, bnorm)  # Q × B
         out_q, out_v, out_c = [], [], []
@@ -156,7 +158,7 @@ def ann_lsh_topk(
         qids, qmat, qnorm, qpr = ray.get(qref)
         planes = ray.get(plref)
         bids = t["vec_id"].to_numpy()
-        mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat = emb_matrix(t["embedding"])
         bks = _buckets_of(mat, planes)  # (ntables, n)
         # candidate mask per query: shares any probed bucket in ANY table
         match = np.zeros((len(qids), len(bids)), dtype=bool)
@@ -244,7 +246,7 @@ def ann_ivf_topk(
         qids, qmat, qnorm, q_cells = ray.get(qref)
         cent = ray.get(cref)
         bids = t["vec_id"].to_numpy()
-        mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat = emb_matrix(t["embedding"])
         bnorm = np.linalg.norm(mat, axis=1)
         assign = ((mat / bnorm[:, None]) @ cent.T).argmax(axis=1)  # (n,)
         # match[q, n] = vector n's cell is probed by query q
@@ -383,7 +385,7 @@ def kmeans_fit(
 
         def partial(t: pa.Table, _ref=ref, _k=k, _d=d, _s=scale) -> pa.Table:
             c = ray.get(_ref)
-            m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            m = emb_matrix(t["embedding"])
             d2 = (m * m).sum(1, keepdims=True) - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
             a = d2.argmin(1)
             q = np.rint(m * _s).astype(np.int64)
@@ -429,7 +431,7 @@ def kmeans_clusters(sf_dir: str, k: int = 16, iters: int = 6) -> rd.Dataset:
 
     def assign(t: pa.Table, _ref=ref) -> pa.Table:
         c = ray.get(_ref)
-        m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        m = emb_matrix(t["embedding"])
         d2 = (m * m).sum(1, keepdims=True) - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
         return pa.table(
             {

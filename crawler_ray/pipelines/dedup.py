@@ -36,6 +36,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from crawler_ray.pipelines.common import emb_matrix
+
 _TOKEN_RE = re.compile(r"[^ ]+")
 
 # --------------------------------------------------------------- exact dedup
@@ -397,7 +399,7 @@ def semdedup(
 
     def assign(t: pa.Table, ref=cent_ref) -> pa.Table:
         c = ray.get(ref)
-        mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat = emb_matrix(t["embedding"])
         nrm = np.linalg.norm(mat, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         a = ((mat / nrm) @ c.T).argmax(axis=1)
