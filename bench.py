@@ -227,6 +227,54 @@ def scaled_docs_dir(mult: int) -> str:
     return out
 
 
+def scaled_emb_dir(mult: int) -> str:
+    """Deterministic ``mult``× embeddings corpus (single file, 16k-row
+    groups so the read splits) for k-means scaling runs — replica k
+    jitters every vector with ``default_rng(k)`` Gaussian noise, keeping
+    the cluster structure while avoiding exact-duplicate points. The sf
+    table is 2k vectors; per-iteration fixed cost floors any N-vs-4N
+    comparison at that size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/crawler_ray_emb_{os.path.basename(SF_DIR)}_x{mult}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    src = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = src["vec_id"].to_numpy()
+    base = np.vstack(src["embedding"].to_numpy(zero_copy_only=False)).astype(np.float32)
+    labels = src["label"].to_numpy()
+    stride = int(ids.max()) + 1
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]
+    )
+    with pq.ParquetWriter(os.path.join(out, "embeddings.parquet"), schema) as w:
+        for k in range(mult):
+            m = base if k == 0 else base + np.random.default_rng(k).normal(
+                0, 0.08, base.shape
+            ).astype(np.float32)
+            w.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(ids + k * stride, pa.int64()),
+                        "embedding": pa.FixedSizeListArray.from_arrays(
+                            m.ravel(), base.shape[1]
+                        ).cast(pa.list_(pa.float32())),
+                        "label": pa.array(labels, pa.int32()),
+                    },
+                    schema=schema,
+                ),
+                row_group_size=16384,
+            )
+    with open(marker, "w") as f:
+        f.write(str(mult))
+    return out
+
+
 def _pagerank_core(sf_dir: str):
     """Bench-only op: the pinned-partition PageRank ITERATION core over a
     deterministic hash-generated graph (``GRAFT_PR_EDGES`` edges, default
@@ -340,6 +388,11 @@ def main() -> None:
         # multiplied docs dir
         graph_ops = {"pagerank", "hits", "pagerank_core"}
         graph_mult = int(os.environ.get("GRAFT_GRAPH_MULT", "8"))
+        # embedding ops read embeddings.parquet — they get the jittered
+        # replica corpus instead of the multiplied documents dir
+        emb_ops = {"kmeans_clusters", "ann_bruteforce_topk", "knn_graph", "semdedup"}
+        emb_mult = int(os.environ.get("GRAFT_EMB_MULT", "256"))
+        emb_dir = scaled_emb_dir(emb_mult) if any(o in emb_ops for o in ops) else None
         n, n4 = SCALING_CPUS
         per_op: dict[str, dict[int, float]] = {o: {} for o in ops}
         for _ in range(trials):
@@ -350,6 +403,10 @@ def main() -> None:
                             os.environ, RAY_GRAFT_CPUS=str(cpus),
                             GRAFT_SF_DIR=SF_DIR,
                             CRAWLER_RAY_GRAPH_MULT=str(graph_mult),
+                        )
+                    elif op in emb_ops:
+                        env = dict(
+                            os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=emb_dir
                         )
                     else:
                         env = dict(

@@ -369,9 +369,12 @@ def kmeans_fit(
     driver reduce sees O(blocks × k) rows of exact int64 partials, and the
     update is bit-identical regardless of batch boundaries or reduce
     order (the property the pytest oracle pins).  Empty clusters keep
-    their previous centroid.  No shuffle at any point; the corpus is
-    re-streamed per iteration (at 100 TB: k-means passes are the cost of
-    the algorithm — cache the column in plasma if memory allows).
+    their previous centroid.  No shuffle at any point; the embedding
+    column is decoded ONCE into plasma-pinned Arrow blocks and every
+    Lloyd pass re-streams those (parquet decode was ~85%% of the
+    per-iteration wall) — at 100 TB the column spills rather than
+    re-decodes, and the materialize can be dropped to pure re-streaming
+    if plasma+disk can't hold it.
     """
     import pyarrow.parquet as pq
 
@@ -379,6 +382,7 @@ def kmeans_fit(
     first = next(pf.iter_batches(batch_size=max(k, 1), columns=["embedding"]))
     cent = np.vstack(first.column("embedding").to_pylist()).astype(np.float64)[:k]
     d = cent.shape[1]
+    col = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).materialize()
 
     for _ in range(iters):
         ref = ray.put(cent)
@@ -405,8 +409,7 @@ def kmeans_fit(
             )
 
         parts = (
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-            .map_batches(partial, batch_size=65536, batch_format="pyarrow")
+            col.map_batches(partial, batch_size=65536, batch_format="pyarrow")
             .to_pandas()  # O(blocks × k) rows
         )
         g = parts.groupby("cluster")
