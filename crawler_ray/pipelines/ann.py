@@ -358,7 +358,8 @@ _KM_SCALE = 1_000_000  # µ-unit integer partials: exact, order-insensitive sums
 
 
 def kmeans_fit(
-    sf_dir: str, k: int = 16, iters: int = 6, scale: int = _KM_SCALE
+    sf_dir: str, k: int = 16, iters: int = 6, scale: int = _KM_SCALE,
+    ds: "rd.Dataset | None" = None,
 ) -> "np.ndarray":
     """Exact full-corpus Euclidean k-means (Lloyd), the distributed
     trainer complementing the sample-trained ``_spherical_kmeans`` the
@@ -382,7 +383,13 @@ def kmeans_fit(
     first = next(pf.iter_batches(batch_size=max(k, 1), columns=["embedding"]))
     cent = np.vstack(first.column("embedding").to_pylist()).astype(np.float64)[:k]
     d = cent.shape[1]
-    col = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).materialize()
+    # ds: caller-shared plasma-pinned blocks (kmeans_clusters passes its
+    # assignment input so the disk read+decode happens exactly once)
+    col = (
+        ds
+        if ds is not None
+        else rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).materialize()
+    )
 
     for _ in range(iters):
         ref = ray.put(cent)
@@ -429,7 +436,10 @@ def kmeans_clusters(sf_dir: str, k: int = 16, iters: int = 6) -> rd.Dataset:
     broadcast centroids.  Rows-only for the driver (iterative k-means is
     not SQL-expressible); pinned by a pytest oracle running the identical
     integer-exact update rule densely."""
-    cent = kmeans_fit(sf_dir, k=k, iters=iters)
+    col = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    cent = kmeans_fit(sf_dir, k=k, iters=iters, ds=col)
     ref = ray.put(cent)
 
     def assign(t: pa.Table, _ref=ref) -> pa.Table:
@@ -443,9 +453,7 @@ def kmeans_clusters(sf_dir: str, k: int = 16, iters: int = 6) -> rd.Dataset:
             }
         )
 
-    return rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(assign, batch_size=65536, batch_format="pyarrow")
+    return col.map_batches(assign, batch_size=65536, batch_format="pyarrow")
 
 
 QUERIES = {

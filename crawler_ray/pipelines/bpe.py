@@ -126,11 +126,17 @@ def train_bpe(sf_dir: str, n_merges: int = 64, nparts: int | None = None) -> pd.
     actors = [_BpePart.options(num_cpus=0).remote() for _ in range(P)]
 
     def push(t: pa.Table, _actors=actors, _P=P) -> pa.Table:
-        wc: Counter = Counter()
-        for s in t["text"].to_pylist():
-            wc.update(_TOKEN_RE.findall((s or "").lower()))
-        words = np.array(list(wc.keys()), dtype=object)
-        counts = np.fromiter(wc.values(), np.int64, len(wc))
+        import pyarrow.compute as pc
+
+        # vectorized word-frequency reduce: split on non-alnum runs ≡
+        # findall([a-z0-9]+) on the lowered text (boundary empties filtered)
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(t["text"]), pattern="[^a-z0-9]+")
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        words = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
         if len(words):
             part = (pd.util.hash_array(words) % np.uint64(_P)).astype(np.int32)
             pending = [
