@@ -335,14 +335,20 @@ def admit_partition_fn(
         seqs = g["seq"].to_numpy()
         lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
         width = max(1, int(lens.max()))
-        seq_fixed = np.array([s.ljust(width, b"\0") for s in seqs], dtype=f"S{width}")
+        # C-speed fixed-width conversion: numpy right-pads bytes with \0,
+        # exactly the ljust the lexsort key needs (len is the tiebreak)
+        seq_fixed = seqs.astype(f"S{width}")
+        # sort string keys via factorize(sort=True) codes: identical order
+        # to Python string compare, but the lexsort runs on int64 (6× —
+        # object-dtype keys make np.lexsort call Python rich compares)
         hosts = g["host"].to_numpy()
+        host_codes = pd.factorize(hosts, sort=True)[0]
         # task is the least-significant tiebreak: two tasks seeding the same
         # url with identical (priority, seq) must order deterministically
         # regardless of block arrival order (the oracle sorts the same way)
-        keys = (lens, seq_fixed, -g["priority"].to_numpy(), hosts)
+        keys = (lens, seq_fixed, -g["priority"].to_numpy(), host_codes)
         if "task" in g.columns:
-            keys = (g["task"].to_numpy(),) + keys
+            keys = (pd.factorize(g["task"].to_numpy(), sort=True)[0],) + keys
         order = np.lexsort(keys)
         g = g.iloc[order]
         keep = ~g.duplicated(subset=["host", "key"], keep="first").to_numpy()
