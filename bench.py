@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "doc_embeddings",
     "token_stats",
     "quality_score",
+    "gopher_quality",
     "dedup_exact",
     "dup_spans",
     "minhash_lsh_dups",

@@ -120,9 +120,21 @@ class _BpePart:
 def train_bpe(sf_dir: str, n_merges: int = 64, nparts: int | None = None) -> pd.DataFrame:
     """Learn ``n_merges`` BPE merges; returns one row per merge:
     (rank, left, right, merged, pair_count)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
     from crawler_ray.pipelines.common import effective_cpus
 
-    P = nparts or max(4, min(effective_cpus(), 16))
+    # size the actor pool to the corpus: word TYPES grow ~sqrt(tokens)
+    # (Heaps), so a small table needs 2 partitions, not 16 cold actor
+    # spawns (measured: 16 actors cost ~10 s of spawn+import inside a
+    # busy 32-worker session for a 5k-doc table)
+    path = f"{sf_dir}/documents.parquet"
+    files = _glob.glob(_os.path.join(path, "*.parquet")) if _os.path.isdir(path) else [path]
+    nrows = sum(_pq.read_metadata(f).num_rows for f in files)
+    P = nparts or max(2, min(effective_cpus(), 16, nrows // 4000 + 1))
     actors = [_BpePart.options(num_cpus=0).remote() for _ in range(P)]
 
     def push(t: pa.Table, _actors=actors, _P=P) -> pa.Table:
