@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "hll_users_by_type",
     "cms_top_tokens",
     "hash_sample_docs",
+    "temperature_mix_docs",
     "prep_training_corpus",
     "knn_graph",
     "urgent_order_revenue",

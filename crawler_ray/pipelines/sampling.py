@@ -220,7 +220,49 @@ def balanced_sample_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def temperature_mix_docs(sf_dir: str) -> rd.Dataset:
+    """Temperature-rebalanced source mix (the GPT-3/PaLM data-mixing rule):
+    target share of source s ∝ n_s^alpha with alpha = 1/2, drawing half the
+    corpus, so rare sources are upweighted relative to their raw share.
+    Per-source keep probability p_s = min(1, w_s·N/2 / (W·n_s)) with
+    w_s = isqrt(n_s), W = Σ w_s — ALL integer arithmetic (Python bigints on
+    the driver, HUGEINT in the oracle), so the kept set hash-matches the
+    SQL exactly.
+
+    Scale shape: one bounded-domain count pass (blocks × |sources| partial
+    rows to the driver), thresholds broadcast in a closure, then the same
+    stateless hash filter as every sampler here — no shuffle, no RNG."""
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        gb = t.select(["source"]).group_by("source").aggregate([([], "count_all")])
+        return gb.rename_columns(["source", "n"])
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("source", as_index=False)["n"].sum()
+    counts = {s: int(n) for s, n in zip(agg["source"], agg["n"])}
+    total = sum(counts.values())
+    n_target = total // 2
+    w = {s: math.isqrt(n) for s, n in counts.items()}
+    wsum = sum(w.values())
+    thr = {
+        s: min(_M32, (_M32 * w[s] * n_target) // (wsum * counts[s]))
+        for s in counts
+    }
+
+    def keep(t: pa.Table, _thr=thr) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        lim = np.fromiter((_thr[s] for s in src), np.uint64, len(src))
+        return t.filter(pa.array(_h32(ids) < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 QUERIES = {
+    "temperature_mix_docs": temperature_mix_docs,
     "balanced_sample_docs": balanced_sample_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "hash_sample_docs": hash_sample_docs,
@@ -229,6 +271,22 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "temperature_mix_docs": f"""
+        WITH c AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n
+                   FROM documents GROUP BY source),
+        t AS (SELECT SUM(n) AS total FROM c),
+        w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS HUGEINT) AS w FROM c),
+        ws AS (SELECT SUM(w) AS wsum FROM w),
+        thr AS (SELECT source,
+                       LEAST(CAST({_M32} AS HUGEINT),
+                             (CAST({_M32} AS HUGEINT) * w
+                              * ((SELECT total FROM t) // 2))
+                             // ((SELECT wsum FROM ws) * n)) AS lim
+                FROM w)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr USING (source)
+        WHERE (d.doc_id * {_KNUTH}) % {_M32} < thr.lim
+    """,
     "balanced_sample_docs": f"""
         SELECT doc_id, source FROM documents
         QUALIFY ROW_NUMBER() OVER (
