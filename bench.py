@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "dedup_exact",
     "dup_spans",
+    "strip_dup_spans",
     "minhash_lsh_dups",
     "minhash_dedup_keep",
     "simhash_dups",

@@ -1004,6 +1004,132 @@ def dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
     )
 
 
+def strip_dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
+    """Exact-substring REMOVAL (the second half of Lee et al. 2022 that
+    ``dup_spans`` only profiles): every k-token window whose hash occurs
+    ≥ 2 times in the corpus — cross-doc or within-doc — is cut from every
+    occurrence, and each document re-emits as its surviving canonical
+    token stream.  Output ``(doc_id, clean_text, n_tokens, n_cut)``;
+    ``clean_text`` is the space-joined kept tokens (tokenization is
+    ``[A-Za-z0-9]+``, so punctuation never survives — the canonical form
+    a training-prep pass feeds the packer).  Documents shorter than k
+    tokens carry no windows and pass through untouched (canonicalized).
+
+    Scale shape: two exchanges, neither moving window strings. (1) every
+    window OCCURRENCE ships its 8-byte rolling hash to a coarse hash
+    partition, which emits only the (doc_id, pos) rows of duplicated
+    hashes — one vectorized ``duplicated(keep=False)`` per partition;
+    (2) those positions co-locate with the document texts in ONE
+    doc-hash-keyed exchange (tag-union + ``groupby(dpart)``), inside
+    which the cut is a per-doc difference-array cover mask.  The corpus
+    text moves exactly once, as it must — the rewrite is a join of text
+    with its own global duplication evidence.  Pytest-pinned against a
+    single-process reference (rows-only for the driver: multi-pass
+    position surgery is not SQL-expressible)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        pos_out: list[np.ndarray] = []
+        wh_out: list[np.ndarray] = []
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(s)
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            h = _token_hashes(toks)
+            acc = h[:n].copy()
+            for j in range(1, k):
+                acc = acc * mult + h[j : j + n]
+            wh_out.append(acc)  # every occurrence, positions kept
+            pos_out.append(np.arange(n, dtype=np.int64))
+            ids_out.append(np.full(n, did, dtype=np.int64))
+        wh = np.concatenate(wh_out) if wh_out else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
+                ),
+                "pos": pa.array(
+                    np.concatenate(pos_out) if pos_out else np.empty(0, np.int64)
+                ),
+                "part": pa.array((wh % np.uint64(parts)).astype(np.int32)),
+                "wh": pa.array(wh),
+            }
+        )
+
+    win = docs.map_batches(windows, batch_size=16384, batch_format="pyarrow").materialize()
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g["wh"].duplicated(keep=False).to_numpy()
+        return g.loc[keep, ["doc_id", "pos"]]
+
+    dup = win.groupby("part").map_groups(dup_positions, batch_format="pandas")
+
+    dparts = parts
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "dpart": pa.array(((ids * np.uint64(2654435761)) % np.uint64(dparts)).astype(np.int32)),
+                "doc_id": t["doc_id"],
+                "pos": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "text": t["text"],
+            }
+        )
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "dpart": pa.array(((ids * np.uint64(2654435761)) % np.uint64(dparts)).astype(np.int32)),
+                "doc_id": t["doc_id"],
+                "pos": t["pos"],
+                "text": pa.nulls(t.num_rows, pa.string()),
+            }
+        )
+
+    unioned = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        dup.map_batches(tag_dup, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["pos"].to_numpy() == -1
+        texts = dict(zip(g.loc[is_doc, "doc_id"], g.loc[is_doc, "text"]))
+        cuts: dict[int, list] = {}
+        for did, p in zip(g.loc[~is_doc, "doc_id"], g.loc[~is_doc, "pos"]):
+            cuts.setdefault(did, []).append(p)
+        out_id, out_txt, out_n, out_cut = [], [], [], []
+        for did, s in texts.items():
+            toks = _TOKEN_RE.findall(s)
+            ps = cuts.get(did)
+            if ps:
+                diff = np.zeros(len(toks) + 1, np.int64)
+                pos_arr = np.asarray(ps, dtype=np.int64)
+                np.add.at(diff, pos_arr, 1)
+                np.add.at(diff, pos_arr + k, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+            else:
+                covered = np.zeros(len(toks), bool)
+            kept = [t_ for t_, c in zip(toks, covered) if not c]
+            out_id.append(did)
+            out_txt.append(" ".join(kept))
+            out_n.append(len(toks))
+            out_cut.append(int(covered.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, np.int64),
+                "clean_text": out_txt,
+                "n_tokens": np.asarray(out_n, np.int64),
+                "n_cut": np.asarray(out_cut, np.int64),
+            }
+        )
+
+    return unioned.groupby("dpart").map_groups(rebuild, batch_format="pandas")
+
+
 def minhash_dedup_keep(sf_dir: str, threshold_pct: int = 50) -> rd.Dataset:
     """End-to-end MinHash near-dedup — the RefinedWeb/Gopher corpus pass,
     composed from the distributed pieces: LSH candidate pairs (exact-
@@ -1081,6 +1207,7 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
     "semdedup": semdedup,
     "dup_spans": dup_spans,
+    "strip_dup_spans": strip_dup_spans,
 }
 
 ORACLE_SQL = {

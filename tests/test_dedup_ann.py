@@ -791,3 +791,82 @@ def test_kmeans_exact_vs_dense_oracle(ray_session):
     assert len(got) == len(ids)
     assert all(want[v] == c for v, c in zip(got.vec_id, got.cluster))
     assert got.cluster.nunique() > 1  # the corpus genuinely partitions
+
+
+def test_strip_dup_spans_constructed(ray_session, tmp_path):
+    """Removal semantics: every occurrence of a duplicated 8-token window
+    is cut (cross-doc AND within-doc), unique text survives verbatim
+    (canonical token join), and sub-k docs pass through untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import strip_dup_spans
+
+    shared = "the quick brown fox jumps over the lazy"  # exactly 8 tokens
+    texts = [
+        shared + " u0 u1 u2",         # doc 0: shared prefix cut, tail kept
+        "v0 v1 v2 " + shared,         # doc 1: shared suffix cut, head kept
+        "w0 w1 w2 w3 w4 w5 w6 w7",    # doc 2: unique single window, kept
+        "too short",                  # doc 3: < 8 tokens, untouched
+        " ".join(["r"] * 20),         # doc 4: self-repeating -> fully cut
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        strip_dup_spans(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert list(out.index) == [0, 1, 2, 3, 4]
+    assert out.loc[0, "clean_text"] == "u0 u1 u2"
+    assert out.loc[0, "n_cut"] == 8 and out.loc[0, "n_tokens"] == 11
+    assert out.loc[1, "clean_text"] == "v0 v1 v2"
+    assert out.loc[2, "clean_text"] == texts[2]
+    assert out.loc[2, "n_cut"] == 0
+    assert out.loc[3, "clean_text"] == "too short" and out.loc[3, "n_cut"] == 0
+    assert out.loc[4, "clean_text"] == "" and out.loc[4, "n_cut"] == 20
+
+
+def test_strip_dup_spans_matches_reference(ray_session):
+    """Distributed removal ≡ a single-process reference with the same
+    hash/window/cover semantics over the real sf0.001 corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import _TOKEN_RE, _token_hashes, strip_dup_spans
+
+    k = 8
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    occ: dict[int, int] = {}
+    per_doc = {}
+    for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = _TOKEN_RE.findall(s)
+        n = len(toks) - k + 1
+        if n <= 0:
+            per_doc[did] = (toks, np.empty(0, np.uint64))
+            continue
+        h = _token_hashes(toks)
+        acc = h[:n].copy()
+        for j in range(1, k):
+            acc = acc * mult + h[j : j + n]
+        per_doc[did] = (toks, acc)
+        for v in acc.tolist():
+            occ[v] = occ.get(v, 0) + 1
+    want = {}
+    for did, (toks, acc) in per_doc.items():
+        covered = np.zeros(len(toks), bool)
+        for i, v in enumerate(acc.tolist()):
+            if occ[v] >= 2:
+                covered[i : i + k] = True
+        want[did] = (
+            " ".join(tk for tk, c in zip(toks, covered) if not c),
+            int(covered.sum()),
+        )
+    got = strip_dup_spans(SF).to_pandas()
+    assert len(got) == len(want)
+    for did, txt, ncut in zip(got.doc_id, got.clean_text, got.n_cut):
+        assert (txt, ncut) == want[did], did
