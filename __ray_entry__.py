@@ -88,12 +88,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs",
         "pagerank", "pagerank_seeded", "hits", "dedup_clusters",
         "dedup_clusters_ls", "triangle_count",
-        "kmeans_clusters", "ann_bruteforce_topk", "ann_lsh_topk",
-        "ann_ivf_topk", "knn_graph",
+        "kmeans_clusters", "ann_bruteforce_topk", "ann_lsh_topk", "knn_graph",
         "source_mixture", "token_stats", "quality_score", "gopher_quality",
         "lang_id", "doc_fingerprint", "top_terms", "tfidf_top_terms",
         "inverted_index", "repetition_signals", "ngram_contamination",
-        "bigram_familiarity", "bm25_topk", "bpe_merges",
+        "bigram_familiarity", "ccnet_buckets", "bm25_topk", "bpe_merges",
         "pii_scrub", "chunk_documents", "encode_tokens",
         "prep_training_corpus", "temperature_mix_docs",
         "approx_price_quantiles",

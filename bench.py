@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "ngram_contamination",
     "repetition_signals",
     "bigram_familiarity",
+    "ccnet_buckets",
     "bm25_topk",
     # curation suite (round 3)
     "pii_scrub",

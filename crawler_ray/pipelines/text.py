@@ -993,6 +993,91 @@ def source_mixture(sf_dir: str) -> pa.Table:
     )
 
 
+def ccnet_buckets(sf_dir: str, parts: int = 16) -> rd.Dataset:
+    """CCNet-style per-language quality buckets (Wenzek et al. 2020): each
+    document lands in ``head`` / ``middle`` / ``tail`` of ITS language by
+    the corpus-LM fluency proxy (``bigram_familiarity``), with
+    mean-relative integer thresholds — head when 50·fam ≥ 51·mean(lang),
+    tail when 50·fam < 49·mean(lang); the ±2%% band is tuned to the
+    synthetic corpus's tight familiarity spread (p10–p90 ≈ ±4%%) so the
+    gate is non-degenerate — so the oracle hash-matches exactly
+    (rank-free thresholds avoid a global per-language sort).
+
+    Scale shape: the two doc-sized signal tables co-locate in ONE
+    doc-hash exchange (tag-union, the repo's co-group idiom); the
+    per-language means are a bounded-domain reduce (≤ |langs| rows to
+    the driver), broadcast back into a stateless bucket map."""
+    fam = bigram_familiarity(sf_dir, parts=parts)
+    lang = lang_id(sf_dir)
+
+    def _dpart(ids: np.ndarray) -> pa.Array:
+        u = ids.astype(np.uint64)
+        return pa.array(((u * np.uint64(2654435761)) % np.uint64(parts)).astype(np.int32))
+
+    def tag_fam(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dpart": _dpart(ids),
+                "doc_id": t["doc_id"],
+                "fam_avg_c": pc.cast(t["fam_avg_c"], pa.int64()),
+                "pred_lang": pa.nulls(t.num_rows, pa.string()),
+            }
+        )
+
+    def tag_lang(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dpart": _dpart(ids),
+                "doc_id": t["doc_id"],
+                "fam_avg_c": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "pred_lang": t["pred_lang"],
+            }
+        )
+
+    unioned = fam.map_batches(tag_fam, batch_format="pyarrow").union(
+        lang.map_batches(tag_lang, batch_format="pyarrow")
+    )
+
+    def join_docs(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["fam_avg_c"] >= 0][["doc_id", "fam_avg_c"]]
+        l = g[g["fam_avg_c"] < 0][["doc_id", "pred_lang"]]
+        return f.merge(l, on="doc_id")  # inner: sub-2-token docs drop
+
+    joined = unioned.groupby("dpart").map_groups(join_docs, batch_format="pandas").materialize()
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        gb = (
+            pa.table({"pred_lang": t["pred_lang"], "fam": t["fam_avg_c"]})
+            .group_by("pred_lang")
+            .aggregate([("fam", "sum"), ("fam", "count")])
+        )
+        return gb.rename_columns(["pred_lang", "fam_sum", "n"])
+
+    parts_df = joined.map_batches(lang_partial, batch_format="pyarrow").to_pandas()
+    agg = parts_df.groupby("pred_lang", as_index=False)[["fam_sum", "n"]].sum()
+    means = {r.pred_lang: int(r.fam_sum) // int(r.n) for r in agg.itertuples()}
+
+    def bucket(t: pa.Table, _m=means) -> pa.Table:
+        fam_v = t["fam_avg_c"].to_numpy(zero_copy_only=False)
+        langs = t["pred_lang"].to_numpy(zero_copy_only=False)
+        m = np.fromiter((_m[s] for s in langs), np.int64, len(langs))
+        out = np.where(
+            50 * fam_v >= 51 * m, "head", np.where(50 * fam_v < 49 * m, "tail", "middle")
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pred_lang": t["pred_lang"],
+                "fam_avg_c": t["fam_avg_c"],
+                "bucket": pa.array(out.astype(object), pa.string()),
+            }
+        )
+
+    return joined.map_batches(bucket, batch_format="pyarrow")
+
+
 QUERIES = {
     "source_mixture": source_mixture,
     "token_stats": token_stats,
@@ -1009,10 +1094,50 @@ QUERIES = {
     "repetition_signals": repetition_signals,
     "ngram_contamination": ngram_contamination,
     "bigram_familiarity": bigram_familiarity,
+    "ccnet_buckets": ccnet_buckets,
     "bm25_topk": bm25_topk,
 }
 
 ORACLE_SQL = {
+    "ccnet_buckets": r"""
+        WITH t AS (
+            SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, GREATEST(LEN(toks), 1)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM t),
+        c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1),
+        d AS (SELECT g.doc_id, COUNT(*) AS n_bigrams, SUM(c.cnt) AS fam_sum
+              FROM g JOIN c USING (gram) GROUP BY 1),
+        lm AS (
+            SELECT doc_id,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(the|and|of|to)\b')) AS m_en,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(der|die|das|und)\b')) AS m_de,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(le|la|les|et)\b')) AS m_fr,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b(el|los|las|y)\b')) AS m_es,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[\x{4e00}-\x{9fff}]')) AS m_zh
+            FROM documents),
+        langs AS (
+            SELECT doc_id,
+                   CASE WHEN m_zh > 0 THEN 'zh'
+                        WHEN m_en > 0 AND m_en >= m_de AND m_en >= m_fr AND m_en >= m_es THEN 'en'
+                        WHEN m_de > 0 AND m_de >= m_fr AND m_de >= m_es THEN 'de'
+                        WHEN m_fr > 0 AND m_fr >= m_es THEN 'fr'
+                        WHEN m_es > 0 THEN 'es'
+                        ELSE 'unk' END AS pred_lang
+            FROM lm),
+        j AS (SELECT d.doc_id, langs.pred_lang,
+                     CAST((1000000 * d.fam_sum) // d.n_bigrams AS BIGINT) AS fam_avg_c
+              FROM d JOIN langs USING (doc_id)),
+        m AS (SELECT pred_lang, SUM(fam_avg_c) // COUNT(*) AS mu FROM j GROUP BY 1)
+        SELECT j.doc_id, j.pred_lang, j.fam_avg_c,
+               CASE WHEN 50 * j.fam_avg_c >= 51 * m.mu THEN 'head'
+                    WHEN 50 * j.fam_avg_c < 49 * m.mu THEN 'tail'
+                    ELSE 'middle' END AS bucket
+        FROM j JOIN m USING (pred_lang)
+    """,
     "source_mixture": """
         WITH s AS (
             SELECT source,
