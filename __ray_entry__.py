@@ -79,7 +79,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (winnow, hll, doc_embeddings, pack_sequences, cms, media) or
     # relational/TPC-H (green in every prior round's driver window and
     # fully re-checkable via tools/check_queries.py).
-    priority = [
+    priority = _PRIORITY
+    ordered = {n: out[n] for n in priority if n in out}
+    ordered.update((n, f) for n, f in out.items() if n not in ordered)
+    return ordered
+
+
+# The driver-visible 50-entry window (see queries()); module-level so the
+# contract test can assert the list itself is duplicate-free and complete.
+_PRIORITY = [
         "crawl_items", "crawl_order", "crawl_text", "multitask_crawl_order",
         "frontier_host_stats", "link_graph", "anchor_texts", "recrawl_items",
         "dedup_exact", "dedup_keep_best", "strip_dup_spans", "dup_spans",
@@ -96,10 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub", "chunk_documents", "encode_tokens",
         "prep_training_corpus", "temperature_mix_docs",
         "approx_price_quantiles",
-    ]
-    ordered = {n: out[n] for n in priority if n in out}
-    ordered.update((n, f) for n, f in out.items() if n not in ordered)
-    return ordered
+]
 
 
 def oracle_sql() -> dict[str, str]:

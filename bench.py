@@ -394,7 +394,10 @@ def main() -> None:
         graph_mult = int(os.environ.get("GRAFT_GRAPH_MULT", "8"))
         # embedding ops read embeddings.parquet — they get the jittered
         # replica corpus instead of the multiplied documents dir
-        emb_ops = {"kmeans_clusters", "ann_bruteforce_topk", "knn_graph", "semdedup"}
+        emb_ops = {
+            "kmeans_clusters", "ann_bruteforce_topk", "ann_lsh_topk",
+            "ann_ivf_topk", "knn_graph", "semdedup", "embedding_dup_pairs",
+        }
         emb_mult = int(os.environ.get("GRAFT_EMB_MULT", "256"))
         emb_dir = scaled_emb_dir(emb_mult) if any(o in emb_ops for o in ops) else None
         n, n4 = SCALING_CPUS

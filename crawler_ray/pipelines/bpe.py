@@ -176,8 +176,19 @@ def train_bpe(sf_dir: str, n_merges: int = 64, nparts: int | None = None) -> pd.
             total.update(d)
         if not total:
             break
-        # most frequent; ties → lexicographically smallest merged string
-        best = min(total.items(), key=lambda kv: (-kv[1], vocab[kv[0][0]] + vocab[kv[0][1]]))
+        # most frequent; ties → smallest (merged, left, right) strings —
+        # (left, right) uniquely identifies a pair, so the argmin is total
+        # regardless of Counter insertion order (two DISTINCT pairs can
+        # share the same merged string, e.g. a+bc and ab+c)
+        best = min(
+            total.items(),
+            key=lambda kv: (
+                -kv[1],
+                vocab[kv[0][0]] + vocab[kv[0][1]],
+                vocab[kv[0][0]],
+                vocab[kv[0][1]],
+            ),
+        )
         (a_id, b_id), cnt = best
         new_id = len(vocab)
         vocab.append(vocab[a_id] + vocab[b_id])
@@ -230,7 +241,15 @@ def reference_bpe(texts: list, n_merges: int) -> pd.DataFrame:
                 pc[p] += c
         if not pc:
             break
-        best = min(pc.items(), key=lambda kv: (-kv[1], vocab[kv[0][0]] + vocab[kv[0][1]]))
+        best = min(
+            pc.items(),
+            key=lambda kv: (
+                -kv[1],
+                vocab[kv[0][0]] + vocab[kv[0][1]],
+                vocab[kv[0][0]],
+                vocab[kv[0][1]],
+            ),
+        )
         (a_id, b_id), cnt = best
         new_id = len(vocab)
         vocab.append(vocab[a_id] + vocab[b_id])

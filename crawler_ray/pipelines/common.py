@@ -15,9 +15,29 @@ def emb_matrix(col) -> "np.ndarray":
     (the embeddings-table contract)."""
     import numpy as np
 
+    import pyarrow.compute as pc
+
     ca = col.combine_chunks() if hasattr(col, "combine_chunks") else col
     flat = ca.flatten().to_numpy(zero_copy_only=False)
+    if len(ca):
+        if ca.null_count:
+            raise ValueError("embedding column has null rows")
+        vl = pc.list_value_length(ca)
+        if pc.min(vl).as_py() != pc.max(vl).as_py():
+            # a ragged column whose total happens to divide evenly would
+            # otherwise reshape into silently misaligned rows
+            raise ValueError("embedding lists are ragged")
     return flat.reshape(len(ca), -1).astype(np.float64)
+
+
+def dpart_of(ids, parts: int):
+    """Coarse doc-hash partition codes (Knuth multiplicative, the idiom the
+    co-group/tag-union stages share) as an int32 pyarrow array."""
+    import numpy as np
+    import pyarrow as pa
+
+    u = ids.astype(np.uint64)
+    return pa.array(((u * np.uint64(2654435761)) % np.uint64(parts)).astype(np.int32))
 
 
 def effective_cpus(default: int = 8) -> int:

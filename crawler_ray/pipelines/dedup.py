@@ -1035,9 +1035,9 @@ def strip_dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
     ≥ 2 times in the corpus — cross-doc or within-doc — is cut from every
     occurrence, and each document re-emits as its surviving canonical
     token stream.  Output ``(doc_id, clean_text, n_tokens, n_cut)``;
-    ``clean_text`` is the space-joined kept tokens (tokenization is
-    ``[A-Za-z0-9]+``, so punctuation never survives — the canonical form
-    a training-prep pass feeds the packer).  Documents shorter than k
+    ``clean_text`` is the single-space join of the kept whitespace tokens
+    (dedup.py's ``[^ ]+`` tokenizer — punctuation stays attached to its
+    word; only inter-token spacing is canonicalized).  Documents shorter than k
     tokens carry no windows and pass through untouched (canonicalized).
 
     Scale shape: two exchanges, neither moving window strings. (1) every
@@ -1075,11 +1075,13 @@ def strip_dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
 
     dparts = parts
 
+    from crawler_ray.pipelines.common import dpart_of
+
     def tag_docs(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "dpart": pa.array(((ids * np.uint64(2654435761)) % np.uint64(dparts)).astype(np.int32)),
+                "dpart": dpart_of(ids, dparts),
                 "doc_id": t["doc_id"],
                 "pos": pa.array(np.full(t.num_rows, -1, np.int64)),
                 "text": t["text"],
@@ -1087,10 +1089,10 @@ def strip_dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
         )
 
     def tag_dup(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "dpart": pa.array(((ids * np.uint64(2654435761)) % np.uint64(dparts)).astype(np.int32)),
+                "dpart": dpart_of(ids, dparts),
                 "doc_id": t["doc_id"],
                 "pos": t["pos"],
                 "text": pa.nulls(t.num_rows, pa.string()),

@@ -245,6 +245,10 @@ def temperature_mix_docs(sf_dir: str) -> rd.Dataset:
     counts = {s: int(n) for s, n in zip(agg["source"], agg["n"])}
     total = sum(counts.values())
     n_target = total // 2
+    # the oracle's FLOOR(SQRT(double)) equals isqrt only below ~2^52; fail
+    # loudly rather than silently hash-diverging on an absurd per-source
+    # count (the whole-corpus doc count, not bytes, so 2^52 is generous)
+    assert all(n < (1 << 52) for n in counts.values()), "source count exceeds sqrt-exact range"
     w = {s: math.isqrt(n) for s, n in counts.items()}
     wsum = sum(w.values())
     thr = {
@@ -255,7 +259,10 @@ def temperature_mix_docs(sf_dir: str) -> rd.Dataset:
     def keep(t: pa.Table, _thr=thr) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         src = t["source"].to_numpy(zero_copy_only=False)
-        lim = np.fromiter((_thr[s] for s in src), np.uint64, len(src))
+        # .get(s, 0): a source unseen in the count pass (e.g. NULL, which
+        # pandas' partial-merge groupby drops) keeps nothing — the same
+        # rows the oracle's inner JOIN drops
+        lim = np.fromiter((_thr.get(s, 0) for s in src), np.uint64, len(src))
         return t.filter(pa.array(_h32(ids) < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")

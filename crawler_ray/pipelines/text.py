@@ -1010,9 +1010,10 @@ def ccnet_buckets(sf_dir: str, parts: int = 16) -> rd.Dataset:
     fam = bigram_familiarity(sf_dir, parts=parts)
     lang = lang_id(sf_dir)
 
+    from crawler_ray.pipelines.common import dpart_of
+
     def _dpart(ids: np.ndarray) -> pa.Array:
-        u = ids.astype(np.uint64)
-        return pa.array(((u * np.uint64(2654435761)) % np.uint64(parts)).astype(np.int32))
+        return dpart_of(ids, parts)
 
     def tag_fam(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)

@@ -10,8 +10,13 @@ def test_priority_window_contract():
 
     q = E.queries()
     names = list(q)
-    assert len(names) == len(set(names))
+    # the curated list itself must be duplicate-free and fully resolvable
+    # (dict construction would silently dedup/skip otherwise)
+    assert len(E._PRIORITY) == 50
+    assert len(set(E._PRIORITY)) == 50
+    assert set(E._PRIORITY) <= set(names)
     window = names[:50]
+    assert window == E._PRIORITY
     # the flagship families the driver must see
     for must in [
         "crawl_items", "crawl_order", "multitask_crawl_order", "recrawl_items",
