@@ -380,8 +380,17 @@ def kmeans_fit(
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    first = next(pf.iter_batches(batch_size=max(k, 1), columns=["embedding"]))
-    cent = np.vstack(first.column("embedding").to_pylist()).astype(np.float64)[:k]
+    # accumulate batches until k rows: iter_batches' batch_size is a MAX —
+    # a row-group boundary can hand back fewer, and the init contract the
+    # pytest oracle pins is "the corpus's first k vectors"
+    rows: list = []
+    for b in pf.iter_batches(batch_size=max(k, 1), columns=["embedding"]):
+        rows.extend(b.column("embedding").to_pylist())
+        if len(rows) >= k:
+            break
+    if len(rows) < k:
+        raise ValueError(f"k-means needs >= k={k} vectors, corpus has {len(rows)}")
+    cent = np.vstack(rows[:k]).astype(np.float64)
     d = cent.shape[1]
     # ds: caller-shared plasma-pinned blocks (kmeans_clusters passes its
     # assignment input so the disk read+decode happens exactly once)

@@ -361,11 +361,12 @@ def run_crawl(
     cfg = PolitenessConfig.from_json(corpus.politeness)
     depth_limits = {n: min(cfg.max_depth, t.max_depth) for n, t in tasks.items()}
     cfg = dataclasses.replace(cfg, max_depth=max(depth_limits.values()))
-    # scalar gate when every task shares one limit (the common case — one
-    # vectorized compare); per-task dict otherwise
-    canon_depth: "int | dict" = (
-        cfg.max_depth if len(set(depth_limits.values())) == 1 else depth_limits
-    )
+    # ALWAYS the per-task dict: the dict path is also the unknown-task drop
+    # (missing-Trunk semantics the oracle enforces) — a scalar fast path
+    # would let rows naming an unknown task (typo'd seed table, checkpoint
+    # from a multi-task run resumed with fewer tasks) through to fetch.
+    # Cost is one index_in+take per batch against an |tasks|-sized set.
+    canon_depth: "int | dict" = depth_limits
     reload_tasks = frozenset(n for n, t in tasks.items() if t.reload)
     all_reload = len(reload_tasks) == len(tasks)
     seen_skip = reload_tasks if (reload_tasks and not all_reload) else None
@@ -1014,7 +1015,15 @@ def build_ts_ledger(out_dir: str, num_shards: int = 16) -> str:
         urls_b = [u.encode() for u in g["url"]]
         width = max((len(b) for b in urls_b), default=1)
         ua = np.array(urls_b, dtype=f"S{width}")
-        order = np.argsort(ua, kind="stable")
+        # one entry per url, LAST warc_ts wins: a reload task fetches the
+        # same url in many iterations, and the searchsorted probe on the
+        # recrawl side lands on the FIRST of equal keys — sort by (url, ts)
+        # and keep each run's last row so the ledger really is the
+        # last-known capture time (the docstring contract)
+        order = np.lexsort((g["ts"].to_numpy(), ua))
+        ua_s = ua[order]
+        last = np.r_[ua_s[1:] != ua_s[:-1], True]
+        order = order[last]
         np.save(os.path.join(ldir, f"urls_{s:04d}.npy"), ua[order])
         np.save(
             os.path.join(ldir, f"ts_{s:04d}.npy"),
@@ -1047,7 +1056,7 @@ def build_ts_ledger(out_dir: str, num_shards: int = 16) -> str:
         pq.write_table(fr, os.path.join(fdir, f"frontier_{s:04d}.parquet"))
         import pandas as pd
 
-        return pd.DataFrame({"shard": [s], "n": [len(g)]})
+        return pd.DataFrame({"shard": [s], "n": [len(order)]})
 
     manifest = (
         ray.data.read_parquet(files, columns=cols)

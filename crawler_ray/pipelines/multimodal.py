@@ -28,6 +28,7 @@ table (seeded by doc_id), cached next to the pages corpus.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -279,13 +280,18 @@ class MediaDecoder:
 
     @staticmethod
     def _decode_ppm(blob: bytes) -> tuple[str, int, int, int, int]:
-        """Binary P6 PPM: ASCII header tokens then raw RGB."""
+        """Binary P6 PPM: ASCII header tokens then raw RGB.  The payload
+        starts after exactly ONE whitespace byte past maxval (the P6 spec)
+        — split(maxsplit=...) would eat a whitespace-valued FIRST PIXEL
+        byte as header separator and shift/short the payload."""
         try:
-            parts = blob.split(maxsplit=4)
-            w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+            m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", blob)
+            if m is None:
+                return ("invalid", 0, 0, 0, 0)
+            w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
             if maxval > 255 or w <= 0 or h <= 0:
                 return ("invalid", 0, 0, 0, 0)
-            px = np.frombuffer(parts[4][: w * h * 3], np.uint8)
+            px = np.frombuffer(blob[m.end() : m.end() + w * h * 3], np.uint8)
             if len(px) < w * h * 3:
                 return ("invalid", 0, 0, 0, 0)
             return ("image", w, h, 1, int(px.mean() * 1000))
@@ -455,7 +461,7 @@ class AudioFeatures:
             signs = np.signbit(x)
             zcr.append(int((signs[1:] != signs[:-1]).sum() * 1_000_000) // max(n - 1, 1))
             mag = np.abs(np.fft.rfft(x))
-            dom.append(int(round(np.argmax(mag[1:]) + 1) * rate / n) if len(mag) > 1 else 0)
+            dom.append(int(round((np.argmax(mag[1:]) + 1) * rate / n)) if len(mag) > 1 else 0)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

@@ -2225,6 +2225,8 @@ def q15_top_supplier(
 
     def name_gate(t: pa.Table, _ref=ref) -> pa.Table:
         keys = ray.get(_ref)
+        if len(keys) == 0:
+            return t.slice(0, 0)
         sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
         idx = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
         return t.filter(pa.array(keys[idx] == sk))
@@ -2337,6 +2339,8 @@ def q17_small_quantity_revenue(
 
     def gate(t: pa.Table, _ref=pk_ref) -> pa.Table:
         keys = ray.get(_ref)
+        if len(keys) == 0:  # no part carries the brand -> zero revenue
+            return t.slice(0, 0)
         v = t["l_partkey"].to_numpy(zero_copy_only=False)
         idx = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
         return t.filter(pa.array(keys[idx] == v))
@@ -2373,6 +2377,8 @@ def q17_small_quantity_revenue(
 
     def rev_partial(t: pa.Table, _ref=th_ref) -> pa.Table:
         keys, thr = ray.get(_ref)
+        if len(keys) == 0:
+            return pa.table({"c": pa.array([0], pa.int64())})
         v = t["l_partkey"].to_numpy(zero_copy_only=False)
         idx = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
         hit = keys[idx] == v
