@@ -532,3 +532,50 @@ def test_recrawl_chain_ledger_carries_forward(
     assert set(df3.url) == set(df2[df2.outcome.isin(["ok", "unchanged"])].url)
     assert set(df3.outcome) == {"unchanged"}
     assert e3.items_dataset("detail") is None or e3.items_dataset("detail").count() == 0
+
+
+def test_ts_ledger_keeps_last_capture_per_url(ray_session, tmp_path):
+    """A url fetched in several iterations (reload task) must appear ONCE
+    in the ledger with its LATEST warc_ts — the searchsorted probe lands
+    on the first of equal keys, so duplicates would resurrect the earliest
+    capture time."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.crawl import build_ts_ledger
+
+    out = tmp_path / "run"
+    for it, ts in enumerate([100, 200, 150]):
+        odir = out / f"iter_{it:04d}" / "order"
+        odir.mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "iteration": pa.array([it], pa.int32()),
+                    "url": pa.array(["http://h0.example.com/a"]),
+                    "priority": pa.array([0], pa.int32()),
+                    "seq": pa.array([b"\x00"], pa.binary()),
+                    "attempt": pa.array([0], pa.int32()),
+                    "outcome": pa.array(["ok"]),
+                    "h64": pa.array([7], pa.uint64()),
+                    "warc_ts": pa.array([ts], pa.timestamp("us")),
+                    "task": pa.array(["t"]),
+                    "rule": pa.array(["r"]),
+                }
+            ),
+            odir / "order_0.parquet",
+        )
+    ldir = build_ts_ledger(str(out), num_shards=4)
+    import glob as g
+    import json
+
+    meta = json.load(open(f"{ldir}/meta.json"))
+    assert meta["n_urls"] == 1
+    ufile = g.glob(f"{ldir}/urls_*.npy")
+    assert len(ufile) == 1
+    s = ufile[0][-8:-4]
+    urls = np.load(ufile[0])
+    tss = np.load(f"{ldir}/ts_{s}.npy")
+    assert len(urls) == 1 and len(tss) == 1
+    assert int(tss[0]) == 200  # the max, not the first or last written
