@@ -177,3 +177,37 @@ def test_cli_multi_rules(corpus_small, tmp_path_factory, capsys):
     assert info["scheduled"] > 0 and info["items"] > 0
     assert glob.glob(os.path.join(out, "iter_*", "items", "task=synth_crawl", "rule=detail", "*.parquet"))
     assert glob.glob(os.path.join(out, "iter_*", "items", "task=linkscan", "rule=leaf", "*.parquet"))
+
+
+def test_canonicalize_drops_unknown_task_rows(ray_session):
+    """The per-task depth gate doubles as the missing-Trunk drop: frontier
+    rows naming a task outside the task set never reach admission/fetch —
+    including in SINGLE-task runs (a resumed multi-task checkpoint or a
+    typo'd seed table), where a scalar fast path once let them through."""
+    import pyarrow as pa
+
+    from crawler_ray.stages.extract import canonicalize_fn
+
+    fn = canonicalize_fn({"known": 3}, default_task="known")
+    batch = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "http://h0.example.com/a",
+                    "http://h0.example.com/b",
+                    "http://h0.example.com/c",
+                    "http://h0.example.com/d",
+                ]
+            ),
+            "depth": pa.array([1, 1, 9, 1], pa.int32()),
+            "task": pa.array(["known", "GHOST", "known", ""]),
+        }
+    )
+    out = fn(batch)
+    # GHOST dropped (unknown task), depth-9 dropped, "" backfills to known
+    assert out.num_rows == 2
+    assert set(out["task"].to_pylist()) == {"known"}
+    assert set(out["url"].to_pylist()) == {
+        "http://h0.example.com/a",
+        "http://h0.example.com/d",
+    }
