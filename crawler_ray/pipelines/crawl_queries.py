@@ -150,6 +150,37 @@ def link_graph(sf_dir: str) -> rd.Dataset:
     return ex.map_batches(edges_fn, batch_format="pyarrow")
 
 
+def rank_weighted_frontier(sf_dir: str, iters: int = 10) -> rd.Dataset:
+    """Rank-informed frontier prioritization — the crawl loop closed on its
+    own link graph: PageRank over the corpus edges (``link_graph`` →
+    ``pagerank_edges``, the BSP layer) buckets every url into an integer
+    priority = bit_length(rank_micro), so a recrawl or refresh pass
+    schedules hub pages first.  The bucket is computed by pure integer
+    comparison against powers of two (no float log2 boundary risk), making
+    the whole composition deterministic end-to-end; rows-only for the
+    driver (iterative PageRank is not SQL-expressible), with the rank
+    itself pinned by the dense pytest oracle and the bucketing pinned
+    directly."""
+    import numpy as np
+
+    from crawler_ray.pipelines.graph import pagerank
+
+    ranks = pagerank(sf_dir, iters=iters)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = t["rank_micro"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prio = (v[:, None] >= (np.int64(1) << np.arange(63, dtype=np.int64))).sum(1)
+        return pa.table(
+            {
+                "url": t["url"],
+                "priority": pa.array(prio.astype(np.int64)),
+                "rank_micro": t["rank_micro"],
+            }
+        )
+
+    return ranks.map_batches(bucket, batch_format="pyarrow")
+
+
 def recrawl_items(sf_dir: str) -> rd.Dataset:
     """Incremental-recrawl surface: crawl the corpus (shared cached run),
     then recrawl the SAME site one epoch later (``synth_corpus(epoch=1)``)
@@ -320,6 +351,7 @@ QUERIES = {
     "link_graph": link_graph,
     "anchor_texts": anchor_texts,
     "recrawl_items": recrawl_items,
+    "rank_weighted_frontier": rank_weighted_frontier,
 }
 
 ORACLE_SQL: dict[str, str] = {}

@@ -438,3 +438,23 @@ def test_personalized_pagerank_matches_dense_oracle(ray_session):
     # an entirely-absent seed set fails loudly
     with pytest.raises(ValueError):
         pagerank_edges(ds, iters=2, seeds={"nope": 1.0})
+
+
+def test_rank_weighted_frontier_buckets(ray_session):
+    """Composition pin: priority is exactly int.bit_length(rank_micro) for
+    every url, and the crawl's hub pages (list/tag indexes) outrank leaf
+    detail pages."""
+    from crawler_ray.pipelines.crawl_queries import rank_weighted_frontier
+
+    df = rank_weighted_frontier("/root/testdata/sf0.001", iters=5).to_pandas()
+    assert len(df) > 0
+    assert (df.priority == df.rank_micro.map(lambda v: int(v).bit_length())).all()
+    # priority is monotone in rank, and the frontier covers every ranked
+    # url exactly once (the ranks themselves are pinned by the dense
+    # pagerank oracle)
+    mono = df.sort_values("rank_micro").priority
+    assert (mono.diff().dropna() >= 0).all()
+    assert df.url.is_unique
+    from crawler_ray.pipelines.graph import pagerank
+
+    assert len(df) == pagerank("/root/testdata/sf0.001", iters=5).count()
