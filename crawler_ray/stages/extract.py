@@ -447,11 +447,21 @@ class FetchExtract:
             if retry_np.any():
                 retry = batch.filter(pa.array(retry_np))
                 batch = batch.filter(pa.array(~retry_np))
-                exists, _ = self.fetcher.membership(retry)
+                exists, pos_r = self.fetcher.membership(retry)
                 outcome_r = pa.array(
                     np.where(exists, "banned", "missing"), pa.string()
                 )
-                pre_parts.append(_rows_like(retry, None, "order", outcome=outcome_r))
+                # byte-identity with a real refetch: present (banned) rows
+                # carry the page's warc_ts — a ts-only column read, no html
+                ts_full = np.zeros(len(exists), np.int64)
+                if exists.any():
+                    ts_full[exists] = self.fetcher.timestamps_at(pos_r[exists])
+                ts_r = pa.array(ts_full, pa.int64(), mask=~exists).cast(
+                    pa.timestamp("us")
+                )
+                pre_parts.append(
+                    _rows_like(retry, None, "order", outcome=outcome_r, ts=ts_r)
+                )
                 att_r = retry.column("attempt")
                 again = np.flatnonzero(
                     np.asarray(att_np[retry_np]) + 1 < self.max_attempts
@@ -594,11 +604,24 @@ def items_to_columns(task: TaskSpec, rule_name: str):
     spec = task.rules[rule_name]
 
     def fn(batch: pa.Table) -> pa.Table:
+        from crawler_ray.rules import _atoi
+
         payloads = [json.loads(p) for p in batch.column("payload").to_pylist()]
         cols: dict[str, pa.Array] = {}
         for fname in spec.item_fields:
-            typ = pa.int64() if fname in spec.int_fields else pa.string()
-            cols[fname] = pa.array([p.get(fname, "") for p in payloads], type=typ)
+            if fname in spec.int_fields:
+                # declared-int fields may arrive as strings (carry-merged
+                # values, or the ""-missing default) — coerce with the rule
+                # engine's Atoi semantics instead of crashing the sink
+                vals = [p.get(fname, "") for p in payloads]
+                cols[fname] = pa.array(
+                    [v if isinstance(v, int) else _atoi(str(v)) for v in vals],
+                    type=pa.int64(),
+                )
+            else:
+                cols[fname] = pa.array(
+                    [p.get(fname, "") for p in payloads], type=pa.string()
+                )
         cols["url"] = batch.column("url")
         cols["ts"] = batch.column("ts")
         return pa.table(cols)

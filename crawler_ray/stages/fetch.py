@@ -172,6 +172,37 @@ class SimulatedFetcher:
             self.lru.popitem(last=False)
         return arrays
 
+    def timestamps_at(self, pos: "np.ndarray") -> "np.ndarray":
+        """int64 µs warc_ts at corpus positions — reads ONLY each touched
+        row group's warc_ts column chunk (no html decompress; ~8 B/row
+        cached per worker), so the deterministic retry fast path can emit
+        order rows byte-identical to a real refetch."""
+        import numpy as np
+
+        cache = getattr(self, "_ts_groups", None)
+        if cache is None:
+            cache = self._ts_groups = {}
+        out = np.empty(len(pos), np.int64)
+        gpos = np.searchsorted(self.offsets, pos, side="right")
+        for g in np.unique(gpos):
+            gi = int(g)
+            ts = cache.get(gi)
+            if ts is None:
+                path, rg = self.groups[gi]
+                pf = self.files.get(path)
+                if pf is None:
+                    pf = self.files[path] = pq.ParquetFile(path)
+                ts = cache[gi] = (
+                    pf.read_row_group(rg, columns=["warc_ts"])
+                    .column("warc_ts")
+                    .cast(pa.int64())
+                    .to_numpy()
+                )
+            sel = gpos == g
+            g_start = int(self.offsets[gi - 1]) if gi > 0 else 0
+            out[sel] = ts[pos[sel] - g_start]
+        return out
+
     def membership(self, batch: pa.Table):
         """Vectorized membership probe: (exists mask, clamped corpus
         positions). Misses never touch row groups; the global searchsorted
@@ -180,6 +211,9 @@ class SimulatedFetcher:
         arrays directly — no per-row Python anywhere."""
         import numpy as np
 
+        if len(self.url_index) == 0:  # empty corpus: every probe misses
+            n = batch.num_rows
+            return np.zeros(n, bool), np.zeros(n, np.int64)
         width = self.url_index.dtype.itemsize
         url_bin = pc.cast(batch.column("url").combine_chunks(), pa.binary())
         url_np = url_bin.to_numpy(zero_copy_only=False)
@@ -427,27 +461,3 @@ def make_fetch_fn(pages_dir: str):
     return fn
 
 
-def split_fetch_outcome(batch: pa.Table) -> pa.Table:
-    """Tag rows with fetch outcome for downstream routing (vectorized):
-    ``outcome`` ∈ {ok, missing, banned, short}.
-
-    - missing → failure path (requeue once, unmark) — engine/crawler.go:99-104
-    - banned  → failure path too (SetFailure)       — engine/crawler.go:106-111
-    - short   → dropped, stays marked visited       — engine/crawler.go:113-120
-    """
-    from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES
-
-    html = batch.column("html")
-    missing = pc.is_null(html)
-    filled = pc.fill_null(html, b"")
-    # match on the binary column directly (compares the UTF-8 bytes of the
-    # ban string) — a cast to pa.string() would raise on non-UTF-8 bodies
-    # from a live fetcher whose transcode fell back to raw bytes
-    banned = pc.match_substring(filled, BAN_STRING)
-    short = pc.less(pc.binary_length(filled), MIN_BODY_BYTES)
-    outcome = pc.if_else(
-        missing,
-        pa.scalar("missing"),
-        pc.if_else(banned, pa.scalar("banned"), pc.if_else(short, pa.scalar("short"), pa.scalar("ok"))),
-    )
-    return batch.append_column("outcome", outcome)

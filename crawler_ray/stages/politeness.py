@@ -171,11 +171,17 @@ def robots_filter_fn(config: PolitenessConfig):
         urls = batch.column("url")
         hosts = batch.column("host")
         drop = pa.array([False] * batch.num_rows)
-        # distinct prefixes across the config are few; apply each combined
-        # with its host scope
+        # Replacement semantics, exactly disallowed_prefixes(host): a host
+        # with ANY per-host disallow entry uses ONLY its own prefixes — the
+        # default prefixes apply solely to hosts absent from the per-host
+        # map (the oracle reads the same accessor; a blanket default here
+        # over-filtered overridden hosts and diverged from it).
+        overridden = sorted(config.disallow)
+        if overridden:
+            has_override = pc.is_in(hosts, value_set=pa.array(overridden))
         prefixes: dict[str, set[str | None]] = {}
         for p in config.default_disallow:
-            prefixes.setdefault(p, set()).add(None)  # None = any host
+            prefixes.setdefault(p, set()).add(None)  # None = any non-overridden host
         for h, ps in config.disallow.items():
             for p in ps:
                 prefixes.setdefault(p, set()).add(h)
@@ -184,11 +190,16 @@ def robots_filter_fn(config: PolitenessConfig):
             path_hit = pc.match_substring_regex(
                 urls, r"^[a-z][a-z0-9+.-]*://[^/]*" + _re_escape(prefix)
             )
+            scoped_hosts = sorted(s for s in scope if s is not None)
+            hit = pa.array([False] * batch.num_rows)
             if None in scope:
-                drop = pc.or_(drop, path_hit)
-            else:
-                host_hit = pc.is_in(hosts, value_set=pa.array(sorted(s for s in scope)))
-                drop = pc.or_(drop, pc.and_(path_hit, host_hit))
+                hit = path_hit if not overridden else pc.and_(
+                    path_hit, pc.invert(has_override)
+                )
+            if scoped_hosts:
+                host_hit = pc.is_in(hosts, value_set=pa.array(scoped_hosts))
+                hit = pc.or_(hit, pc.and_(path_hit, host_hit))
+            drop = pc.or_(drop, hit)
         return batch.filter(pc.invert(drop))
 
     return fn
@@ -257,7 +268,9 @@ def host_partition_of(hosts, nparts: int):
 
     if not isinstance(hosts, (pa.Array, pa.ChunkedArray)):
         hosts = pa.array(list(hosts), pa.string())
-    enc = pc.dictionary_encode(hosts).combine_chunks()
+    enc = pc.dictionary_encode(hosts)
+    if isinstance(enc, pa.ChunkedArray):  # DictionaryArray has no combine_chunks
+        enc = enc.combine_chunks()
     uniq = np.fromiter(
         (zlib.crc32(h.encode()) % nparts for h in enc.dictionary.to_pylist()),
         np.int32,
@@ -319,7 +332,9 @@ def admit_partition_fn(
     """Partition-level admission: one vectorized pass over ALL hosts hashed
     into this partition, replacing one pandas group per host (a real web
     frontier has ~10^6+ hosts; per-group overhead would dwarf the admission
-    math). Semantics are identical to ``admit_fn`` per host — every host's
+    math). Per-host semantics match ``admit_fn`` (the single-host reference
+    kept for the pytest parity suite) plus what that reference predates —
+    the multi-task tiebreak and the ban-backoff penalty — every host's
     rows land in exactly one partition (crc32(host) % nparts), rows are
     lexsorted by (host, priority desc, seq, len), within-host duplicate
     keys keep the first, and each host admits its effective budget

@@ -175,7 +175,10 @@ class SeenShard:
             if self.exact is not None:
                 self.exact.add(added[~self.exact.contains(added)])
             if self.mode == "cuckoo":
-                self.filter.add_many(added)
+                if not self.filter.add_many(added):
+                    # replaying into a full shard must fail loudly — a
+                    # silently dropped key re-enables refetch loops
+                    raise RuntimeError("seen shard over capacity during delta replay")
             else:
                 self.filter.add_many(added)
                 self.failed_exact.remove(added)
@@ -197,8 +200,7 @@ class SeenShard:
         self.exact = SortedKeySet(state["exact"]) if "exact" in state else None
         if self.mode == "bloom":
             self.failed_exact = SortedKeySet(state.get("failed_exact"))
-        self._d_added = []
-        self._d_removed = []
+        self._d_events.clear()
 
 
 class SeenSet:
@@ -244,7 +246,10 @@ class SeenSet:
         ])
 
     def count(self) -> int:
-        return sum(ray.get([s.count.remote() for s in self.shards]))
+        per = ray.get([s.count.remote() for s in self.shards])
+        if any(c < 0 for c in per):
+            return -1  # bloom shards can't count — report unknown, not a sum of sentinels
+        return sum(per)
 
     def keys_exact(self) -> np.ndarray:
         return np.concatenate(ray.get([s.keys_exact.remote() for s in self.shards]))
