@@ -32,13 +32,27 @@ TOP_K = 10
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t["vec_id"].to_numpy()
-    sel = ids < NUM_QUERIES
-    qids = ids[sel]
-    qmat = emb_matrix(t["embedding"])[sel]
+    # predicate pushdown: only the query rows ever reach the driver — a
+    # full-table read here was the corpus-sized driver materialization the
+    # rest of this module is designed to avoid
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", NUM_QUERIES)],
+    )
+    qids = t["vec_id"].to_numpy()
+    qmat = emb_matrix(t["embedding"])
     order = np.argsort(qids)
     return qids[order], qmat[order]
+
+
+def _cos_e6(row: "np.ndarray") -> "np.ndarray":
+    """int64 micro-cosines with DuckDB ROUND (half-away-from-zero)
+    semantics — candidate selection and final ranking both run on THIS
+    value, so engine and oracle agree at top-k boundaries up to an
+    e6-crossing ulp (~1e-10/pair) instead of every raw-float tie."""
+    v = row * 1e6
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
 
 
 def ann_bruteforce_topk(sf_dir: str) -> pa.Table:
@@ -61,16 +75,17 @@ def ann_bruteforce_topk(sf_dir: str) -> pa.Table:
             row = cos[qi].copy()
             row[bids == qids[qi]] = -np.inf  # exclude self
             k = min(TOP_K, len(bids))
-            idx = np.argpartition(-row, k - 1)[:k]
+            e6 = _cos_e6(row)
+            idx = np.lexsort((bids, -e6))[:k]
             for j in idx:
                 out_q.append(int(qids[qi]))
                 out_v.append(int(bids[j]))
-                out_c.append(float(row[j]))
+                out_c.append(int(e6[j]))
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "vec_id": pa.array(out_v, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
+                "cos_e6": pa.array(out_c, pa.int64()),
             }
         )
 
@@ -83,7 +98,9 @@ def _merge_topk(partial: rd.Dataset) -> pa.Table:
     never corpus-sized; shared by all ANN variants."""
     heaps: dict[int, list] = {}
     for bt in partial.iter_batches(batch_format="pyarrow"):
-        for q, v, c in zip(bt["query_id"].to_pylist(), bt["vec_id"].to_pylist(), bt["cos"].to_pylist()):
+        for q, v, c in zip(
+            bt["query_id"].to_pylist(), bt["vec_id"].to_pylist(), bt["cos_e6"].to_pylist()
+        ):
             heapq.heappush(heaps.setdefault(q, []), (c, -v))
             if len(heaps[q]) > TOP_K:
                 heapq.heappop(heaps[q])
@@ -94,7 +111,7 @@ def _merge_topk(partial: rd.Dataset) -> pa.Table:
             out_q.append(q)
             out_r.append(rank)
             out_v.append(-negv)
-            out_c.append(round(c * 1e6))
+            out_c.append(int(c))
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),
@@ -174,16 +191,17 @@ def ann_lsh_topk(
                 continue
             row = cos[qi, sel]
             k = min(TOP_K, sel.size)
-            idx = np.argpartition(-row, k - 1)[:k]
+            e6 = _cos_e6(row)
+            idx = np.lexsort((bids[sel], -e6))[:k]
             for j in idx:
                 out_q.append(int(qids[qi]))
                 out_v.append(int(bids[sel[j]]))
-                out_c.append(float(row[j]))
+                out_c.append(int(e6[j]))
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "vec_id": pa.array(out_v, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
+                "cos_e6": pa.array(out_c, pa.int64()),
             }
         )
 
@@ -260,16 +278,17 @@ def ann_ivf_topk(
                 continue
             row = cos[qi, sel]
             k = min(TOP_K, sel.size)
-            idx = np.argpartition(-row, k - 1)[:k]
+            e6 = _cos_e6(row)
+            idx = np.lexsort((bids[sel], -e6))[:k]
             for j in idx:
                 out_q.append(int(qids[qi]))
                 out_v.append(int(bids[sel[j]]))
-                out_c.append(float(row[j]))
+                out_c.append(int(e6[j]))
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "vec_id": pa.array(out_v, pa.int64()),
-                "cos": pa.array(out_c, pa.float64()),
+                "cos_e6": pa.array(out_c, pa.int64()),
             }
         )
 
@@ -489,7 +508,8 @@ ORACLE_SQL = {
             FROM d JOIN n na ON na.vec_id = d.query_id JOIN n nb ON nb.vec_id = d.vec_id),
         ranked AS (
             SELECT query_id, vec_id, c,
-                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY CAST(ROUND(c*1e6) AS BIGINT) DESC, vec_id) AS rank
             FROM cos)
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
                CAST(ROUND(c*1e6) AS BIGINT) AS cos_e6

@@ -386,6 +386,16 @@ def run_crawl(
         last = _latest_complete_iter(out_dir)
         if last is not None:
             m = _read_manifest(out_dir, last)
+            # a checkpoint from a DIFFERENT corpus must fail loudly — seen
+            # shards and frontier from corpus A silently corrupt a crawl of
+            # corpus B (same validation contract as the pagerank checkpoint)
+            sig = f"{corpus.root}:{corpus.n_docs}"
+            got_sig = m.get("input_sig")
+            if got_sig is not None and got_sig != sig:
+                raise ValueError(
+                    f"resume checkpoint in {out_dir!r} was written for input "
+                    f"{got_sig!r}, not {sig!r} — refusing to mix corpora"
+                )
             # shard layout must match the checkpoint: h64 % num_shards routing
             # and the shard_*.npz contents were written with the recorded
             # count — resuming under a different one silently corrupts the
@@ -447,6 +457,14 @@ def run_crawl(
             seen.apply_delta(deltas)
 
     os.makedirs(out_dir, exist_ok=True)
+    if not resume:
+        # a FRESH run into a reused out_dir must not inherit generations a
+        # previous (longer) run left behind: CrawlResult globs iter_*/, so
+        # stale dirs would merge into items/order/text and a later resume
+        # would continue the OLD frontier
+        for d in os.listdir(out_dir):
+            if d.startswith("iter_") and os.path.isdir(os.path.join(out_dir, d)):
+                shutil.rmtree(os.path.join(out_dir, d))
     window: list[dict[str, int]] = []
     if track_window:
         for i in range(max(0, start_iter - cfg.sustained_window + 1), start_iter):

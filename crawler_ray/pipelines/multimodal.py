@@ -530,7 +530,10 @@ def media_dedup_near(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
             }
         )
 
-    banded = ds.map_batches(hash_batch, batch_size=128, batch_format="pyarrow")
+    # materialize-cut: fused with the band groupby's Sort, the executor's
+    # sort reservation throttles the (expensive) decode+dhash map to ~1
+    # concurrent task at small CPU budgets (same effect simhash_dups cuts)
+    banded = ds.map_batches(hash_batch, batch_size=128, batch_format="pyarrow").materialize()
 
     def pairs(g: pd.DataFrame, maxh=max_hamming) -> pd.DataFrame:
         g = g.drop_duplicates(["block", "doc_id"]).sort_values(

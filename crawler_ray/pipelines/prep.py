@@ -121,6 +121,25 @@ def prep_training_corpus(sf_dir: str) -> rd.Dataset:
 
 
 
+def _next_fit(ids, ntok, seq_len: int):
+    """Shared greedy next-fit placement: (seq_ids, offsets) for doc_id-sorted
+    ids with per-doc (already seq_len-capped) token counts — the ONE loop
+    both pack_sequences and export_training_shards execute, so the two
+    surfaces cannot drift."""
+    import numpy as np
+
+    seq_ids = np.empty(len(ids), np.int64)
+    offsets = np.empty(len(ids), np.int64)
+    cur_seq, fill = -1, seq_len + 1  # force a new bin on the first doc
+    for i in range(len(ids)):
+        if fill + ntok[i] > seq_len:
+            cur_seq, fill = ids[i], 0
+        seq_ids[i] = cur_seq
+        offsets[i] = fill
+        fill += ntok[i]
+    return seq_ids, offsets
+
+
 def pack_sequences(sf_dir: str, seq_len: int = 2048) -> rd.Dataset:
     """Greedy next-fit sequence packing: assign documents (in doc_id order
     within each block) to fixed-``seq_len`` training sequences, emitting
@@ -148,17 +167,7 @@ def pack_sequences(sf_dir: str, seq_len: int = 2048) -> rd.Dataset:
             .astype(np.int64),
             seq_len,
         )
-        seq_ids = np.empty(len(ids), np.int64)
-        offsets = np.empty(len(ids), np.int64)
-        cur_seq = -1
-        fill = seq_len + 1  # force a new bin on the first doc
-        for i in range(len(ids)):
-            if fill + ntok[i] > seq_len:
-                cur_seq = ids[i]
-                fill = 0
-            seq_ids[i] = cur_seq
-            offsets[i] = fill
-            fill += ntok[i]
+        seq_ids, offsets = _next_fit(ids, ntok, seq_len)
         return pa.table(
             {
                 "seq_id": pa.array(seq_ids),
@@ -195,7 +204,7 @@ def export_training_shards(
     # Markers are only valid for THIS (input, seq_len, shards) combination:
     # re-invoking the same out_root with different params must rerun, not
     # silently reuse stale curated data / packed manifests.
-    params = f"sf_dir={os.path.basename(os.path.normpath(sf_dir))} seq_len={seq_len} shards={shards}"
+    params = f"sf_dir={os.path.abspath(sf_dir)} seq_len={seq_len} shards={shards}"
     pfile = os.path.join(out_root, "params.json")
     if os.path.exists(pfile):
         with open(pfile) as fh:
@@ -231,15 +240,7 @@ def export_training_shards(
             ntok = np.minimum(
                 t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64), seq_len
             )
-            seq_ids = np.empty(len(ids), np.int64)
-            offsets = np.empty(len(ids), np.int64)
-            cur_seq, fill = -1, seq_len + 1
-            for i in range(len(ids)):
-                if fill + ntok[i] > seq_len:
-                    cur_seq, fill = ids[i], 0
-                seq_ids[i] = cur_seq
-                offsets[i] = fill
-                fill += ntok[i]
+            seq_ids, offsets = _next_fit(ids, ntok, seq_len)
             return pa.table(
                 {
                     "seq_id": pa.array(seq_ids),

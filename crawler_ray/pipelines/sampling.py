@@ -96,7 +96,11 @@ def stratified_sample_events(sf_dir: str) -> rd.Dataset:
             {
                 "event_id": kept["event_id"],
                 "event_type": kept["event_type"],
-                "value_c": pc.cast(pc.round(pc.multiply(kept["value"], 100.0)), pa.int64()),
+                # floor(x*100+0.5), NOT pc.round: Arrow rounds half-to-even while
+                # DuckDB ROUND rounds half-away — exact-.5 products diverge
+                "value_c": pc.cast(
+                    pc.floor(pc.add(pc.multiply(kept["value"], 100.0), 0.5)), pa.int64()
+                ),
             }
         )
 
@@ -311,7 +315,7 @@ ORACLE_SQL = {
         WHERE (doc_id * {_KNUTH}) % {_M32} < {_DOC_THRESHOLD}
     """,
     "stratified_sample_events": f"""
-        SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS value_c
+        SELECT event_id, event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
         FROM events
         WHERE (event_id * {_KNUTH}) % {_M32} <
               CASE event_type

@@ -239,6 +239,10 @@ def approx_price_quantiles(sf_dir: str) -> pa.Table:
     cum = np.cumsum([merged[b] for b in bins])
     n = int(cum[-1]) if len(cum) else 0
     out_q, out_v = [], []
+    if n == 0:  # empty input: no quantiles, not an IndexError into bins[0]
+        return pa.table(
+            {"q_pct": pa.array([], pa.int64()), "value_hi_c": pa.array([], pa.int64())}
+        )
     for q in HIST_QS:
         thr = (n * q + 99) // 100
         i = int(np.searchsorted(cum, thr))
