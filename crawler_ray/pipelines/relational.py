@@ -17,9 +17,16 @@ Scale patterns demonstrated (and the choices a 100 TB run would keep):
   — no shuffle join for a lookup; unique-keyed joins go through the
   size-adaptive ``_lookup_inner_join`` (broadcast + searchsorted when the
   right side is small, ``Dataset.join`` hash shuffle past the bound);
-- **integer-scaled money**: all float aggregates are emitted as
-  ``round(x*100)``-cents BIGINTs so results hash identically across engines
-  regardless of summation order.
+- **integer-scaled money**: float aggregates emit cents BIGINTs. Two tiers:
+  newer queries (q5/q7/q10/q14/q15/q17, urgent_order_revenue) apply
+  ``floor(x*100 + 0.5)`` PER ROW and sum integers — genuinely
+  order-independent and DuckDB-ROUND-exact. The original queries
+  (q1/q3/q6, nation/daily revenues) round the FLOAT SUM (``_cents``),
+  which matches their ``ROUND(SUM(..)*100)`` oracles but is only
+  hash-stable while the float sum stays clear of a .5-cent boundary —
+  green at every tested sf for four rounds; converting them to per-row
+  cents would change the declared semantics, so they stay documented
+  instead.
 """
 
 from __future__ import annotations
