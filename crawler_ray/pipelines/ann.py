@@ -72,14 +72,19 @@ def ann_bruteforce_topk(sf_dir: str) -> pa.Table:
         cos = (qmat @ bmat.T) / np.outer(qnorm, bnorm)  # Q × B
         out_q, out_v, out_c = [], [], []
         for qi in range(len(qids)):
-            row = cos[qi].copy()
-            row[bids == qids[qi]] = -np.inf  # exclude self
-            k = min(TOP_K, len(bids))
-            e6 = _cos_e6(row)
-            idx = np.lexsort((bids, -e6))[:k]
+            # exclude self BEFORE ranking: feeding ±inf/NaN through the
+            # int64 cast in _cos_e6 yields INT64_MIN, and -INT64_MIN in the
+            # lexsort key overflows back to INT64_MIN, sorting self FIRST
+            valid = bids != qids[qi]
+            vbids = bids[valid]
+            if len(vbids) == 0:
+                continue
+            e6 = _cos_e6(cos[qi][valid])
+            k = min(TOP_K, len(vbids))
+            idx = np.lexsort((vbids, -e6))[:k]
             for j in idx:
                 out_q.append(int(qids[qi]))
-                out_v.append(int(bids[j]))
+                out_v.append(int(vbids[j]))
                 out_c.append(int(e6[j]))
         return pa.table(
             {

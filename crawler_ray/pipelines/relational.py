@@ -17,16 +17,16 @@ Scale patterns demonstrated (and the choices a 100 TB run would keep):
   — no shuffle join for a lookup; unique-keyed joins go through the
   size-adaptive ``_lookup_inner_join`` (broadcast + searchsorted when the
   right side is small, ``Dataset.join`` hash shuffle past the bound);
-- **integer-scaled money**: float aggregates emit cents BIGINTs. Two tiers:
-  newer queries (q5/q7/q10/q14/q15/q17, urgent_order_revenue) apply
-  ``floor(x*100 + 0.5)`` PER ROW and sum integers — genuinely
-  order-independent and DuckDB-ROUND-exact. The original queries
-  (q1/q3/q6, nation/daily revenues) round the FLOAT SUM (``_cents``),
-  which matches their ``ROUND(SUM(..)*100)`` oracles but is only
-  hash-stable while the float sum stays clear of a .5-cent boundary —
-  green at every tested sf for four rounds; converting them to per-row
-  cents would change the declared semantics, so they stay documented
-  instead.
+- **integer-scaled money**: every money/value aggregate applies
+  ``floor(x*100 + 0.5)`` PER ROW (``_row_cents``) and sums integers —
+  genuinely order-independent and bit-identical to the oracles'
+  ``SUM(CAST(FLOOR(expr*100+0.5) AS BIGINT))``. Round 5 migrated the last
+  float-sum tier (q1/q3/q6, nation/daily revenues) and the float
+  *thresholds* (q17's ``0.2*AVG`` → ``5*qty*qn < qs``; q22's acctbal
+  average → ``cents(bal)*n > Σcents``) to exact integer arithmetic, so no
+  query's membership or hash depends on float association order. The only
+  remaining float comparisons are against constants (filters), which both
+  engines evaluate identically per row.
 """
 
 from __future__ import annotations
@@ -51,6 +51,18 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+def _row_cents(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """PER-ROW cents, half-up (``floor(x*100+0.5)``): the order-independent
+    tier — identical to the oracle's ``CAST(FLOOR(expr*100+0.5) AS BIGINT)``
+    per row, so integer sums match regardless of association order. All
+    money/value columns in this corpus are non-negative, where half-up ==
+    DuckDB's half-away ROUND."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(pc.cast(arr, pa.float64()), pa.scalar(100.0)), pa.scalar(0.5))),
+        pa.int64(),
+    )
 
 
 def _parquet_int_bounds(path: str, column: str) -> tuple[int, int]:
@@ -207,14 +219,17 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
         disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         charge = pc.multiply(disc_price, pc.add(1.0, t["l_tax"]))
+        # per-row cents (int64) BEFORE any sum: order-independent and exact
+        # vs the oracle's SUM(FLOOR(expr*100+0.5)) — the former float-sum
+        # tier rounded the SUM, which was association-order-sensitive
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "qty": t["l_quantity"],
-                "base": t["l_extendedprice"],
-                "disc_price": disc_price,
-                "charge": charge,
+                "base": _row_cents(t["l_extendedprice"]),
+                "disc_price": _row_cents(disc_price),
+                "charge": _row_cents(charge),
                 "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
@@ -234,9 +249,9 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
             "l_returnflag": pa.array(agg.l_returnflag, pa.string()),
             "l_linestatus": pa.array(agg.l_linestatus, pa.string()),
             "sum_qty": pa.array(agg.qty.to_numpy().astype(np.int64)),
-            "sum_base_price_c": _cents(pa.Array.from_pandas(agg.base)),
-            "sum_disc_price_c": _cents(pa.Array.from_pandas(agg.disc_price)),
-            "sum_charge_c": _cents(pa.Array.from_pandas(agg.charge)),
+            "sum_base_price_c": pa.array(agg.base.to_numpy().astype(np.int64)),
+            "sum_disc_price_c": pa.array(agg.disc_price.to_numpy().astype(np.int64)),
+            "sum_charge_c": pa.array(agg.charge.to_numpy().astype(np.int64)),
             "count_order": pa.array(agg.n.to_numpy(), pa.int64()),
         }
     )
@@ -259,15 +274,16 @@ def q6_revenue_filter(sf_dir: str) -> pa.Table:
             ),
         )
         t = t.filter(m)
-        r = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
-        return pa.table({"part_rev": pa.array([r.as_py() or 0.0], pa.float64())})
+        # per-row cents then integer sum — order-independent
+        r = pc.sum(_row_cents(pc.multiply(t["l_extendedprice"], t["l_discount"])))
+        return pa.table({"part_rev": pa.array([r.as_py() or 0], pa.int64())})
 
     partials = ds.map_batches(rev, batch_format="pyarrow")
     total = sum(
-        pc.sum(b["part_rev"]).as_py() or 0.0
+        pc.sum(b["part_rev"]).as_py() or 0
         for b in partials.iter_batches(batch_format="pyarrow")
     )
-    return pa.table({"revenue_c": pa.array([round(total * 100)], pa.int64())})
+    return pa.table({"revenue_c": pa.array([int(total)], pa.int64())})
 
 
 # --------------------------------------------------------------------- Q3
@@ -315,7 +331,7 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
         lambda t: pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
-                "rev": pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+                "rev": _row_cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))),
             }
         ),
         batch_format="pyarrow",
@@ -348,7 +364,7 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
 
     def topk_part(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["o_orderkey", "o_orderdate_s"], sort=False, as_index=False)["rev"].sum()
-        g["revenue_c"] = _cents(pa.Array.from_pandas(g["rev"])).to_numpy(zero_copy_only=False)
+        g["revenue_c"] = g["rev"].to_numpy().astype(np.int64)  # already integer cents
         g = g.sort_values(["revenue_c", "o_orderkey"], ascending=[False, True]).head(10)
         return g[["o_orderkey", "revenue_c", "o_orderdate_s"]]
 
@@ -382,7 +398,7 @@ def nation_order_revenue(sf_dir: str) -> rd.Dataset:
     )
     joined = _lookup_inner_join(orders, cust, "o_custkey", "c_custkey", ["c_nationkey"])
     ds = joined.map_batches(
-        lambda t: pa.table({"c_nationkey": t["c_nationkey"], "price": t["o_totalprice"],
+        lambda t: pa.table({"c_nationkey": t["c_nationkey"], "price": _row_cents(t["o_totalprice"]),
                             "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
         batch_format="pyarrow",
     )
@@ -401,7 +417,7 @@ def nation_order_revenue(sf_dir: str) -> rd.Dataset:
     return pa.table(
         {
             "n_name": pa.array([names[k] for k in agg.c_nationkey], pa.string()),
-            "revenue_c": _cents(pa.Array.from_pandas(agg.price)),
+            "revenue_c": pa.array(agg.price.to_numpy().astype(np.int64)),
             "n_orders": pa.array(agg.n.to_numpy(), pa.int64()),
         }
     )
@@ -593,7 +609,7 @@ def top_parts_by_revenue(sf_dir: str) -> rd.Dataset:
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
             {"l_partkey": t["l_partkey"],
-             "rev": pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))}
+             "rev": _row_cents(pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])))}
         )
 
     ds = li.map_batches(prep, batch_format="pyarrow")
@@ -607,7 +623,8 @@ def top_parts_by_revenue(sf_dir: str) -> rd.Dataset:
     # driver OOM; 15 rows on the driver is not.
     top = (
         agg.map_batches(
-            lambda t: pa.table({"p_partkey": t["l_partkey"], "revenue_c": _cents(t["rev"])}),
+            lambda t: pa.table({"p_partkey": t["l_partkey"],
+                                "revenue_c": pc.cast(t["rev"], pa.int64())}),
             batch_format="pyarrow",
         )
         .sort(["revenue_c", "p_partkey"], descending=[True, False])
@@ -728,7 +745,7 @@ def events_daily(sf_dir: str) -> rd.Dataset:
             {
                 "window_s": pc.strftime(t["ts"], format="%Y-%m-%d"),
                 "event_type": t["event_type"],
-                "value": t["value"],
+                "value": _row_cents(t["value"]),
                 "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
@@ -745,7 +762,7 @@ def events_daily(sf_dir: str) -> rd.Dataset:
             "window_s": pa.array(agg.window_s, pa.string()),
             "event_type": pa.array(agg.event_type, pa.string()),
             "n": pa.array(agg.n.to_numpy(), pa.int64()),
-            "sum_value_c": _cents(pa.Array.from_pandas(agg.value)),
+            "sum_value_c": pa.array(agg.value.to_numpy().astype(np.int64)),
         }
     )
 
@@ -2378,19 +2395,22 @@ def q17_small_quantity_revenue(
         .to_pandas()  # one row per brand-gated part
     ).sort_values("pk", ignore_index=True)
     tk = th.pk.to_numpy().astype(np.int64)
-    # 0.2 * AVG(l_quantity): same float expression DuckDB evaluates
-    tv = 0.2 * (th.qs.to_numpy() / th.qn.to_numpy())
-    th_ref = ray.put((tk, tv))
+    # qty < 0.2*AVG(qty) ⟺ 5*qty*qn < qs in INTEGERS (quantities are
+    # integer-valued, so qs/qn are exact) — no float threshold whose
+    # association order could flip a boundary row (ADVICE r4)
+    qs_i = np.round(th.qs.to_numpy()).astype(np.int64)
+    qn_i = th.qn.to_numpy().astype(np.int64)
+    th_ref = ray.put((tk, qs_i, qn_i))
 
     def rev_partial(t: pa.Table, _ref=th_ref) -> pa.Table:
-        keys, thr = ray.get(_ref)
+        keys, qs_i, qn_i = ray.get(_ref)
         if len(keys) == 0:
             return pa.table({"c": pa.array([0], pa.int64())})
         v = t["l_partkey"].to_numpy(zero_copy_only=False)
         idx = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
         hit = keys[idx] == v
-        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
-        keep = hit & (qty < thr[idx])
+        qty = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        keep = hit & (5 * qty * qn_i[idx] < qs_i[idx])
         ext = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
         cents = np.floor(ext * 100.0 + 0.5).astype(np.int64)
         return pa.table({"c": pa.array([int(cents.sum())], pa.int64())})
@@ -2415,22 +2435,27 @@ def q22_dormant_customers(sf_dir: str) -> pa.Table:
 
     def bal_partial(t: pa.Table) -> pa.Table:
         b = t["c_acctbal"].to_numpy(zero_copy_only=False)
-        pos = b[b > 0.0]
+        pos_c = np.floor(b[b > 0.0] * 100.0 + 0.5).astype(np.int64)
         return pa.table(
             {
-                "s": pa.array([float(pos.sum())], pa.float64()),
-                "n": pa.array([len(pos)], pa.int64()),
+                "s": pa.array([int(pos_c.sum())], pa.int64()),
+                "n": pa.array([len(pos_c)], pa.int64()),
             }
         )
 
     p = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
-    avg = float(p.s.sum()) / float(p.n.sum())
+    # bal > AVG(bal) ⟺ cents(bal)*n > Σcents(bal) in EXACT integers
+    # (balances are 2-decimal) — a float avg built from partial sums could
+    # flip a boundary-ulp row vs DuckDB's association order (ADVICE r4)
+    s_c, n_pos = int(p.s.sum()), int(p.n.sum())
 
-    rich = cust.map_batches(
-        lambda t, _a=avg: t.filter(pc.greater(t["c_acctbal"], _a)),
-        batch_size=65536,
-        batch_format="pyarrow",
-    )
+    def rich_gate(t: pa.Table, _s=s_c, _n=n_pos) -> pa.Table:
+        bal_c = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return t.filter(pa.array(bal_c * _n > _s))
+
+    rich = cust.map_batches(rich_gate, batch_size=65536, batch_format="pyarrow")
     okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
         lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
         .group_by(["o_custkey"])
@@ -2711,18 +2736,29 @@ ORACLE_SQL = {
         GROUP BY p_brand, p_type, p_size
     """,
     "q17_small_quantity_revenue": """
-        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS small_qty_revenue_c
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_brand = 'Brand#3'
-          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
-                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        -- qty < 0.2*AVG(qty) in exact integers: 5*qty*count < sum (quantities
+        -- are integer-valued), matching the engine's integer gate bit-for-bit
+        WITH t AS (SELECT l_partkey,
+                          CAST(SUM(l_quantity) AS BIGINT) AS qs,
+                          CAST(COUNT(*) AS BIGINT) AS qn
+                   FROM lineitem JOIN part ON p_partkey = l_partkey
+                   WHERE p_brand = 'Brand#3' GROUP BY l_partkey)
+        SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+                 AS small_qty_revenue_c
+        FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+        WHERE 5 * CAST(l.l_quantity AS BIGINT) * t.qn < t.qs
     """,
     "q22_dormant_customers": """
         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
                CAST(COUNT(*) AS BIGINT) AS numcust,
                CAST(SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_c
         FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        -- bal > AVG(bal) in exact integer cents: cents(bal)*n > sum(cents),
+        -- matching the engine's integer gate bit-for-bit
+        WHERE CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)
+                * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+              > (SELECT SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT))
+                 FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderpriority = '1-URGENT')
@@ -2988,22 +3024,22 @@ ORACLE_SQL = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-               CAST(ROUND(SUM(l_extendedprice)*100) AS BIGINT) AS sum_base_price_c,
-               CAST(ROUND(SUM(l_extendedprice*(1-l_discount))*100) AS BIGINT) AS sum_disc_price_c,
-               CAST(ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax))*100) AS BIGINT) AS sum_charge_c,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_c,
                COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
     "q6_revenue_filter": """
-        SELECT CAST(ROUND(SUM(l_extendedprice*l_discount)*100) AS BIGINT) AS revenue_c
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
     "q3_top_orders": """
         SELECT o.o_orderkey,
-               CAST(ROUND(SUM(l.l_extendedprice*(1-l.l_discount))*100) AS BIGINT) AS revenue_c,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
                STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -3014,7 +3050,7 @@ ORACLE_SQL = {
     """,
     "nation_order_revenue": """
         SELECT n.n_name,
-               CAST(ROUND(SUM(o.o_totalprice)*100) AS BIGINT) AS revenue_c,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
                COUNT(*) AS n_orders
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -3030,7 +3066,7 @@ ORACLE_SQL = {
     """,
     "top_parts_by_revenue": """
         SELECT l.l_partkey AS p_partkey, ANY_VALUE(p.p_name) AS p_name,
-               CAST(ROUND(SUM(l.l_extendedprice*(1-l.l_discount))*100) AS BIGINT) AS revenue_c
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY l.l_partkey
         ORDER BY revenue_c DESC, p_partkey LIMIT 15
@@ -3058,7 +3094,7 @@ ORACLE_SQL = {
     """,
     "events_daily": """
         SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS window_s, event_type,
-               COUNT(*) AS n, CAST(ROUND(SUM(value)*100) AS BIGINT) AS sum_value_c
+               COUNT(*) AS n, CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
         FROM events GROUP BY window_s, event_type
     """,
     "top_events_by_value": """

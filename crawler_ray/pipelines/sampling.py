@@ -241,6 +241,13 @@ def temperature_mix_docs(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
 
     def count_partial(t: pa.Table) -> pa.Table:
+        # drop NULL sources HERE, not implicitly: the driver merge below
+        # (pandas groupby) silently drops a None key while Arrow's group_by
+        # emits it, and the oracle's total/wsum CTEs would count it — so
+        # NULL-source rows are excluded from counts explicitly on BOTH
+        # sides (oracle: WHERE source IS NOT NULL in the c CTE); they then
+        # keep nothing via _thr.get(s, 0), matching the oracle's inner JOIN
+        t = t.filter(pc.is_valid(t["source"]))
         gb = t.select(["source"]).group_by("source").aggregate([([], "count_all")])
         return gb.rename_columns(["source", "n"])
 
@@ -284,7 +291,7 @@ QUERIES = {
 ORACLE_SQL = {
     "temperature_mix_docs": f"""
         WITH c AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n
-                   FROM documents GROUP BY source),
+                   FROM documents WHERE source IS NOT NULL GROUP BY source),
         t AS (SELECT SUM(n) AS total FROM c),
         w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS HUGEINT) AS w FROM c),
         ws AS (SELECT SUM(w) AS wsum FROM w),
