@@ -89,14 +89,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # contract test can assert the list itself is duplicate-free and complete.
 _PRIORITY = [
         "crawl_items", "crawl_order", "crawl_text", "multitask_crawl_order",
-        "frontier_host_stats", "link_graph", "anchor_texts", "recrawl_items",
+        "frontier_host_stats", "link_graph", "anchor_texts", "page_fields",
+        "host_page_stats", "recrawl_items",
         "dedup_exact", "dedup_keep_best", "strip_dup_spans", "dup_spans",
         "minhash_lsh_dups", "minhash_dedup_keep", "simhash_dups",
         "embedding_dup_pairs", "semdedup", "prefix_jaccard_pairs",
         "ngram_jaccard_pairs",
-        "pagerank", "pagerank_seeded", "hits", "dedup_clusters",
+        "pagerank", "hits", "dedup_clusters",
         "dedup_clusters_ls", "triangle_count",
-        "kmeans_clusters", "ann_bruteforce_topk", "ann_lsh_topk", "knn_graph",
+        "kmeans_clusters", "ann_bruteforce_topk", "knn_graph",
         "source_mixture", "token_stats", "quality_score", "gopher_quality",
         "lang_id", "doc_fingerprint", "top_terms", "tfidf_top_terms",
         "inverted_index", "repetition_signals", "ngram_contamination",
@@ -113,6 +114,10 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE_SQL)
     out.update(crawl_queries.ORACLE_SQL)
+    # corpus-scoped crawl-family twins (SQL embeds the deterministic
+    # synthetic-corpus path for the driver's sf; built lazily so the corpus
+    # exists whenever the driver runs the SQL)
+    out.update(crawl_queries.oracle_entries())
     try:
         from crawler_ray.pipelines import ann, curate, dedup, graph, prep, sampling, sketches, text
 

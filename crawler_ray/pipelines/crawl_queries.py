@@ -1,9 +1,19 @@
-"""Crawl-family ``queries()`` entries (rows-only driver checks).
+"""Crawl-family ``queries()`` entries.
 
-These run the full frontier engine over the sf-derived synthetic corpus; the
-semantics are pinned exactly by the pytest oracle suite
-(tests/test_crawl_engine.py) — a SQL oracle cannot express the iterative
-stateful pipeline, so the driver records rows-only here by design.
+The full frontier-engine queries (crawl_items/order/text, multitask,
+recrawl, frontier_host_stats) are rows-only driver checks: their iterative
+stateful scheduling (politeness windows, retry waves, seen-set dynamics) is
+not SQL-expressible, so their semantics are pinned by the pytest oracle
+suite (tests/test_crawl_engine.py) instead.
+
+The CORPUS-SCOPED queries — ``link_graph``, ``anchor_texts``,
+``page_fields``, ``host_page_stats`` — are one streaming rule-engine /
+predicate pass over the whole pages table with no crawl dynamics, so each
+gets a genuine DuckDB twin (``oracle_entries()``): an independent
+``regexp_extract_all`` / groupby derivation over the same parquet. The SQL
+embeds the deterministic corpus cache path for the driver's sf
+(``ORACLE_SF_DIR``, default sf0.01 — set ``CRAWLER_RAY_ORACLE_SF`` to check
+another sf locally).
 
 The crawl runs once per (sf_dir, process) and is cached; the order/text/items
 queries all read the same checkpointed run.
@@ -11,6 +21,7 @@ queries all read the same checkpointed run.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import numpy as np
@@ -342,6 +353,116 @@ def multitask_crawl_order(sf_dir: str) -> rd.Dataset:
     )
 
 
+def page_fields(sf_dir: str) -> rd.Dataset:
+    """Full-corpus detail-field extraction (the R5 ``parseBookDetail``
+    semantics, ``dobuan_book.go:131-149``) — the rule engine's
+    field_extract kind applied to every ``/detail/`` page in one streaming
+    pass, no frontier. ``title`` is carry-only (TmpData) and stays empty in
+    a corpus-scoped pass; ``pages`` goes through the strict Atoi coercion.
+
+    DuckDB-oracled: the twin re-derives every field with
+    ``regexp_extract`` over the same html — two independent regex engines
+    (Python ``re`` vs RE2) against the byte-identical extraction contract."""
+    import json
+
+    import pandas as pd
+
+    corpus = synth_corpus(sf_dir)
+    pages = rd.read_parquet(corpus.pages, columns=["url", "html", "warc_ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring_regex(t["url"], r"^https://[^/]*/detail/"))
+        n = t.num_rows
+        return pa.table(
+            {
+                "url": t["url"],
+                "html": t["html"],
+                "warc_ts": t["warc_ts"],
+                "rule": pa.array(["detail"] * n, pa.string()),
+                "depth": pa.array([0] * n, pa.int32()),
+                "seq": pa.array([b""] * n, pa.binary()),
+                "carry": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+
+    ex = pages.map_batches(prep, batch_format="pyarrow").map_batches(
+        Extractor, fn_constructor_args=(SYNTH_TASK,), concurrency=(1, 8), batch_format="pyarrow"
+    )
+
+    def fields(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["kind"], "item"))
+        rows = [json.loads(p) for p in f["payload"].to_pylist()]
+        df = pd.DataFrame(rows) if rows else pd.DataFrame(
+            columns=["title", "author", "pages", "publisher", "score", "price", "intro"]
+        )
+        return pa.table(
+            {
+                "url": f["url"].combine_chunks(),
+                "title": pa.array(df["title"], pa.string()),
+                "author": pa.array(df["author"], pa.string()),
+                "pages": pa.array(df["pages"], pa.int64()),
+                "publisher": pa.array(df["publisher"], pa.string()),
+                "score": pa.array(df["score"], pa.string()),
+                "price": pa.array(df["price"], pa.string()),
+                "intro": pa.array(df["intro"], pa.string()),
+            }
+        )
+
+    return ex.map_batches(fields, batch_format="pyarrow")
+
+
+def host_page_stats(sf_dir: str) -> rd.Dataset:
+    """Per-host corpus stats through the engine's OWN predicates — the
+    host partitioner (``functions/url.host_of``), the binary-direct
+    ban-page detector (P3, ``engine/crawler.go:107``), the min-length
+    gate (P4, ``engine/crawler.go:113``) and the redirect probe — as one
+    vectorized map_batches + bounded groupby (64 hosts). DuckDB-oracled
+    via ``contains``/``octet_length``/``starts_with`` twins."""
+    from crawler_ray.functions.url import host_of
+    from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES, REDIRECT_PREFIX
+
+    corpus = synth_corpus(sf_dir)
+    pages = rd.read_parquet(corpus.pages, columns=["url", "html"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        html = t["html"]
+        g = (
+            pa.table(
+                {
+                    "host": host_of(t["url"].combine_chunks()),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "banned": pc.cast(pc.match_substring(html, BAN_STRING), pa.int64()),
+                    "short": pc.cast(
+                        pc.less(pc.binary_length(html), MIN_BODY_BYTES), pa.int64()
+                    ),
+                    "redirect": pc.cast(
+                        pc.starts_with(
+                            pc.cast(html, pa.string()), REDIRECT_PREFIX
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+            .group_by(["host"])
+            .aggregate([("one", "sum"), ("banned", "sum"), ("short", "sum"), ("redirect", "sum")])
+        )
+        return g.rename_columns(["host", "n_pages", "n_banned", "n_short", "n_redirect"])
+
+    parts = pages.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("host", as_index=False)[
+        ["n_pages", "n_banned", "n_short", "n_redirect"]
+    ].sum()
+    return pa.table(
+        {
+            "host": pa.array(agg.host, pa.string()),
+            "n_pages": pa.array(agg.n_pages.to_numpy().astype(np.int64)),
+            "n_banned": pa.array(agg.n_banned.to_numpy().astype(np.int64)),
+            "n_short": pa.array(agg.n_short.to_numpy().astype(np.int64)),
+            "n_redirect": pa.array(agg.n_redirect.to_numpy().astype(np.int64)),
+        }
+    )
+
+
 QUERIES = {
     "crawl_items": crawl_items,
     "crawl_order": crawl_order,
@@ -350,8 +471,87 @@ QUERIES = {
     "frontier_host_stats": frontier_host_stats,
     "link_graph": link_graph,
     "anchor_texts": anchor_texts,
+    "page_fields": page_fields,
+    "host_page_stats": host_page_stats,
     "recrawl_items": recrawl_items,
     "rank_weighted_frontier": rank_weighted_frontier,
 }
+
+# The driver compares the Ray result against oracle SQL at THIS sf; the SQL
+# below embeds the deterministic corpus cache path for it. Override locally
+# (CRAWLER_RAY_ORACLE_SF) to sweep another sf with tools/check_queries.py.
+ORACLE_SF_DIR = os.environ.get("CRAWLER_RAY_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def oracle_entries() -> dict[str, str]:
+    """DuckDB twins for the corpus-scoped crawl-family queries.
+
+    Synthesizes (or reuses the cached) pages corpus for ``ORACLE_SF_DIR`` so
+    the embedded ``read_parquet`` path exists regardless of whether the
+    driver runs the SQL before or after the Ray query; returns {} if the sf
+    tables are unavailable (the entries then degrade to rows-only)."""
+    from crawler_ray.sources.pages import BAN_STRING, MIN_BODY_BYTES, REDIRECT_PREFIX
+
+    try:
+        corpus = synth_corpus(ORACLE_SF_DIR)
+    except Exception:
+        return {}
+    pages = f"read_parquet('{os.path.join(corpus.pages, 'part-0.parquet')}')"
+    return {
+        # The rule engine's exact link regexes (rules.py SYNTH_TASK, cited to
+        # parse/doubangroup/dobuan_book.go shapes), re-run by RE2 — raw hrefs,
+        # no canonicalization, from every tag/list page (ban/short pages
+        # included: this is the extract surface, not the crawl gate).
+        "link_graph": rf"""
+            WITH p AS (SELECT url, decode(html) AS h FROM {pages})
+            SELECT url AS src_url,
+                   UNNEST(regexp_extract_all(h, '<a href="([^"]+)" class="tag">([^<]+)</a>', 1)) AS dst_url
+            FROM p WHERE regexp_matches(url, '^https://[^/]*/tag/')
+            UNION ALL
+            SELECT url AS src_url,
+                   UNNEST(regexp_extract_all(h, '<a class="item" href="([^"]+)" title="([^"]+)">', 1)) AS dst_url
+            FROM p WHERE regexp_matches(url, '^https://[^/]*/list/')
+        """,
+        "anchor_texts": rf"""
+            WITH m AS (
+                SELECT UNNEST(regexp_extract_all(h, '<a[^>]*?href="([^"]+)"[^>]*?title="([^"]+)"', 1)) AS dst_url,
+                       UNNEST(regexp_extract_all(h, '<a[^>]*?href="([^"]+)"[^>]*?title="([^"]+)"', 2)) AS anchor
+                FROM (SELECT decode(html) AS h FROM {pages})
+                WHERE contains(h, 'title="')
+            ),
+            c AS (SELECT dst_url, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM m GROUP BY dst_url, anchor)
+            SELECT dst_url,
+                   CAST(SUM(cnt) AS BIGINT) AS n_anchors,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   (ARRAY_AGG(anchor ORDER BY cnt DESC, anchor))[1] AS top_anchor
+            FROM c GROUP BY dst_url
+        """,
+        # TRY_CAST stands in for the strict Atoi only because the captured
+        # value is digits-or-garbage here; the Python side is the
+        # authoritative grammar (rules.py _atoi, pinned by pytest).
+        "page_fields": rf"""
+            SELECT url,
+                   '' AS title,
+                   regexp_extract(h, '<span class="pl"> author</span>:[\s\S]*?<a.*?>([^<]+)</a>', 1) AS author,
+                   CAST(COALESCE(TRY_CAST(regexp_extract(h, '<span class="pl">pages:</span> ([^<]+)<br/>', 1) AS BIGINT), 0) AS BIGINT) AS pages,
+                   regexp_extract(h, '<span class="pl">publisher:</span>\s*<a.*?>([^<]+)</a>', 1) AS publisher,
+                   regexp_extract(h, '<strong class="score">([^<]+)</strong>', 1) AS score,
+                   regexp_extract(h, '<span class="pl">price:</span>([^<]+)<br/>', 1) AS price,
+                   regexp_extract(h, '<div class="intro">[\d\D]*?<p>([^<]+)</p></div>', 1) AS intro
+            FROM (SELECT url, decode(html) AS h FROM {pages})
+            WHERE regexp_matches(url, '^https://[^/]*/detail/')
+        """,
+        "host_page_stats": rf"""
+            SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(CASE WHEN contains(decode(html), '{BAN_STRING}') THEN 1 ELSE 0 END) AS BIGINT) AS n_banned,
+                   CAST(SUM(CASE WHEN octet_length(html) < {MIN_BODY_BYTES} THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+                   CAST(SUM(CASE WHEN starts_with(decode(html), '{REDIRECT_PREFIX}') THEN 1 ELSE 0 END) AS BIGINT) AS n_redirect
+            FROM {pages}
+            GROUP BY host
+        """,
+    }
+
 
 ORACLE_SQL: dict[str, str] = {}

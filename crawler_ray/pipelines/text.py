@@ -844,7 +844,12 @@ def _bm25_batch_scores(
     denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[:, None] / avgdl)
     with np.errstate(invalid="ignore"):
         contrib = np.where(tf > 0, idf[None, :] * tf * (BM25_K1 + 1.0) / denom, 0.0)
-    return contrib.sum(axis=1)
+    # left-associative term accumulation (NOT np.sum's pairwise tree) so the
+    # DuckDB oracle's c0+c1+c2+c3 expression reproduces the float bit-for-bit
+    s = contrib[:, 0].copy() if contrib.shape[1] else np.zeros(n)
+    for j in range(1, contrib.shape[1]):
+        s = s + contrib[:, j]
+    return s
 
 
 def bm25_topk(
@@ -861,8 +866,10 @@ def bm25_topk(
     partials — a terms×blocks driver combine; pass 2 streams scoring with
     the tiny stats broadcast in the closure, keeping only each batch's
     top-k candidates, so the driver merge is O(batches × k), exactly the
-    ANN merge bound. Rows-only: the scorer is shared with the pytest
-    oracle; SQL can't reproduce float64 BM25 bit-exactly."""
+    ANN merge bound. DuckDB-oracled: the scorer's float ops are evaluated in
+    a fixed parenthesization (left-associative term sum) that the SQL twin
+    mirrors expression-for-expression, so both produce identical doubles;
+    the pytest oracle additionally pins the scorer itself."""
     docs = _docs(sf_dir)
 
     def stats(t: pa.Table) -> pa.Table:
@@ -901,7 +908,10 @@ def bm25_topk(
         {
             "rank": pa.array(np.arange(1, len(cand) + 1, dtype=np.int64)),
             "doc_id": pa.array(cand["doc_id"].to_numpy().astype(np.int64)),
-            "score_e6": pa.array(np.rint(cand["score"].to_numpy() * 1e6).astype(np.int64)),
+            # half-up like the oracle's FLOOR(x*1e6+0.5); BM25 scores are ≥ 0
+            "score_e6": pa.array(
+                np.floor(cand["score"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+            ),
         }
     )
 
@@ -1100,6 +1110,43 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # Okapi BM25 twin: every float op parenthesized exactly as the engine
+    # evaluates it (idf*tf then *2.2 then /denom; 0.75*dl then /avgdl; the
+    # four term contributions summed LEFT-ASSOCIATIVELY as c0+c1+c2+c3),
+    # so DuckDB's libm doubles reproduce the numpy scores bit-for-bit.
+    "bm25_topk": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS DOUBLE) AS dl,
+                   CAST(LEN(list_filter(regexp_extract_all(LOWER(text), '[a-z0-9]+'), x -> x = 'data')) AS DOUBLE) AS tf0,
+                   CAST(LEN(list_filter(regexp_extract_all(LOWER(text), '[a-z0-9]+'), x -> x = 'join')) AS DOUBLE) AS tf1,
+                   CAST(LEN(list_filter(regexp_extract_all(LOWER(text), '[a-z0-9]+'), x -> x = 'batch')) AS DOUBLE) AS tf2,
+                   CAST(LEN(list_filter(regexp_extract_all(LOWER(text), '[a-z0-9]+'), x -> x = 'stream')) AS DOUBLE) AS tf3
+            FROM documents),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(dl AS BIGINT)) / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS avgdl,
+                   CAST(COUNT(*) FILTER (tf0 > 0) AS DOUBLE) AS df0,
+                   CAST(COUNT(*) FILTER (tf1 > 0) AS DOUBLE) AS df1,
+                   CAST(COUNT(*) FILTER (tf2 > 0) AS DOUBLE) AS df2,
+                   CAST(COUNT(*) FILTER (tf3 > 0) AS DOUBLE) AS df3
+            FROM d),
+        sc AS (
+            SELECT doc_id,
+                   (CASE WHEN tf0 > 0 THEN ((ln(1.0 + ((s.n - s.df0) + 0.5) / (s.df0 + 0.5)) * tf0) * 2.2)
+                         / (tf0 + 1.2 * ((1.0 - 0.75) + (0.75 * d.dl) / s.avgdl)) ELSE 0.0 END
+                  + CASE WHEN tf1 > 0 THEN ((ln(1.0 + ((s.n - s.df1) + 0.5) / (s.df1 + 0.5)) * tf1) * 2.2)
+                         / (tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * d.dl) / s.avgdl)) ELSE 0.0 END
+                  + CASE WHEN tf2 > 0 THEN ((ln(1.0 + ((s.n - s.df2) + 0.5) / (s.df2 + 0.5)) * tf2) * 2.2)
+                         / (tf2 + 1.2 * ((1.0 - 0.75) + (0.75 * d.dl) / s.avgdl)) ELSE 0.0 END
+                  + CASE WHEN tf3 > 0 THEN ((ln(1.0 + ((s.n - s.df3) + 0.5) / (s.df3 + 0.5)) * tf3) * 2.2)
+                         / (tf3 + 1.2 * ((1.0 - 0.75) + (0.75 * d.dl) / s.avgdl)) ELSE 0.0 END) AS score
+            FROM d CROSS JOIN s)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+               doc_id,
+               CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS score_e6
+        FROM sc ORDER BY score DESC, doc_id LIMIT 20
+    """,
     "ccnet_buckets": r"""
         WITH t AS (
             SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+') AS toks
