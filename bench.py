@@ -193,19 +193,24 @@ def scaled_docs_dir(mult: int) -> str:
     bucket size distributions instead of K-sized exact-dup groups whose
     verification work grows O(K²) with the multiplier (which would measure
     the synthetic corpus, not the engine). One parquet file per replica so
-    the read parallelizes. Cached under /tmp keyed by (sf, mult)."""
+    the read parallelizes. Cached under /tmp keyed by (sf, mult); replicas
+    carry source/lang/n_chars verbatim (v2) so the sampling/mixing ops
+    (temperature_mix needs ``source``) scale on the same corpus."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = f"/tmp/crawler_ray_docs_{os.path.basename(SF_DIR)}_x{mult}"
+    out = f"/tmp/crawler_ray_docs_{os.path.basename(SF_DIR)}_x{mult}_v2"
     docs_dir = os.path.join(out, "documents.parquet")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(docs_dir)
-    src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
+    src = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text", "source", "lang", "n_chars"],
+    )
     ids = src["doc_id"].to_numpy(zero_copy_only=False)
     token_lists = [s.split(" ") for s in src["text"].to_pylist()]
     id_stride = int(ids.max()) + 1
@@ -222,6 +227,9 @@ def scaled_docs_dir(mult: int) -> str:
                 {
                     "doc_id": pa.array(ids + k * id_stride, pa.int64()),
                     "text": pa.array(texts, pa.string()),
+                    "source": src["source"],
+                    "lang": src["lang"],
+                    "n_chars": src["n_chars"],
                 }
             ),
             os.path.join(docs_dir, f"part-{k:04d}.parquet"),
@@ -231,18 +239,20 @@ def scaled_docs_dir(mult: int) -> str:
     return out
 
 
-def scaled_emb_dir(mult: int) -> str:
-    """Deterministic ``mult``× embeddings corpus (single file, 16k-row
-    groups so the read splits) for k-means scaling runs — replica k
-    jitters every vector with ``default_rng(k)`` Gaussian noise, keeping
-    the cluster structure while avoiding exact-duplicate points. The sf
-    table is 2k vectors; per-iteration fixed cost floors any N-vs-4N
-    comparison at that size."""
+def scaled_emb_dir(mult: int, files: int = 32) -> str:
+    """Deterministic ``mult``× embeddings corpus for k-means scaling runs —
+    replica k jitters every vector with ``default_rng(k)`` Gaussian noise,
+    keeping the cluster structure while avoiding exact-duplicate points.
+    Written as ``files`` separate row-group-aligned parquet files so the
+    cold read parallelizes across workers (the r4 single-file layout
+    serialized ~4 s of identical read wall into BOTH scaling levels —
+    the whole kmeans 2→8=0.64 floor). The sf table is 2k vectors;
+    per-iteration fixed cost floors any N-vs-4N comparison at that size."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = f"/tmp/crawler_ray_emb_{os.path.basename(SF_DIR)}_x{mult}"
+    out = f"/tmp/crawler_ray_emb_{os.path.basename(SF_DIR)}_x{mult}_f{files}"
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -256,12 +266,17 @@ def scaled_emb_dir(mult: int) -> str:
     schema = pa.schema(
         [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]
     )
-    with pq.ParquetWriter(os.path.join(out, "embeddings.parquet"), schema) as w:
+    files = min(files, mult)
+    writers = [
+        pq.ParquetWriter(os.path.join(out, f"embeddings-{i:04d}.parquet"), schema)
+        for i in range(files)
+    ]
+    try:
         for k in range(mult):
             m = base if k == 0 else base + np.random.default_rng(k).normal(
                 0, 0.08, base.shape
             ).astype(np.float32)
-            w.write_table(
+            writers[k % files].write_table(
                 pa.table(
                     {
                         "vec_id": pa.array(ids + k * stride, pa.int64()),
@@ -274,6 +289,9 @@ def scaled_emb_dir(mult: int) -> str:
                 ),
                 row_group_size=16384,
             )
+    finally:
+        for w in writers:
+            w.close()
     with open(marker, "w") as f:
         f.write(str(mult))
     return out
@@ -542,19 +560,21 @@ def main() -> None:
         total += dt
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_bench_sec",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "num_cpus": NUM_CPUS,
-                "crawl": crawl_stats,
-            }
-        )
-    )
+    # sub-wall attribution: recrawl_items' timed window includes the shared
+    # first-crawl cache fill; this is the recrawl ENGINE's own wall
+    from crawler_ray.pipelines.crawl_queries import LAST_WALLS
+
+    out = {
+        "metric": "e2e_bench_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl_stats,
+    }
+    out.update(LAST_WALLS)
+    print(json.dumps(out))
     import ray
 
     ray.shutdown()

@@ -17,6 +17,7 @@ buckets instead of everything.
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -29,16 +30,36 @@ NUM_QUERIES = 8
 TOP_K = 10
 
 
+def _emb_paths(sf_dir: str) -> list[str]:
+    """Embedding parquet file list: the sf tables are one
+    ``embeddings.parquet``; bench scaling corpora write N row-group-aligned
+    ``embeddings-NNNN.parquet`` files so the cold read parallelizes across
+    workers (sorted order keeps file 0 = the corpus head, preserving the
+    first-k seeding contract)."""
+    import glob
+
+    p = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(p):
+        return [p]
+    out = sorted(glob.glob(f"{sf_dir}/embeddings-*.parquet"))
+    if not out:
+        raise FileNotFoundError(f"no embeddings parquet under {sf_dir}")
+    return out
+
+
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
     # predicate pushdown: only the query rows ever reach the driver — a
     # full-table read here was the corpus-sized driver materialization the
     # rest of this module is designed to avoid
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", NUM_QUERIES)],
+    t = pa.concat_tables(
+        pq.read_table(
+            p,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", NUM_QUERIES)],
+        )
+        for p in _emb_paths(sf_dir)
     )
     qids = t["vec_id"].to_numpy()
     qmat = emb_matrix(t["embedding"])
@@ -62,7 +83,7 @@ def ann_bruteforce_topk(sf_dir: str) -> pa.Table:
     qnorm = np.linalg.norm(qmat, axis=1)
     q_ref = ray.put((qids, qmat, qnorm))
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = rd.read_parquet(_emb_paths(sf_dir), columns=["vec_id", "embedding"])
 
     def local_topk(t: pa.Table, ref=q_ref) -> pa.Table:
         qids, qmat, qnorm = ray.get(ref)
@@ -174,7 +195,7 @@ def ann_lsh_topk(
     q_ref = ray.put((qids, qmat, qnorm, qprobes))
     planes_ref = ray.put(planes)
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = rd.read_parquet(_emb_paths(sf_dir), columns=["vec_id", "embedding"])
 
     def local_topk(t: pa.Table, qref=q_ref, plref=planes_ref) -> pa.Table:
         qids, qmat, qnorm, qpr = ray.get(qref)
@@ -250,7 +271,7 @@ def ann_ivf_topk(
     import pyarrow.parquet as pq
 
     qids, qmat = _load_queries(sf_dir)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    pf = pq.ParquetFile(_emb_paths(sf_dir)[0])
     batch = next(pf.iter_batches(batch_size=train_rows, columns=["embedding"]))
     sample = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
     cent = _spherical_kmeans(sample, n_centroids)
@@ -263,7 +284,7 @@ def ann_ivf_topk(
     q_ref = ray.put((qids, qmat, qnorm, q_cells))
     cent_ref = ray.put(cent)
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = rd.read_parquet(_emb_paths(sf_dir), columns=["vec_id", "embedding"])
 
     def local_topk(t: pa.Table, qref=q_ref, cref=cent_ref) -> pa.Table:
         qids, qmat, qnorm, q_cells = ray.get(qref)
@@ -366,7 +387,7 @@ def knn_graph(sf_dir: str, k: int = KNN_K, num_blocks: int | None = None) -> rd.
     the driver holds refs only, O(N²) arithmetic runs distributed with
     bounded memory). For sub-quadratic scale use the IVF/LSH variants —
     this is the exact baseline the pytest recall gates compare against."""
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = rd.read_parquet(_emb_paths(sf_dir), columns=["vec_id", "embedding"])
     if num_blocks:
         emb = emb.repartition(num_blocks)
     blocks = emb.to_arrow_refs()
@@ -403,7 +424,7 @@ def kmeans_fit(
     """
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    pf = pq.ParquetFile(_emb_paths(sf_dir)[0])
     # accumulate batches until k rows: iter_batches' batch_size is a MAX —
     # a row-group boundary can hand back fewer, and the init contract the
     # pytest oracle pins is "the corpus's first k vectors"
@@ -421,7 +442,7 @@ def kmeans_fit(
     col = (
         ds
         if ds is not None
-        else rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).materialize()
+        else rd.read_parquet(_emb_paths(sf_dir), columns=["embedding"]).materialize()
     )
 
     for _ in range(iters):
@@ -470,7 +491,7 @@ def kmeans_clusters(sf_dir: str, k: int = 16, iters: int = 6) -> rd.Dataset:
     not SQL-expressible); pinned by a pytest oracle running the identical
     integer-exact update rule densely."""
     col = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        _emb_paths(sf_dir), columns=["vec_id", "embedding"]
     ).materialize()
     cent = kmeans_fit(sf_dir, k=k, iters=iters, ds=col)
     ref = ray.put(cent)

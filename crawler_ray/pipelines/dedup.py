@@ -1029,7 +1029,9 @@ def dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
     )
 
 
-def strip_dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
+def strip_dup_spans(
+    sf_dir: str, k: int = 8, parts: int = 16, broadcast_cut: int = 8_000_000
+) -> rd.Dataset:
     """Exact-substring REMOVAL (the second half of Lee et al. 2022 that
     ``dup_spans`` only profiles): every k-token window whose hash occurs
     ≥ 2 times in the corpus — cross-doc or within-doc — is cut from every
@@ -1040,26 +1042,34 @@ def strip_dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
     word; only inter-token spacing is canonicalized).  Documents shorter than k
     tokens carry no windows and pass through untouched (canonicalized).
 
-    Scale shape: two exchanges, neither moving window strings. (1) every
-    window OCCURRENCE ships its 8-byte rolling hash to a coarse hash
-    partition, which emits only the (doc_id, pos) rows of duplicated
-    hashes — one vectorized ``duplicated(keep=False)`` per partition;
-    (2) those positions co-locate with the document texts in ONE
-    doc-hash-keyed exchange (tag-union + ``groupby(dpart)``), inside
-    which the cut is a per-doc difference-array cover mask.  The corpus
-    text moves exactly once, as it must — the rewrite is a join of text
-    with its own global duplication evidence.  Pytest-pinned against a
-    single-process reference (rows-only for the driver: multi-pass
-    position surgery is not SQL-expressible)."""
+    Scale shape: ONE exchange, moving only 8-byte hashes. Every window
+    OCCURRENCE ships its rolling hash to a coarse hash partition, which
+    emits only the (doc_id, pos) rows of duplicated hashes — one
+    vectorized ``duplicated(keep=False)`` per partition. The duplication
+    evidence is SPARSE (dup positions ≪ windows in a deduplicatable
+    corpus), so below the adaptive cut it broadcasts via ``ray.put`` as
+    two sorted numpy arrays and the rewrite is a stateless
+    ``map_batches`` over the streaming docs — the corpus text never
+    shuffles at all (the r4 design co-grouped text with positions
+    through a doc-keyed exchange; that text all-to-all was the whole
+    2→8=0.50 scaling wall). Past the cut the co-group fallback
+    (tag-union + ``groupby(dpart)``) keeps the op unbounded-safe; either
+    way the per-doc cut is a difference-array cover mask. Pytest-pinned
+    against a single-process reference (rows-only for the driver:
+    multi-pass position surgery is not SQL-expressible)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def windows(t: pa.Table) -> pa.Table:
-        # corpus-flat: every occurrence with its in-doc position
+        # corpus-flat: every occurrence with its in-doc position, packed
+        # (doc_id << 24 | pos) into ONE int64 — 20 B/row through plasma and
+        # the exchange instead of 28 (pos < 2^24 ≈ 16M tokens/doc; the
+        # assert keeps a pathological mega-doc loud, not silently wrong)
         ids, pos, wh = _window_occurrences(t, k)
+        assert len(pos) == 0 or int(pos.max()) < (1 << 24), "doc exceeds 2^24 tokens"
+        key = (ids.astype(np.int64) << 24) | pos.astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids),
-                "pos": pa.array(pos),
+                "key": pa.array(key),
                 "part": pa.array((wh % np.uint64(parts)).astype(np.int32)),
                 "wh": pa.array(wh),
             }
@@ -1069,9 +1079,63 @@ def strip_dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
 
     def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
         keep = g["wh"].duplicated(keep=False).to_numpy()
-        return g.loc[keep, ["doc_id", "pos"]]
+        return g.loc[keep, ["key"]]
 
-    dup = win.groupby("part").map_groups(dup_positions, batch_format="pandas")
+    # materialize: the dup evidence is consumed twice (count for the
+    # adaptive cut, then collect-or-cogroup) and is a small fraction of the
+    # window table either way
+    dup = win.groupby("part").map_groups(dup_positions, batch_format="pandas").materialize()
+
+    def _rebuild_arrays(
+        ids_sorted: "np.ndarray", starts: "np.ndarray", pos_flat: "np.ndarray", t: pa.Table
+    ) -> pa.Table:
+        """Difference-array cover cut for one batch of docs against the
+        (sorted-by-doc) dup-position arrays."""
+        out_id, out_txt, out_n, out_cut = [], [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _TOKEN_RE.findall(s)
+            j = np.searchsorted(ids_sorted, did)
+            if j < len(ids_sorted) and ids_sorted[j] == did:
+                ps = pos_flat[starts[j] : starts[j + 1]]
+                diff = np.zeros(len(toks) + 1, np.int64)
+                np.add.at(diff, ps, 1)
+                np.add.at(diff, ps + k, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+                kept = [t_ for t_, c in zip(toks, covered) if not c]
+                n_cut = int(covered.sum())
+            else:
+                kept, n_cut = toks, 0
+            out_id.append(did)
+            out_txt.append(" ".join(kept))
+            out_n.append(len(toks))
+            out_cut.append(n_cut)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "n_cut": pa.array(out_cut, pa.int64()),
+            }
+        )
+
+    # dup positions are 8 B/row packed; the default cut (8M ≈ 64 MB) is
+    # comfortably broadcast and far past anything the sf corpora produce,
+    # while a pathological everything-duplicated corpus still has the
+    # distributed path (tests force it with broadcast_cut=0)
+    if dup.count() <= broadcast_cut:
+        keys = np.sort(dup.to_pandas()["key"].to_numpy())  # doc-major, pos-minor
+        ids_all = keys >> 24
+        pos_flat = keys & ((1 << 24) - 1)
+        ids_sorted, starts0 = np.unique(ids_all, return_index=True)
+        starts = np.r_[starts0, len(ids_all)]
+        import ray
+
+        ref = ray.put((ids_sorted, starts, pos_flat))
+
+        def rebuild_bcast(t: pa.Table, _ref=ref) -> pa.Table:
+            return _rebuild_arrays(*ray.get(_ref), t)
+
+        return docs.map_batches(rebuild_bcast, batch_size=16384, batch_format="pyarrow")
 
     dparts = parts
 
@@ -1089,12 +1153,13 @@ def strip_dup_spans(sf_dir: str, k: int = 8, parts: int = 16) -> rd.Dataset:
         )
 
     def tag_dup(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        ids = keys >> 24
         return pa.table(
             {
                 "dpart": dpart_of(ids, dparts),
-                "doc_id": t["doc_id"],
-                "pos": t["pos"],
+                "doc_id": pa.array(ids),
+                "pos": pa.array(keys & ((1 << 24) - 1)),
                 "text": pa.nulls(t.num_rows, pa.string()),
             }
         )

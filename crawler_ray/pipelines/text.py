@@ -487,13 +487,29 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
         )
         return g.groupby("doc_id", sort=False).head(top_n)
 
-    boundary = (
-        scored.map_batches(
-            lambda t: t.filter(t["boundary"].combine_chunks()), batch_format="pyarrow"
-        )
-        .groupby("doc_id")
-        .map_groups(merge_topn, batch_format="pandas")
+    bds = scored.map_batches(
+        lambda t: t.filter(t["boundary"].combine_chunks()), batch_format="pyarrow"
     )
+    # ≤ 2 straddle-prone docs × top_n rows per block — block-count-bounded,
+    # so the repair merges on the DRIVER below the adaptive cut (the r4
+    # version paid a full Ray groupby exchange ~1 s fixed cost to merge a
+    # few hundred rows — the whole 2.4× bench regression); past the cut the
+    # distributed groupby fallback keeps the op unbounded-safe.
+    if bds.count() <= 1_000_000:
+        g = bds.to_pandas()
+        merged = merge_topn(g)
+        return interior.union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(merged["doc_id"].to_numpy(), pa.int64()),
+                        "token": pa.array(merged["token"], pa.string()),
+                        "tfidf_c": pa.array(merged["tfidf_c"].to_numpy(), pa.int64()),
+                    }
+                )
+            )
+        )
+    boundary = bds.groupby("doc_id").map_groups(merge_topn, batch_format="pandas")
     return interior.union(boundary)
 
 

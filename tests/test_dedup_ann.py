@@ -870,3 +870,22 @@ def test_strip_dup_spans_matches_reference(ray_session):
     assert len(got) == len(want)
     for did, txt, ncut in zip(got.doc_id, got.clean_text, got.n_cut):
         assert (txt, ncut) == want[did], did
+
+
+def test_strip_dup_spans_cogroup_fallback_matches_broadcast(ray_session):
+    """The distributed co-group path (past the broadcast cut) must be
+    byte-identical to the default broadcast path — force it with
+    broadcast_cut=0 over the real sf0.001 corpus."""
+    from crawler_ray.pipelines.dedup import strip_dup_spans
+
+    a = (
+        strip_dup_spans(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        strip_dup_spans(SF, broadcast_cut=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
