@@ -12,9 +12,13 @@ payloads, per-frame flat_map) is real and tested. Codec status:
   too for externally-supplied bytes.
 - **Audio is REAL**: genuine PCM WAV files (RIFF/fmt/data chunk walk,
   8/16-bit mono) decoded the same way.
-- **Video stays stubbed**: no pure-numpy video codec is feasible; video
-  rows carry the self-describing ``MEDIA_MAGIC`` header the deterministic
-  fake decoder parses. A real deployment swaps only the decode body.
+- **Video frames are REAL**: video rows are ``BMPV1`` containers (magic +
+  frame count + byte-length index + concatenated genuine BMP frames), so
+  decode / frame-sample / per-frame dHash all run real pixel paths. No
+  pure-numpy codec for COMPRESSED video exists; a real deployment swaps
+  the container parse for an ffmpeg/PyAV demux and keeps the same stage
+  shapes. Legacy ``MEDIA_MAGIC`` stub blobs still take the header parse
+  so mixed corpora decode.
 - ``MediaDecoder`` tries ``PIL`` at actor init (once per actor); present,
   non-synthetic image bytes route through ``Image.open`` (the pil branch
   is exercised by module-injection in tests).
@@ -38,6 +42,42 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 MEDIA_MAGIC = b"FAKEMEDIA1"
+VIDEO_MAGIC = b"BMPV1\0"
+
+
+def encode_bmp_video(frames: "list[np.ndarray]") -> bytes:
+    """Deterministic video container: ``VIDEO_MAGIC`` + frame count (4 B
+    big-endian) + per-frame byte-length index, then the concatenated REAL
+    24-bit BMP frames. No codec exists for real video in this container's
+    constraints (pure numpy); this keeps every frame a genuinely decodable
+    image so frame sampling / per-frame hashing run a real decode path."""
+    blobs = [encode_bmp24(f) for f in frames]
+    head = (
+        VIDEO_MAGIC
+        + len(blobs).to_bytes(4, "big")
+        + b"".join(len(b).to_bytes(4, "big") for b in blobs)
+    )
+    return head + b"".join(blobs)
+
+
+def decode_bmp_video(blob: bytes) -> "list[np.ndarray] | None":
+    """Parse the BMPV1 container back into per-frame (h, w, 3) uint8
+    arrays; None for malformed/truncated bytes."""
+    if not blob.startswith(VIDEO_MAGIC) or len(blob) < 10:
+        return None
+    n = int.from_bytes(blob[6:10], "big")
+    if n <= 0 or 10 + 4 * n > len(blob):
+        return None
+    pos = 10 + 4 * n
+    out = []
+    for i in range(n):
+        ln = int.from_bytes(blob[10 + 4 * i : 14 + 4 * i], "big")
+        px = decode_bmp24(blob[pos : pos + ln])
+        if px is None:
+            return None
+        out.append(px)
+        pos += ln
+    return out
 
 
 def encode_bmp24(pixels: "np.ndarray") -> bytes:
@@ -160,10 +200,11 @@ def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
     """Deterministic media table: doc_id, media_type, media (binary),
     declared_w, declared_h. Image rows are REAL 24-bit BMPs, audio rows
     REAL 8-bit PCM WAVs (declared_w/h are 0 — audio has no dimensions);
-    video rows carry the self-describing ``MEDIA_MAGIC`` stub header (no
-    pure-numpy video codec exists)."""
+    video rows are REAL ``BMPV1`` containers of 8 genuinely-decodable BMP
+    frames (rolled near-dup sequence — no compressed video codec is
+    feasible pure-numpy, but every frame decode is real)."""
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    tag = f"media_{os.path.basename(os.path.normpath(sf_dir))}_{n}_v4"
+    tag = f"media_{os.path.basename(os.path.normpath(sf_dir))}_{n}_v5"
     path = os.path.join(cache_root, tag + ".parquet")
     if os.path.exists(path):
         return path
@@ -208,17 +249,20 @@ def synth_media(sf_dir: str, cache_root: str = "/tmp/crawler_ray_cache") -> str:
             blob = encode_wav_pcm8(
                 rng.integers(0, 256, size=512 + (i % 1024), dtype=np.uint8)
             )
-        else:  # video — stub header + opaque payload
-            w, h = int(16 + (i % 32) * 8), int(16 + (i % 24) * 8)
-            payload = rng.integers(0, 256, size=256 + (i % 512), dtype=np.uint8).tobytes()
-            blob = (
-                MEDIA_MAGIC
-                + b"video".ljust(8, b"\0")
-                + w.to_bytes(4, "big")
-                + h.to_bytes(4, "big")
-                + (8).to_bytes(4, "big")
-                + payload
-            )
+        else:  # video — REAL frames in the BMPV1 container: frame f is the
+            # base image rolled f columns with one retouched pixel, so
+            # consecutive frames are perceptual near-dups (what frame-level
+            # dedup / sampling exists to exploit) while all genuinely decode
+            w, h = int(16 + (i % 16) * 2), int(12 + (i % 12) * 2)
+            base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            frames = []
+            for f in range(8):
+                fr = np.roll(base, f, axis=1).copy()
+                fr[rng.integers(0, h), rng.integers(0, w)] = rng.integers(
+                    0, 256, 3, dtype=np.uint8
+                )
+                frames.append(fr)
+            blob = encode_bmp_video(frames)
         types.append(kind)
         blobs.append(blob)
         ws.append(w)
@@ -313,10 +357,25 @@ class MediaDecoder:
             mean = int(samples.mean() * 1000)
         return ("audio", 0, 0, 0, mean)
 
+    @staticmethod
+    def _decode_video(blob: bytes) -> tuple[str, int, int, int, int]:
+        """BMPV1 container: every frame is a real BMP decode; dims from
+        frame 0, mean over all frames' pixels."""
+        frames = decode_bmp_video(blob)
+        if frames is None:
+            return ("invalid", 0, 0, 0, 0)
+        h, w = frames[0].shape[:2]
+        total = sum(float(f.sum()) for f in frames)
+        npx = sum(f.size for f in frames)
+        return ("video", w, h, len(frames), int(total / npx * 1000) if npx else 0)
+
     def _decode_numpy(self, blob: bytes) -> tuple[str, int, int, int, int]:
         """Real decoders for the uncompressed formats (BMP, P6 PPM, PCM
-        WAV) — no image/audio library required; ``MEDIA_MAGIC`` stub blobs
-        (video) take the header parse; anything else is invalid."""
+        WAV, BMPV1 frame-container video) — no image/audio library
+        required; legacy ``MEDIA_MAGIC`` stub blobs take the header parse
+        so mixed corpora still decode; anything else is invalid."""
+        if blob.startswith(VIDEO_MAGIC):
+            return self._decode_video(blob)
         if blob.startswith(MEDIA_MAGIC):
             return self._decode_fake(blob)
         if blob[:2] == b"BM" and len(blob) >= 54:
@@ -332,7 +391,9 @@ class MediaDecoder:
 
         from PIL import Image
 
-        if blob.startswith(MEDIA_MAGIC):  # synthetic blob in a real env
+        if blob.startswith(VIDEO_MAGIC):  # synthetic container in a real env
+            return self._decode_video(blob)
+        if blob.startswith(MEDIA_MAGIC):  # legacy stub blob in a real env
             return self._decode_fake(blob)
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":  # audio isn't PIL's job
             return self._decode_wav(blob)
@@ -598,23 +659,39 @@ def media_resize(sf_dir: str, max_dim: int = 16) -> rd.Dataset:
 
 def frame_sample(sf_dir: str) -> rd.Dataset:
     """Video rows explode into sampled frame rows (every 2nd frame) — the
-    1→N media transform shape."""
-    feats = media_features(sf_dir)
+    1→N media transform shape — with a REAL per-frame decode: each sampled
+    frame is parsed out of the BMPV1 container and fingerprinted
+    (``dhash64``), the exact shape a frame-level near-dup pass consumes.
+    Actor-pool stage, small batches (payloads are heavy); only doc_id /
+    frame_idx / 8-byte hashes leave the stage, never pixels."""
+    path = synth_media(sf_dir)
+    ds = rd.read_parquet(path, columns=["doc_id", "media"])
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, frames = [], []
-        for did, kind, n in zip(
-            t["doc_id"].to_pylist(), t["decoded_type"].to_pylist(), t["n_frames"].to_pylist()
-        ):
-            if kind == "video":
-                for f in range(0, n, 2):
-                    ids.append(did)
-                    frames.append(f)
+        ids, frames, ws, hs, hashes = [], [], [], [], []
+        for did, blob in zip(t["doc_id"].to_pylist(), t["media"].to_pylist()):
+            if not blob.startswith(VIDEO_MAGIC):
+                continue
+            px = decode_bmp_video(blob)
+            if px is None:
+                continue
+            for f in range(0, len(px), 2):
+                ids.append(did)
+                frames.append(f)
+                hs.append(px[f].shape[0])
+                ws.append(px[f].shape[1])
+                hashes.append(dhash64(px[f]))
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "frame_idx": pa.array(frames, pa.int32())}
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int32()),
+                "frame_w": pa.array(ws, pa.int32()),
+                "frame_h": pa.array(hs, pa.int32()),
+                "frame_dhash": pa.array(np.array(hashes, dtype=np.uint64)),
+            }
         )
 
-    return feats.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_size=128, batch_format="pyarrow")
 
 
 def media_dedup_exact(sf_dir: str) -> rd.Dataset:

@@ -170,10 +170,50 @@ def test_media_frame_sample(ray_session):
     from crawler_ray.pipelines.multimodal import frame_sample, media_features
 
     feats = media_features(SF).to_pandas()
-    n_videos = (feats.decoded_type == "video").sum()
+    vids = feats[feats.decoded_type == "video"]
     frames = frame_sample(SF).to_pandas()
-    assert len(frames) == n_videos * 4  # 8 frames, every 2nd
+    assert len(frames) == len(vids) * 4  # 8 frames, every 2nd
     assert set(frames.frame_idx) == {0, 2, 4, 6}
+    # the sampled frames are REAL decodes: per-frame dims equal the
+    # container's (all frames share the video's w/h in this corpus)
+    dims = dict(zip(vids.doc_id, zip(vids.width, vids.height)))
+    for did, fw, fh in zip(frames.doc_id, frames.frame_w, frames.frame_h):
+        assert (fw, fh) == dims[did]
+    # byte-identical reposted videos yield identical per-frame dHashes —
+    # the frame-level dedup signal the explode exists to feed
+    sig = {
+        did: tuple(g.sort_values("frame_idx").frame_dhash)
+        for did, g in frames.groupby("doc_id")
+    }
+    by_sig: dict[tuple, list] = {}
+    for did, s in sig.items():
+        by_sig.setdefault(s, []).append(did)
+    assert any(len(v) > 1 for v in by_sig.values())
+
+
+def test_bmp_video_container_roundtrip():
+    import numpy as np
+
+    from crawler_ray.pipelines.multimodal import (
+        MediaDecoder,
+        decode_bmp_video,
+        encode_bmp_video,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8) for _ in range(5)]
+    blob = encode_bmp_video(frames)
+    back = decode_bmp_video(blob)
+    assert back is not None and len(back) == 5
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)  # exact pixel roundtrip through real BMPs
+    # decoder surfaces it as a real video: dims from frame 0, real mean
+    kind, w, h, n, mean = MediaDecoder(backend="numpy")._decode(blob)
+    assert (kind, w, h, n) == ("video", 17, 12, 5)
+    want_mean = int(sum(float(f.sum()) for f in frames) / sum(f.size for f in frames) * 1000)
+    assert mean == want_mean
+    # truncation → invalid, not a crash
+    assert decode_bmp_video(blob[: len(blob) // 2]) is None
 
 
 def test_exact_dedup_on_constructed_dups(ray_session, tmp_path):
