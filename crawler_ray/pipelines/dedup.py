@@ -1055,8 +1055,9 @@ def strip_dup_spans(
     2→8=0.50 scaling wall). Past the cut the co-group fallback
     (tag-union + ``groupby(dpart)``) keeps the op unbounded-safe; either
     way the per-doc cut is a difference-array cover mask. Pytest-pinned
-    against a single-process reference (rows-only for the driver:
-    multi-pass position surgery is not SQL-expressible)."""
+    against a single-process reference AND DuckDB-oracled: the SQL twin
+    counts window STRINGS where the engine compares 64-bit rolling hashes
+    — an independent derivation equal modulo ~2^-64 collisions."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def windows(t: pa.Table) -> pa.Table:
@@ -1284,6 +1285,39 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # Exact-substring removal twin: the engine compares 64-bit rolling
+    # hashes of k-token windows; the SQL compares the window STRINGS
+    # directly — identical results modulo ~2^-64 hash collisions, so this
+    # is a genuinely independent derivation of the same semantics.
+    "strip_dup_spans": """
+        WITH tok AS (
+            SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks FROM documents),
+        win AS (
+            SELECT doc_id, p,
+                   array_to_string(list_slice(toks, p + 1, p + 8), ' ') AS w
+            FROM (SELECT doc_id, toks, UNNEST(range(LEN(toks) - 7)) AS p
+                  FROM tok WHERE LEN(toks) >= 8)),
+        c AS (SELECT w, COUNT(*) AS cnt FROM win GROUP BY w),
+        dup AS (SELECT doc_id, p FROM win JOIN c USING (w) WHERE cnt >= 2),
+        cov AS (SELECT DISTINCT doc_id, UNNEST(range(p, p + 8)) AS p FROM dup),
+        tokpos AS (
+            SELECT doc_id, UNNEST(toks) AS tk,
+                   GENERATE_SUBSCRIPTS(toks, 1) - 1 AS p, LEN(toks) AS n
+            FROM tok),
+        agg AS (
+            SELECT t.doc_id,
+                   COALESCE(string_agg(t.tk, ' ' ORDER BY t.p)
+                            FILTER (WHERE c.p IS NULL), '') AS clean_text,
+                   CAST(ANY_VALUE(t.n) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(c.p) AS BIGINT) AS n_cut
+            FROM tokpos t
+            LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+            GROUP BY t.doc_id)
+        SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(a.n_cut, 0) AS BIGINT) AS n_cut
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
     "dedup_keep_best": """
         SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
                doc_id, n_chars,
