@@ -76,7 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # explicitly: the crawl surface, every dedup/graph/ANN flagship, the
     # text-analysis suite, and the oracled curation/sampling entries.
     # Everything demoted below is either rows-only AND pytest-pinned
-    # (winnow, hll, doc_embeddings, pack_sequences, cms, media) or
+    # (winnow, hll, doc_embeddings, pack_sequences, cms, media), an
+    # oracled sketch op re-checked by the local sweep
+    # (approx_price_quantiles) or
     # relational/TPC-H (green in every prior round's driver window and
     # fully re-checkable via tools/check_queries.py).
     priority = _PRIORITY
@@ -104,7 +106,7 @@ _PRIORITY = [
         "bigram_familiarity", "ccnet_buckets", "bm25_topk", "bpe_merges",
         "pii_scrub", "chunk_documents", "encode_tokens",
         "prep_training_corpus", "temperature_mix_docs",
-        "approx_price_quantiles",
+        "warc_pages",
 ]
 
 

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "link_graph",
     "anchor_texts",
+    "warc_pages",
     "recrawl_items",
     "media_dedup_exact",
     "top_terms",

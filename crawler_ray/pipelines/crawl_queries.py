@@ -472,6 +472,78 @@ def host_page_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+_WARC_VERSION = "v1"
+
+
+def synth_warc(sf_dir: str) -> str:
+    """Deterministic WARC twin of the pages corpus, cached under /tmp.
+    Pages whose url length is even land in plain ``.warc`` shards, odd in
+    per-record-gzip ``.warc.gz`` shards (the Common Crawl layout), so one
+    driver row proves BOTH parse paths of ``sources/warc.py``. Written by
+    the Ray ``WarcDatasink`` — the write itself is a distributed pipeline."""
+    import shutil
+
+    from crawler_ray.sources.warc import WarcDatasink
+
+    corpus = synth_corpus(sf_dir)
+    out = f"/tmp/crawler_ray_cache/warc_{os.path.basename(corpus.root)}_{_WARC_VERSION}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    pages = rd.read_parquet(corpus.pages, columns=["url", "warc_ts", "html"])
+
+    def half(t: pa.Table, parity: int) -> pa.Table:
+        keep = pc.equal(
+            pc.bit_wise_and(pc.utf8_length(t["url"]), pa.scalar(1, pa.int32())), parity
+        )
+        f = t.filter(keep)
+        return pa.table({"url": f["url"], "warc_ts": f["warc_ts"], "payload": f["html"]})
+
+    for parity, compress, sub in ((0, False, "plain"), (1, True, "gz")):
+        pages.map_batches(
+            lambda t, p=parity: half(t, p), batch_format="pyarrow"
+        ).write_datasink(WarcDatasink(os.path.join(out, sub), compress=compress))
+    with open(marker, "w"):
+        pass
+    return out
+
+
+def warc_pages(sf_dir: str) -> rd.Dataset:
+    """WARC source round trip: the pages corpus written to mixed
+    plain/per-record-gzip WARC shards (one-time cached fixture), then read
+    back through ``read_warc`` (streaming record parse, one task per
+    shard). Emits per-record ``(url, ts_us, status, n_bytes,
+    payload_md5)`` — the md5 proves byte-exact payload fidelity against
+    the DuckDB twin computed from the parquet side."""
+    import glob
+    import hashlib
+
+    from crawler_ray.sources.warc import read_warc
+
+    wdir = synth_warc(sf_dir)
+    paths = sorted(glob.glob(os.path.join(wdir, "plain", "*.warc"))) + sorted(
+        glob.glob(os.path.join(wdir, "gz", "*.warc.gz"))
+    )
+    ds = read_warc(paths)
+
+    def stats(t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        return pa.table(
+            {
+                "url": t["url"],
+                "ts_us": t["warc_ts"].cast(pa.int64()),
+                "status": t["status"],
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "payload_md5": pa.array(
+                    [hashlib.md5(p).hexdigest() for p in payloads], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 QUERIES = {
     "crawl_items": crawl_items,
     "crawl_order": crawl_order,
@@ -484,6 +556,7 @@ QUERIES = {
     "host_page_stats": host_page_stats,
     "recrawl_items": recrawl_items,
     "rank_weighted_frontier": rank_weighted_frontier,
+    "warc_pages": warc_pages,
 }
 
 # The driver compares the Ray result against oracle SQL at THIS sf; the SQL
@@ -550,6 +623,18 @@ def oracle_entries() -> dict[str, str]:
                    regexp_extract(h, '<div class="intro">[\d\D]*?<p>([^<]+)</p></div>', 1) AS intro
             FROM (SELECT url, decode(html) AS h FROM {pages})
             WHERE regexp_matches(url, '^https://[^/]*/detail/')
+        """,
+        # WARC round trip: the engine derives these five columns from the
+        # bytes it parsed back OUT of the WARC shards; the SQL derives them
+        # from the parquet the shards were written FROM — equality proves
+        # byte-exact archive fidelity (md5 over the identical UTF-8 bytes).
+        "warc_pages": rf"""
+            SELECT url,
+                   CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us,
+                   CAST(200 AS BIGINT) AS status,
+                   CAST(octet_length(html) AS BIGINT) AS n_bytes,
+                   md5(decode(html)) AS payload_md5
+            FROM {pages}
         """,
         "host_page_stats": rf"""
             SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
