@@ -573,8 +573,11 @@ def main() -> None:
 
     c0 = synth_corpus(SF_DIR)
     c1 = synth_corpus(SF_DIR, epoch=1)
-    synth_media(SF_DIR)
-    _warm_page_cache(SF_DIR, c0.root, c1.root)
+    media_path = synth_media(SF_DIR)
+    from crawler_ray.pipelines.crawl_queries import synth_warc
+
+    warc_dir = synth_warc(SF_DIR)  # warc_pages' input, built untimed like the rest
+    _warm_page_cache(SF_DIR, c0.root, c1.root, media_path, warc_dir)
 
     for name in BENCH_QUERIES:
         fn = queries[name]

@@ -71,8 +71,14 @@ def _cos_e6(row: "np.ndarray") -> "np.ndarray":
     """int64 micro-cosines with DuckDB ROUND (half-away-from-zero)
     semantics — candidate selection and final ranking both run on THIS
     value, so engine and oracle agree at top-k boundaries up to an
-    e6-crossing ulp (~1e-10/pair) instead of every raw-float tie."""
-    v = row * 1e6
+    e6-crossing ulp (~1e-10/pair) instead of every raw-float tie.
+
+    Non-finite cosines (a zero-norm vector divides 0/0 → NaN) are mapped to
+    -2e6, below any real cosine (≥ -1e6): a NaN fed through ``astype(int64)``
+    becomes INT64_MIN, whose negation in ``lexsort((ids, -e6))`` overflows
+    back to INT64_MIN and ranks the degenerate vector FIRST. Callers
+    additionally mask non-finite candidates out entirely."""
+    v = np.where(np.isfinite(row), row, -2.0) * 1e6
     return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
 
 
@@ -93,10 +99,11 @@ def ann_bruteforce_topk(sf_dir: str) -> pa.Table:
         cos = (qmat @ bmat.T) / np.outer(qnorm, bnorm)  # Q × B
         out_q, out_v, out_c = [], [], []
         for qi in range(len(qids)):
-            # exclude self BEFORE ranking: feeding ±inf/NaN through the
-            # int64 cast in _cos_e6 yields INT64_MIN, and -INT64_MIN in the
-            # lexsort key overflows back to INT64_MIN, sorting self FIRST
-            valid = bids != qids[qi]
+            # exclude self AND zero-norm (NaN-cosine) vectors BEFORE
+            # ranking: feeding ±inf/NaN through the int64 cast in _cos_e6
+            # yields INT64_MIN, and -INT64_MIN in the lexsort key overflows
+            # back to INT64_MIN, sorting the degenerate entry FIRST
+            valid = (bids != qids[qi]) & np.isfinite(cos[qi])
             vbids = bids[valid]
             if len(vbids) == 0:
                 continue
@@ -210,6 +217,7 @@ def ann_lsh_topk(
                 match |= bks[tt][None, :] == qpr[tt, :, p][:, None]
         match &= bids[None, :] != qids[:, None]  # exclude self
         cos = (qmat @ mat.T) / np.outer(qnorm, np.linalg.norm(mat, axis=1))
+        match &= np.isfinite(cos)  # exclude zero-norm (NaN-cosine) vectors
         out_q, out_v, out_c = [], [], []
         for qi in range(len(qids)):
             sel = np.flatnonzero(match[qi])
@@ -297,6 +305,7 @@ def ann_ivf_topk(
         match = (q_cells[:, :, None] == assign[None, None, :]).any(axis=1)
         match &= bids[None, :] != qids[:, None]
         cos = (qmat @ mat.T) / np.outer(qnorm, bnorm)
+        match &= np.isfinite(cos)  # exclude zero-norm (NaN-cosine) vectors
         out_q, out_v, out_c = [], [], []
         for qi in range(len(qids)):
             sel = np.flatnonzero(match[qi])
@@ -344,8 +353,15 @@ def _knn_block(ta: pa.Table, block_refs: list, k: int) -> pa.Table:
         ids_b = tb["vec_id"].to_numpy()
         mat_b = np.vstack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         cos = (mat_a @ mat_b.T) / np.outer(norm_a, np.linalg.norm(mat_b, axis=1))
+        # sentinel -2e6 (below any real e6-cosine, which is >= -1e6) marks
+        # self-pairs and zero-norm NaN cosines; INT64_MIN here was a bug —
+        # argpartition(-cos_e6) overflows -INT64_MIN back to INT64_MIN, so
+        # the sentinel entered every local top-k and the keep-filter then
+        # silently dropped the block's k-th best real candidate
+        SENT = -2_000_000
+        cos = np.where(np.isfinite(cos), cos, -2.0)
         cos_e6 = np.round(cos * 1e6).astype(np.int64)
-        cos_e6[ids_a[:, None] == ids_b[None, :]] = np.iinfo(np.int64).min  # self
+        cos_e6[ids_a[:, None] == ids_b[None, :]] = SENT  # self
         kk = min(k, len(ids_b))
         part = np.argpartition(-cos_e6, kk - 1, axis=1)[:, :kk]  # local top-k
         rows = np.repeat(np.arange(len(ids_a)), kk)
@@ -359,7 +375,7 @@ def _knn_block(ta: pa.Table, block_refs: list, k: int) -> pa.Table:
     src = np.concatenate(src_l)
     nbr = np.concatenate(nbr_l).astype(np.int64)
     ce6 = np.concatenate(cos_l)
-    keep = ce6 != np.iinfo(np.int64).min
+    keep = ce6 != -2_000_000
     src, nbr, ce6 = src[keep], nbr[keep], ce6[keep]
     # global top-k per source row: sort (src asc, cos desc, nbr asc), then
     # rank-within-run via position minus run start

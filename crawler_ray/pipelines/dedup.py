@@ -385,17 +385,19 @@ def semdedup(
     Returns (vec_id, cluster, keep, max_prior_cos_e6) — max_prior_cos_e6 =
     -1_000_000 marks "no earlier member" (the cell's first vector).
     """
-    from crawler_ray.pipelines.ann import _spherical_kmeans
+    from crawler_ray.pipelines.ann import _emb_paths, _spherical_kmeans
 
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    # _emb_paths: the sf tables are one embeddings.parquet; bench scaling
+    # corpora write N embeddings-NNNN.parquet files (file 0 = corpus head)
+    pf = pq.ParquetFile(_emb_paths(sf_dir)[0])
     batch = next(pf.iter_batches(batch_size=train_rows, columns=["embedding"]))
     sample = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
     cent = _spherical_kmeans(sample, n_clusters)
     cent_ref = ray.put(cent)
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = rd.read_parquet(_emb_paths(sf_dir), columns=["vec_id", "embedding"])
 
     def assign(t: pa.Table, ref=cent_ref) -> pa.Table:
         c = ray.get(ref)
@@ -865,10 +867,21 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 
 
 @ray.remote
-def _cos_block_pair(ta: pa.Table, tb: pa.Table, threshold_e6: int) -> pa.Table:
+def _cos_block_pair(
+    ta: pa.Table, tb: pa.Table, threshold_e6: int, same_block: bool
+) -> pa.Table:
     """One cell of the block-pair grid: exact cosine between two Arrow
-    blocks, emitting pairs (a_id < b_id) over the threshold. Memory is two
-    blocks, never the corpus."""
+    blocks, emitting each unordered pair over the threshold exactly once,
+    canonically oriented (a_id < b_id). Memory is two blocks, never the
+    corpus.
+
+    The diagonal cell (``same_block``) keeps the upper triangle; a CROSS
+    cell sees each unordered pair once in the bipartite product and must
+    keep it regardless of which side holds the larger id — a ``b > a``
+    mask there silently drops every pair whose larger id lives in the
+    earlier block, and multi-file / parallel reads interleave blocks so
+    block order is NOT id-monotonic (regression-pinned by
+    ``test_emb_multifile_corpus_matches_single_file``)."""
     if ta.num_rows == 0 or tb.num_rows == 0:
         return pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
                          "cos_e6": pa.array([], pa.int64())})
@@ -880,12 +893,16 @@ def _cos_block_pair(ta: pa.Table, tb: pa.Table, threshold_e6: int) -> pa.Table:
         np.linalg.norm(mat_a, axis=1), np.linalg.norm(mat_b, axis=1)
     )
     cos_e6 = np.round(cos * 1e6).astype(np.int64)
-    mask = (cos_e6 >= threshold_e6) & (ids_b[None, :] > ids_a[:, None])
+    if same_block:
+        mask = (cos_e6 >= threshold_e6) & (ids_b[None, :] > ids_a[:, None])
+    else:
+        mask = (cos_e6 >= threshold_e6) & (ids_b[None, :] != ids_a[:, None])
     r, c = np.nonzero(mask)
+    lo, hi = ids_a[r].astype(np.int64), ids_b[c].astype(np.int64)
     return pa.table(
         {
-            "a_id": pa.array(ids_a[r].astype(np.int64)),
-            "b_id": pa.array(ids_b[c].astype(np.int64)),
+            "a_id": pa.array(np.minimum(lo, hi)),
+            "b_id": pa.array(np.maximum(lo, hi)),
             "cos_e6": pa.array(cos_e6[r, c]),
         }
     )
@@ -909,12 +926,14 @@ def embedding_dup_pairs(
     For sub-quadratic scale semantics use LSH/ANN (``ann_lsh_topk``) — an
     exact-threshold oracle can't be bucketed without losing recall.
     """
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from crawler_ray.pipelines.ann import _emb_paths
+
+    emb = rd.read_parquet(_emb_paths(sf_dir), columns=["vec_id", "embedding"])
     if num_blocks:
         emb = emb.repartition(num_blocks)
     blocks = emb.to_arrow_refs()
     refs = [
-        _cos_block_pair.remote(blocks[i], blocks[j], threshold_e6)
+        _cos_block_pair.remote(blocks[i], blocks[j], threshold_e6, i == j)
         for i in range(len(blocks))
         for j in range(i, len(blocks))
     ]
@@ -1124,7 +1143,15 @@ def strip_dup_spans(
     # while a pathological everything-duplicated corpus still has the
     # distributed path (tests force it with broadcast_cut=0)
     if dup.count() <= broadcast_cut:
-        keys = np.sort(dup.to_pandas()["key"].to_numpy())  # doc-major, pos-minor
+        dup_pd = dup.to_pandas()
+        # zero window rows (every doc shorter than k tokens) yields a
+        # schema-less dataset whose to_pandas() has no columns at all —
+        # index ["key"] only when evidence exists
+        keys = (
+            np.sort(dup_pd["key"].to_numpy())  # doc-major, pos-minor
+            if "key" in dup_pd.columns
+            else np.array([], np.int64)
+        )
         ids_all = keys >> 24
         pos_flat = keys & ((1 << 24) - 1)
         ids_sorted, starts0 = np.unique(ids_all, return_index=True)

@@ -670,24 +670,40 @@ def frame_sample(sf_dir: str) -> rd.Dataset:
     def explode(t: pa.Table) -> pa.Table:
         ids, frames, ws, hs, hashes = [], [], [], [], []
         for did, blob in zip(t["doc_id"].to_pylist(), t["media"].to_pylist()):
-            if not blob.startswith(VIDEO_MAGIC):
-                continue
-            px = decode_bmp_video(blob)
-            if px is None:
-                continue
-            for f in range(0, len(px), 2):
-                ids.append(did)
-                frames.append(f)
-                hs.append(px[f].shape[0])
-                ws.append(px[f].shape[1])
-                hashes.append(dhash64(px[f]))
+            if blob.startswith(VIDEO_MAGIC):
+                px = decode_bmp_video(blob)
+                if px is None:
+                    continue
+                for f in range(0, len(px), 2):
+                    ids.append(did)
+                    frames.append(f)
+                    hs.append(px[f].shape[0])
+                    ws.append(px[f].shape[1])
+                    hashes.append(dhash64(px[f]))
+            elif blob.startswith(MEDIA_MAGIC):
+                # legacy stub container (pre-BMPV1 corpora): no pixels to
+                # fingerprint, but the mixed-corpus contract (module header)
+                # still owes frame rows — header-derived idx/w/h with a NULL
+                # dhash, same sampling stride as the real decode path
+                kind = blob[10:18].rstrip(b"\0").decode()
+                if kind != "video":
+                    continue
+                w = int.from_bytes(blob[18:22], "big")
+                h = int.from_bytes(blob[22:26], "big")
+                nframes = int.from_bytes(blob[26:30], "big")
+                for f in range(0, nframes, 2):
+                    ids.append(did)
+                    frames.append(f)
+                    hs.append(h)
+                    ws.append(w)
+                    hashes.append(None)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "frame_idx": pa.array(frames, pa.int32()),
                 "frame_w": pa.array(ws, pa.int32()),
                 "frame_h": pa.array(hs, pa.int32()),
-                "frame_dhash": pa.array(np.array(hashes, dtype=np.uint64)),
+                "frame_dhash": pa.array(hashes, pa.uint64()),
             }
         )
 

@@ -97,7 +97,9 @@ def build_record(
         b"WARC-Type: response\r\n"
         + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode("ascii")
         + f"WARC-Date: {_warc_date(ts_us)}\r\n".encode("ascii")
-        + f"WARC-Target-URI: {url}\r\n".encode("ascii")
+        # UTF-8, matching the reader's decode: IRIs with non-ASCII paths
+        # are common in real frontiers and must round-trip through the sink
+        + f"WARC-Target-URI: {url}\r\n".encode("utf-8")
         + b"Content-Type: application/http; msgtype=response\r\n"
         + f"Content-Length: {len(http)}\r\n".encode("ascii")
     )

@@ -929,3 +929,188 @@ def test_strip_dup_spans_cogroup_fallback_matches_broadcast(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert a.equals(b)
+
+
+def _write_emb(path, ids, vecs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([[float(x) for x in v] for v in vecs]),
+            }
+        ),
+        str(path),
+    )
+
+
+def _e6_round(x):
+    v = x * 1e6
+    return int(np.floor(v + 0.5) if v >= 0 else np.ceil(v - 0.5))
+
+
+def test_ann_excludes_zero_norm_vectors(ray_session, tmp_path):
+    """Zero-norm embeddings produce NaN cosines; fed through the int64
+    e6-cast they became INT64_MIN, whose negation in the lexsort key
+    overflows back to INT64_MIN and ranks the degenerate vector FIRST
+    (review finding). Pin: a corpus with zero vectors on BOTH sides
+    (query 3 and candidate 25) never emits a degenerate id, and every
+    surviving top-k set matches a numpy oracle with the same e6
+    rounding and (cos desc, vec_id asc) tie-break."""
+    from crawler_ray.pipelines.ann import NUM_QUERIES, TOP_K, ann_bruteforce_topk, knn_graph
+
+    rng = np.random.default_rng(11)
+    n, dim = 40, 8
+    vecs = rng.standard_normal((n, dim))
+    vecs[3] = 0.0   # degenerate QUERY (vec_id < NUM_QUERIES)
+    vecs[25] = 0.0  # degenerate CANDIDATE
+    _write_emb(tmp_path / "embeddings.parquet", range(n), vecs)
+
+    out = ann_bruteforce_topk(str(tmp_path)).to_pandas()
+    assert 3 not in set(out.query_id)  # NaN-cosine query emits nothing
+    assert not set(out.vec_id) & {3, 25}  # degenerates never rank
+    assert (out.query_id != out.vec_id).all()
+
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in range(NUM_QUERIES):
+        if q == 3:
+            continue
+        cand = []
+        for v in range(n):
+            if v == q or norms[v] == 0:
+                continue
+            c = float(vecs[q] @ vecs[v] / (norms[q] * norms[v]))
+            cand.append((-_e6_round(c), v))
+        want = [v for _, v in sorted(cand)[:TOP_K]]
+        got = out[out.query_id == q].sort_values("cos_e6", ascending=False)
+        assert list(got.vec_id) == want, q
+
+    # knn over multiple blocks: pre-fix the INT64_MIN sentinel entered
+    # every local top-k and the keep-filter then dropped the block's
+    # k-th best REAL candidate
+    g = knn_graph(str(tmp_path), k=5, num_blocks=4).to_pandas()
+    assert not set(g.vec_id) & {3, 25} and not set(g.neighbor_id) & {3, 25}
+    for s in set(g.vec_id):
+        cand = sorted(
+            (-_e6_round(float(vecs[s] @ vecs[v] / (norms[s] * norms[v]))), v)
+            for v in range(n)
+            if v != s and norms[v] > 0
+        )[:5]
+        got = g[g.vec_id == s].sort_values("nn_rank")
+        assert list(got.neighbor_id) == [v for _, v in cand], s
+
+
+def test_emb_multifile_corpus_matches_single_file(ray_session, tmp_path):
+    """_emb_paths seam: a corpus split across embeddings-NNNN.parquet
+    files (the bench scaling layout) must produce identical results to
+    the same rows in one embeddings.parquet — semdedup's sample read and
+    embedding_dup_pairs' block grid both route through it (review fix:
+    they hardcoded the single-file name and crashed on split corpora)."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.ann import _emb_paths
+    from crawler_ray.pipelines.dedup import embedding_dup_pairs, semdedup
+
+    rng = np.random.default_rng(5)
+    n, dim = 30, 12
+    vecs = rng.standard_normal((n, dim))
+    vecs[20] = vecs[4] + 0.001 * rng.standard_normal(dim)  # one near-dup pair
+    one, split = tmp_path / "one", tmp_path / "split"
+    one.mkdir(), split.mkdir()
+    _write_emb(one / "embeddings.parquet", range(n), vecs)
+    _write_emb(split / "embeddings-0000.parquet", range(15), vecs[:15])
+    _write_emb(split / "embeddings-0001.parquet", range(15, n), vecs[15:])
+    assert [p.rsplit("/", 1)[1] for p in _emb_paths(str(split))] == [
+        "embeddings-0000.parquet",
+        "embeddings-0001.parquet",
+    ]
+
+    key = ["a_id", "b_id"]
+    a = embedding_dup_pairs(str(one)).to_pandas().sort_values(key, ignore_index=True)
+    b = embedding_dup_pairs(str(split)).to_pandas().sort_values(key, ignore_index=True)
+    assert len(a) > 0 and a.equals(b)
+
+    # train_rows <= file-0 rows: the sample is the corpus head either way
+    sa = semdedup(str(one), n_clusters=3, train_rows=10).to_pandas().sort_values("vec_id", ignore_index=True)
+    sb = semdedup(str(split), n_clusters=3, train_rows=10).to_pandas().sort_values("vec_id", ignore_index=True)
+    assert sa.equals(sb)
+
+
+def test_strip_dup_spans_no_windows_corpus(ray_session, tmp_path):
+    """Every doc shorter than k tokens → ZERO window rows; the broadcast
+    cut then sees a schema-less empty dataset whose to_pandas() has no
+    'key' column (review fix: KeyError). Docs pass through canonicalized
+    and untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.dedup import strip_dup_spans
+
+    texts = ["just a few tokens", "  spaced   out  ", "", "seven t o k e n s"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = strip_dup_spans(str(tmp_path)).to_pandas().sort_values("doc_id").set_index("doc_id")
+    assert list(out.index) == [0, 1, 2, 3]
+    assert (out.n_cut == 0).all()
+    assert list(out.clean_text) == [" ".join(t.split()) for t in texts]
+    assert list(out.n_tokens) == [len(t.split()) for t in texts]
+
+
+def test_frame_sample_legacy_stub_rows(ray_session, tmp_path):
+    """Mixed-corpus contract: legacy MEDIA_MAGIC stub videos (pre-BMPV1
+    corpora) still owe frame rows — header-derived idx/w/h at the same
+    stride, NULL dhash (no pixels to fingerprint) — while BMPV1 rows in
+    the same table run the real decode path (review fix: legacy videos
+    silently vanished from the explode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.multimodal import MEDIA_MAGIC, encode_bmp_video, frame_sample, synth_media
+
+    docs = pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(["a", "b", "c"])})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    def stub(kind: str, w: int, h: int, nframes: int) -> bytes:
+        return (
+            MEDIA_MAGIC
+            + kind.encode().ljust(8, b"\0")
+            + w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + nframes.to_bytes(4, "big")
+            + b"\0" * 16
+        )
+
+    rng = np.random.default_rng(3)
+    real = encode_bmp_video([rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8) for _ in range(6)])
+    media = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "media_type": pa.array(["video", "video", "image"]),
+            "media": pa.array([stub("video", 20, 12, 8), real, stub("image", 9, 9, 0)], pa.binary()),
+            "declared_w": pa.array([20, 14, 9], pa.int32()),
+            "declared_h": pa.array([12, 10, 9], pa.int32()),
+        }
+    )
+    # inject through synth_media's cache seam: it returns any existing
+    # cache file for (basename, n_docs) without rebuilding
+    cached = synth_media.__wrapped__ if hasattr(synth_media, "__wrapped__") else synth_media
+    import os
+
+    tag = f"media_{os.path.basename(os.path.normpath(str(tmp_path)))}_{3}_v5"
+    path = os.path.join("/tmp/crawler_ray_cache", tag + ".parquet")
+    os.makedirs("/tmp/crawler_ray_cache", exist_ok=True)
+    pq.write_table(media, path)
+
+    out = frame_sample(str(tmp_path)).to_pandas()
+    legacy = out[out.doc_id == 0].sort_values("frame_idx")
+    assert list(legacy.frame_idx) == [0, 2, 4, 6]
+    assert (legacy.frame_w == 20).all() and (legacy.frame_h == 12).all()
+    assert legacy.frame_dhash.isna().all()
+    bmpv = out[out.doc_id == 1].sort_values("frame_idx")
+    assert list(bmpv.frame_idx) == [0, 2, 4]
+    assert bmpv.frame_dhash.notna().all()
+    assert (out.doc_id != 2).all()  # legacy image stubs stay out

@@ -118,3 +118,13 @@ def test_warc_pages_matches_duckdb(ray_session):
     # both layouts actually present in the fixture (plain + per-record gzip)
     wdir = synth_warc(sf)
     assert os.listdir(os.path.join(wdir, "plain")) and os.listdir(os.path.join(wdir, "gz"))
+
+
+def test_non_ascii_uri_round_trip():
+    """WARC-Target-URI is written UTF-8 (review fix: ascii-encode crashed
+    on IRIs); the reader's utf-8 decode round-trips it, including through
+    1-byte adversarial chunking."""
+    url = "https://h0.example.com/café/路径?q=ü"
+    rec = build_record(url, 1_700_000_000_000_000, b"body", 200)
+    rows = list(parse_warc(iter([rec[i : i + 1] for i in range(len(rec))])))
+    assert len(rows) == 1 and rows[0]["url"] == url and rows[0]["payload"] == b"body"
