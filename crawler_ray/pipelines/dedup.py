@@ -1425,4 +1425,154 @@ ORACLE_SQL = {
                CAST(100 * n_dup // n_spans AS BIGINT) AS dup_pct
         FROM per
     """,
+    # Charikar simhash twin: DuckDB recomputes the md5-prefix token hashes
+    # (same bytes `_token_hashes` takes) and the per-bit ±1 vote in exact
+    # integer SQL, then brute-forces all pairs with bit_count(xor) <= 3.
+    # The engine's 4×16-bit pigeonhole blocking is lossless for hamming<=3
+    # (3 differing bits can't touch all 4 chunks), so blocked == all-pairs.
+    "simhash_dups": """
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(LIST_FILTER(
+                       REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS tok
+            FROM documents),
+        th AS (
+            SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 16))::UBIGINT AS h
+            FROM toks),
+        bits AS (
+            SELECT doc_id, b.bit,
+                   CASE WHEN SUM(CASE WHEN (h >> b.bit) & 1 = 1
+                                      THEN 1 ELSE -1 END) > 0
+                        THEN 1::UBIGINT ELSE 0::UBIGINT END AS v
+            FROM th CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS bit) b
+            GROUP BY doc_id, b.bit),
+        sh AS (
+            SELECT d.doc_id, COALESCE(s.simhash, 0::UBIGINT) AS simhash
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, SUM(v << bit)::UBIGINT AS simhash
+                       FROM bits GROUP BY doc_id) s USING (doc_id))
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               BIT_COUNT(XOR(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+    """,
 }
+
+
+def _minhash_oracle_ctes(
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold_pct: int = 50,
+    bucket_cap: int = 512,
+) -> str:
+    """CTE list for the DuckDB twin of ``minhash_lsh_dups`` — same defaults,
+    ending in a ``pairs`` CTE of verified (a_id, b_id, jacc_pct).
+
+    Every stage is re-derived in exact integer SQL: md5-prefix token hashes,
+    the splitmix-multiplier k=3 shingle polynomial, the seed-42 (a, b)
+    permutation table (inlined as VALUES — deterministic constants of the
+    documented seed), (a*x + b) mod 2^64 mod M61 signatures, the FNV-1a band
+    keys, cap-512 buckets, and exact integer Jaccard verification. uint64
+    wraparound is emulated as UHUGEINT arithmetic masked with 2^64-1 (bitwise
+    AND — a UHUGEINT ``%`` is a 128-bit divide and ~40x slower); every
+    product stays under 2^128 (hash < 2^64 times multiplier < 2^64 is the
+    widest). Emitted as a CTE list so ``minhash_dedup_keep`` can extend it
+    with a recursive components CTE under the same WITH."""
+    rows = num_perm // bands
+    rng = np.random.default_rng(42)  # _minhash_params' documented seed
+    hi = np.int64(_MERSENNE)
+    pa_ = rng.integers(1, hi, size=num_perm, dtype=np.int64)
+    pb_ = rng.integers(0, hi, size=num_perm, dtype=np.int64)
+    params = ",".join(
+        f"({p // rows},{p % rows},{int(pa_[p])}::UHUGEINT,{int(pb_[p])}::UHUGEINT)"
+        for p in range(num_perm)
+    )
+    MASK = "18446744073709551615::UHUGEINT"  # 2^64 - 1
+    MULT = "11400714819323198485::UHUGEINT"  # 0x9E3779B97F4A7C15
+    FNV_OFFSET = 14695981039346656037  # 0xCBF29CE484222325
+    FNV_PRIME = "1099511628211::UHUGEINT"  # 0x100000001B3
+    sig_pivot = ",\n           ".join(
+        f"MAX(CASE WHEN r = {r} THEN sig END) AS s{r}" for r in range(rows)
+    )
+    key = f"xor({FNV_OFFSET}::UBIGINT, band::UBIGINT)"
+    for r in range(rows):
+        key = f"(((xor({key}, s{r})::UHUGEINT * {FNV_PRIME}) & {MASK})::UBIGINT)"
+    return f"""
+    tokarr AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), ' '),
+                           t -> t <> '') AS toks
+        FROM documents),
+    th AS (
+        SELECT doc_id, GENERATE_SUBSCRIPTS(toks, 1) AS i,
+               ('0x' || SUBSTR(MD5(UNNEST(toks)), 1, 16))::UBIGINT::UHUGEINT AS h
+        FROM tokarr),
+    sh AS (
+        SELECT DISTINCT t0.doc_id,
+               ((((((t0.h * {MULT}) & {MASK}) + t1.h) & {MASK})
+                 * {MULT} & {MASK}) + t2.h) & {MASK} AS x
+        FROM th t0
+        JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+        JOIN th t2 ON t2.doc_id = t0.doc_id AND t2.i = t0.i + 2),
+    params(band, r, pa, pb) AS (VALUES {params}),
+    sig AS (
+        SELECT doc_id, band, r,
+               MIN((((x * pa + pb) & {MASK})::UBIGINT)
+                   % 2305843009213693951::UBIGINT) AS sig
+        FROM sh CROSS JOIN params GROUP BY doc_id, band, r),
+    sigp AS (
+        SELECT doc_id, band, {sig_pivot}
+        FROM sig GROUP BY doc_id, band),
+    bkey AS (SELECT doc_id, {key} AS key FROM sigp),
+    bucket AS (
+        SELECT doc_id, key FROM bkey
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id)
+                <= {bucket_cap}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bucket x JOIN bucket y ON x.key = y.key AND x.doc_id < y.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a_id
+        JOIN sh sb ON sb.doc_id = c.b_id AND sb.x = sa.x
+        GROUP BY c.a_id, c.b_id),
+    pairs AS (
+        SELECT c.a_id, c.b_id,
+               ((100 * COALESCE(i.i, 0))
+                // (na.n + nb.n - COALESCE(i.i, 0)))::BIGINT AS jacc_pct
+        FROM cand c
+        JOIN sizes na ON na.doc_id = c.a_id
+        JOIN sizes nb ON nb.doc_id = c.b_id
+        LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+        WHERE (100 * COALESCE(i.i, 0))
+              // (na.n + nb.n - COALESCE(i.i, 0)) >= {threshold_pct})"""
+
+
+ORACLE_SQL["minhash_lsh_dups"] = (
+    "WITH" + _minhash_oracle_ctes() + "\n    SELECT a_id, b_id, jacc_pct FROM pairs"
+)
+
+# components over the verified pairs via a recursive reachability CTE
+# (min reachable doc_id == the engine's min-label supersteps); docs outside
+# any pair keep themselves. Feasible because the driver's oracle scale is
+# sf0.01 — the engine's distributed components path is the 100 TB shape.
+ORACLE_SQL["minhash_dedup_keep"] = (
+    "WITH RECURSIVE"
+    + _minhash_oracle_ctes()
+    + """,
+    edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    cc(node, lbl) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, cc.lbl FROM cc JOIN edges e ON e.s = cc.node),
+    lab AS (SELECT node, MIN(lbl) AS cluster_id FROM cc GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           (CASE WHEN d.doc_id = COALESCE(l.cluster_id, d.doc_id)
+                 THEN 1 ELSE 0 END)::TINYINT AS keep
+    FROM documents d LEFT JOIN lab l ON l.node = d.doc_id"""
+)

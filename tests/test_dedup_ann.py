@@ -1114,3 +1114,31 @@ def test_frame_sample_legacy_stub_rows(ray_session, tmp_path):
     assert list(bmpv.frame_idx) == [0, 2, 4]
     assert bmpv.frame_dhash.notna().all()
     assert (out.doc_id != 2).all()  # legacy image stubs stay out
+
+
+@pytest.mark.parametrize(
+    "name", ["simhash_dups", "minhash_lsh_dups", "minhash_dedup_keep"]
+)
+def test_hash_dedup_oracle_sql(ray_session, name):
+    """The round-5 DuckDB twins of the hash-dedup family (md5-prefix token
+    hashes, simhash bit votes, the seed-42 minhash permutation table and
+    FNV band keys re-derived in exact integer SQL, components via a
+    recursive CTE) — pinned here at sf0.001 with the driver's own
+    row/schema/value compare, since the driver window caps at 50 entries."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entrymod
+    from tools.check_queries import TABLES, compare, to_pandas
+
+    sf = "/root/testdata/sf0.001"
+    ray_df = to_pandas(entrymod.queries()[name](sf))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    sql_df = con.sql(entrymod.oracle_sql()[name]).df()
+    verdict = compare(name, ray_df, sql_df)
+    assert verdict.startswith("OK"), verdict
