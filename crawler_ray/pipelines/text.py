@@ -41,6 +41,40 @@ def _docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _doc_token_counts(
+    ids: "np.ndarray", texts: pa.ChunkedArray | pa.Array
+) -> tuple["np.ndarray", pa.Array, "np.ndarray"]:
+    """Per-document token counts, fully vectorized — the Arrow-kernel twin
+    of ``Counter(_TOKEN_RE.findall(s.lower()))`` per row (same (doc, token,
+    count) multiset; within-doc token order is code order, not first-seen).
+
+    One ``utf8_lower`` + ``split_pattern_regex`` pass over the column, then
+    numpy: flatten with parent ids, dictionary-encode the flat tokens, and
+    count (parent, code) pairs via ``np.unique`` on a packed int64 key.
+    Returns (doc_ids, tokens, counts) sorted by (input row, token code) —
+    each doc's rows contiguous, preserving the block-contract callers rely on.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"[^A-Za-z0-9]+")
+    flat = lists.flatten()
+    offs = lists.offsets.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
+    # split emits "" at run boundaries (leading/trailing delimiters); the
+    # dictionary code for "" (if present) is masked out below
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    vocab = enc.dictionary
+    k = len(vocab)
+    empty_code = pc.index(vocab, "").as_py() if k else -1
+    if empty_code >= 0:
+        keep = codes != empty_code
+        codes, parent = codes[keep], parent[keep]
+    key, counts = np.unique(parent * k + codes, return_counts=True)
+    p, c = key // max(k, 1), key % max(k, 1)
+    return ids[p], vocab.take(pa.array(c, pa.int64())), counts.astype(np.int64)
+
+
 def token_stats(sf_dir: str) -> rd.Dataset:
     """Token counting: whitespace words + a BPE-ish alnum-token regex, all
     pyarrow.compute kernels (no Python loop)."""
@@ -378,41 +412,36 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
     import pandas as pd
 
     def doc_tf(t: pa.Table):
-        from collections import Counter
-
         chunk_rows = 65536
-        ids: list[int] = []
-        toks: list[str] = []
-        tfs: list[int] = []
-        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            c = Counter(_TOKEN_RE.findall(s.lower()))
-            ids.extend([i] * len(c))
-            toks.extend(c.keys())
-            tfs.extend(c.values())
-            if len(ids) >= chunk_rows:  # cut only at a doc boundary
-                yield pa.table(
-                    {
-                        "doc_id": pa.array(ids, pa.int64()),
-                        "token": pa.array(toks, pa.string()),
-                        "tf": pa.array(tfs, pa.int64()),
-                    }
-                )
-                ids, toks, tfs = [], [], []
-        if ids:
+        ids, toks, tfs = _doc_token_counts(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"]
+        )
+        # yield in ~chunk_rows doc-aligned slices: advance each cut to the
+        # end of the straddled document so no doc spans two yielded batches
+        start, n = 0, len(ids)
+        while start < n:
+            end = min(start + chunk_rows, n)
+            while end < n and ids[end] == ids[end - 1]:  # finish the straddled doc
+                end += 1
             yield pa.table(
                 {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "token": pa.array(toks, pa.string()),
-                    "tf": pa.array(tfs, pa.int64()),
+                    "doc_id": pa.array(ids[start:end], pa.int64()),
+                    "token": toks.slice(start, end - start),
+                    "tf": pa.array(tfs[start:end], pa.int64()),
                 }
             )
+            start = end
 
     # materialize: tf is consumed TWICE (the DF aggregate and the join) —
     # without the cut the tokenize map re-executes per consumer, and fused
     # with the DF groupby it is Sort-reservation-throttled too
     tf = _docs(sf_dir).map_batches(doc_tf, batch_format="pyarrow").materialize()
     # DF from the same tf rows: one row per (doc, token) already, so a
-    # count per token IS count-distinct-doc
+    # count per token IS count-distinct-doc. Per-block dictionary partials
+    # merge on the DRIVER (pandas groupby over block-vocab-sized rows) —
+    # the full DF table is about to be driver-held and broadcast via
+    # ray.put anyway, so a distributed groupby here bought nothing but a
+    # ~1 s fixed Sort exchange on vocabulary-sized data.
     df = (
         tf.select_columns(["token"])
         .map_batches(
@@ -429,13 +458,9 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
             ),
             batch_format="pyarrow",
         )
-        .groupby("token")
-        .sum("df")
-        .map_batches(
-            lambda t: pa.table({"token": t["token"], "df": pc.cast(t["sum(df)"], pa.int64())}),
-            batch_format="pyarrow",
-        )
-        .to_pandas()  # vocabulary-sized; take_all iterates per row/cell
+        .to_pandas()  # block-vocab-sized partials; take_all iterates per row/cell
+        .groupby("token", as_index=False)["df"]
+        .sum()
     )
     import ray
 
@@ -494,8 +519,10 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
     # so the repair merges on the DRIVER below the adaptive cut (the r4
     # version paid a full Ray groupby exchange ~1 s fixed cost to merge a
     # few hundred rows — the whole 2.4× bench regression); past the cut the
-    # distributed groupby fallback keeps the op unbounded-safe.
-    if bds.count() <= 1_000_000:
+    # distributed groupby fallback keeps the op unbounded-safe. The bound
+    # comes from the materialized block count (metadata, free) — an exact
+    # bds.count() here cost a whole extra pipeline execution.
+    if scored.num_blocks() * 2 * top_n <= 1_000_000:
         g = bds.to_pandas()
         merged = merge_topn(g)
         return interior.union(
