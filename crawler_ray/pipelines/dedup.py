@@ -612,8 +612,58 @@ def minhash_lsh_dups(
         out = g.drop_duplicates(["a_id", "b_id"])[["a_id", "b_id"]]
         return out
 
+    cand_mat = cand.materialize()  # raw per-bucket pairs, ≤ bands× the true set
+    empty = pa.table(
+        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
+         "jacc_pct": pa.array([], pa.int64())}
+    )
+    # adaptive tail (the `shuffle_cut` pattern): below the cut the raw pair
+    # stream is driver-sized, so pair dedup is one vectorized
+    # drop_duplicates, the candidate docs' shingles come back through a
+    # broadcast-membership filter over the materialized shingle table (a
+    # streaming pass — no join shuffle, corpus never collected), and
+    # verification runs on the driver. This replaces one pair-dedup
+    # exchange plus TWO hash-join exchanges, each a fixed ~0.5 s of
+    # join-actor setup that dwarfed the candidate-sized work at bench
+    # scale. Above the cut the distributed path below is unchanged.
+    if cand_mat.count() <= 200_000:
+        cp = cand_mat.to_pandas().drop_duplicates(["a_id", "b_id"])
+        if cp.empty:
+            return rd.from_arrow(empty)
+        a_np = cp["a_id"].to_numpy(dtype=np.int64)
+        b_np = cp["b_id"].to_numpy(dtype=np.int64)
+        need_ref = ray.put(np.unique(np.concatenate([a_np, b_np])))
+
+        def pick(t: pa.Table, _ref=need_ref) -> pa.Table:
+            nd = ray.get(_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids, nd)))
+
+        shp = sh_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+        shd = dict(zip(shp["doc_id"], shp["sh"]))
+        a_ids, b_ids, jpct = [], [], []
+        for x, y in zip(a_np, b_np):
+            sa = np.frombuffer(shd[x], dtype=np.uint64)
+            sb = np.frombuffer(shd[y], dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            pct = (100 * inter) // union if union else 0
+            if pct >= threshold_pct:
+                a_ids.append(int(x))
+                b_ids.append(int(y))
+                jpct.append(int(pct))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a_id": pa.array(a_ids, pa.int64()),
+                    "b_id": pa.array(b_ids, pa.int64()),
+                    "jacc_pct": pa.array(jpct, pa.int64()),
+                }
+            )
+        )
+
     cand_u = (
-        cand.map_batches(
+        cand_mat.map_batches(
             lambda t: pa.table(
                 {
                     "a_id": t["a_id"],
@@ -635,10 +685,6 @@ def minhash_lsh_dups(
         .groupby("pp")
         .map_groups(pair_part, batch_format="pandas")
         .materialize()  # candidate-pair-sized, not corpus-sized
-    )
-    empty = pa.table(
-        {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64()),
-         "jacc_pct": pa.array([], pa.int64())}
     )
     if cand_u.count() == 0:
         return rd.from_arrow(empty)
@@ -1274,7 +1320,40 @@ def minhash_dedup_keep(sf_dir: str, threshold_pct: int = 50) -> rd.Dataset:
         )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    both = comp.map_batches(comp_rows, batch_format="pyarrow").union(
+
+    # adaptive resolve: component labels are pair-bounded (≤ 2 rows per
+    # verified pair), so below the cut they broadcast once via ray.put and
+    # the corpus-wide decision is a stateless searchsorted map — no
+    # doc-sized union, no partition exchange. Above the cut the
+    # co-partitioned resolve below handles an arbitrarily large label set.
+    comp_mat = comp.materialize()
+    if comp_mat.count() <= 2_000_000:
+        lab = comp_mat.to_pandas()
+        nodes = lab["node"].to_numpy(dtype=np.int64)
+        labels = lab["component"].to_numpy(dtype=np.int64)
+        order = np.argsort(nodes, kind="stable")
+        lab_ref = ray.put((nodes[order], labels[order]))
+
+        def label(t: pa.Table, _ref=lab_ref) -> pa.Table:
+            nd, lb = ray.get(_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(nd):
+                idx = np.minimum(np.searchsorted(nd, ids), len(nd) - 1)
+                hit = nd[idx] == ids
+                cl = np.where(hit, lb[idx], ids)
+            else:
+                cl = ids
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "cluster_id": pa.array(cl),
+                    "keep": pa.array((ids == cl).astype(np.int8)),
+                }
+            )
+
+        return docs.map_batches(label, batch_format="pyarrow")
+
+    both = comp_mat.map_batches(comp_rows, batch_format="pyarrow").union(
         docs.map_batches(self_rows, batch_format="pyarrow")
     )
 

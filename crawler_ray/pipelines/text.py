@@ -364,23 +364,25 @@ def top_terms(sf_dir: str, k: int = 50) -> rd.Dataset:
             }
         )
 
-    return (
-        _docs(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
-        # materialize: keep the tokenize map un-throttled by the Sort
-        # reservation of the downstream groupby (see inverted_index); the
-        # partials are vocabulary-sized per batch, not corpus-sized
-        .materialize()
-        .groupby("token")
-        .sum("df")
-        .map_batches(
-            lambda t: pa.table(
-                {"token": t["token"], "df": pc.cast(t["sum(df)"], pa.int64())}
-            ),
-            batch_format="pyarrow",
+    # vocabulary-sized partials merge, rank and cut on the DRIVER — the
+    # same Heaps-law bound that lets the sibling ops (inverted_index,
+    # tfidf) hold and broadcast the whole vocabulary driver-side; the
+    # distributed groupby+sort+limit version paid two fixed-cost exchanges
+    # to produce k rows
+    parts = _docs(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (
+        parts.groupby("token", as_index=False)["df"]
+        .sum()
+        .sort_values(["df", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(agg["token"].to_numpy(dtype=object), pa.string()),
+                "df": pa.array(agg["df"].to_numpy().astype(np.int64)),
+            }
         )
-        .sort(["df", "token"], descending=[True, False])
-        .limit(k)
     )
 
 
@@ -563,17 +565,12 @@ def inverted_index(sf_dir: str, min_df: int = 50, parts: int = 16) -> rd.Dataset
     postings against the frequent-term table."""
 
     def doc_tf(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids, toks, tfs = [], [], []
-        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            c = Counter(_TOKEN_RE.findall(s.lower()))
-            ids.extend([i] * len(c))
-            toks.extend(c.keys())
-            tfs.extend(c.values())
+        ids, toks, tfs = _doc_token_counts(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"]
+        )
         return pa.table(
             {
-                "term": pa.array(toks, pa.string()),
+                "term": toks,
                 "doc_id": pa.array(ids, pa.int64()),
                 "tf": pa.array(tfs, pa.int64()),
             }
@@ -589,17 +586,12 @@ def inverted_index(sf_dir: str, min_df: int = 50, parts: int = 16) -> rd.Dataset
         terms, counts = np.unique(t["term"].to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"term": pa.array(terms, pa.string()), "df": pa.array(counts, pa.int64())})
 
-    def freq_only(t: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(t["sum(df)"], min_df)
-        return t.filter(keep).select(["term"])
-
-    freq_tbl = (
-        tf.map_batches(partial_df, batch_format="pyarrow")
-        .groupby("term")
-        .sum("df")
-        .map_batches(freq_only, batch_format="pyarrow")
-        .to_pandas()  # vocabulary-sized; take_all iterates per row/cell
-    )
+    # vocabulary-sized partials merge on the DRIVER (the frequent-term set
+    # is about to be driver-held for the ray.put broadcast regardless, so a
+    # distributed groupby here only added a fixed Sort-exchange cost)
+    freq_parts = tf.map_batches(partial_df, batch_format="pyarrow").to_pandas()
+    fsum = freq_parts.groupby("term", as_index=False)["df"].sum()
+    freq_tbl = fsum[fsum["df"] >= min_df]
     import ray
 
     freq_ref = ray.put(np.sort(freq_tbl["term"].to_numpy(dtype=object)))
