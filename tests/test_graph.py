@@ -352,7 +352,17 @@ def test_pagerank_checkpoint_resume_bit_identical(ray_session, tmp_path):
             )
         )
 
-    full = {r["url"]: r["rank"] for r in pagerank_edges(ds(), iters=6).take_all()}
+    import os
+
+    # pin the BSP path for the uninterrupted baseline: the resume contract
+    # (bit-identical restart) lives in the BSP layer, and the small-graph
+    # driver cut — equal only to float association order — would otherwise
+    # serve the un-checkpointed run
+    os.environ["CRAWLER_RAY_PR_CUT"] = "0"
+    try:
+        full = {r["url"]: r["rank"] for r in pagerank_edges(ds(), iters=6).take_all()}
+    finally:
+        del os.environ["CRAWLER_RAY_PR_CUT"]
 
     ck = str(tmp_path / "pr_ck")
     import os
