@@ -890,11 +890,31 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 
     out = banded.groupby("part").map_groups(pairs, batch_format="pandas")
     # the 4 bands can produce the same pair up to 4× (same hamming each
-    # time): distinct via a vectorized aggregate
+    # time): distinct via min-aggregate. Below the adaptive cut the pair
+    # stream is driver-sized and one pandas groupby replaces the fine-key
+    # distributed aggregate's fixed sort-exchange cost (the `shuffle_cut`
+    # pattern); the distributed path handles an arbitrarily large pair set.
+    out_mat = out.materialize()
+    if out_mat.count() <= 2_000_000:
+        dfp = out_mat.to_pandas()
+        m = (
+            dfp.groupby(["a_id", "b_id"], as_index=False)["hamming"].min()
+            if len(dfp)
+            else dfp
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a_id": pa.array(m["a_id"].to_numpy(dtype=np.int64)),
+                    "b_id": pa.array(m["b_id"].to_numpy(dtype=np.int64)),
+                    "hamming": pa.array(m["hamming"].to_numpy(dtype=np.int64)),
+                }
+            )
+        )
     from ray.data.aggregate import Min
 
     return (
-        out.groupby(["a_id", "b_id"])
+        out_mat.groupby(["a_id", "b_id"])
         .aggregate(Min("hamming", alias_name="hamming"))
         .map_batches(
             lambda t: pa.table(

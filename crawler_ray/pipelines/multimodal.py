@@ -626,8 +626,29 @@ def media_dedup_near(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         )
 
     out = banded.groupby("part").map_groups(pairs, batch_format="pandas")
+    # cross-band pair dedup: below the adaptive cut one driver pandas
+    # groupby replaces the fine-key distributed min-aggregate's fixed
+    # sort-exchange (the `shuffle_cut` pattern, same tail as
+    # dedup.simhash_dups); distributed fallback above it.
+    out_mat = out.materialize()
+    if out_mat.count() <= 2_000_000:
+        dfp = out_mat.to_pandas()
+        m = (
+            dfp.groupby(["a_id", "b_id"], as_index=False)["hamming"].min()
+            if len(dfp)
+            else dfp
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a_id": pa.array(m["a_id"].to_numpy(dtype=np.int64)),
+                    "b_id": pa.array(m["b_id"].to_numpy(dtype=np.int64)),
+                    "hamming": pa.array(m["hamming"].to_numpy(dtype=np.int64)),
+                }
+            )
+        )
     return (
-        out.groupby(["a_id", "b_id"])
+        out_mat.groupby(["a_id", "b_id"])
         .aggregate(Min("hamming", alias_name="hamming"))
         .map_batches(
             lambda t: pa.table(

@@ -168,6 +168,40 @@ def _lookup_inner_join(
     return left.map_batches(fn, batch_format="pyarrow")
 
 
+def _anti_gate(
+    left: rd.Dataset, right_keys: rd.Dataset, left_key: str, right_key: str
+) -> rd.Dataset:
+    """Size-adaptive anti-join (NOT EXISTS): drop left rows whose key
+    appears in ``right_keys``. Below the broadcast ceiling the distinct
+    key set ships once via ``ray.put`` and each left batch filters with a
+    vectorized ``searchsorted`` miss test — a streaming map instead of the
+    hash-shuffle ``left_anti``'s fixed join-actor cost; above it (or on a
+    real cluster with a bigger key side than worker heap) the
+    ``Dataset.join`` fallback runs unchanged."""
+    rm = right_keys.materialize()
+    if rm.count() > _BROADCAST_JOIN_ROWS:
+        return left.join(
+            rm,
+            join_type="left_anti",
+            num_partitions=JOIN_PARTITIONS,
+            on=(left_key,),
+            right_on=(right_key,),
+        )
+    rt = pa.concat_tables(ray.get(rm.to_arrow_refs()))
+    ks = np.unique(rt[right_key].to_numpy(zero_copy_only=False))
+    ref = ray.put(ks)
+
+    def fn(t: pa.Table, _ref=ref) -> pa.Table:
+        side = ray.get(_ref)  # shared-memory read, not a copy
+        if len(side) == 0:
+            return t
+        v = t[left_key].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(side, v), len(side) - 1)
+        return t.filter(pa.array(side[idx] != v))
+
+    return left.map_batches(fn, batch_format="pyarrow")
+
+
 def _global_sum_parted(
     ds: rd.Dataset,
     key: str,
@@ -2428,9 +2462,10 @@ def q22_dormant_customers(sf_dir: str) -> pa.Table:
     anti-join non-trivial).
     Plan: the average is a per-batch (sum, count) partial reduce; the
     rich-customer gate runs vectorized against the broadcast scalar; the
-    anti-join is the hash-partitioned ``left_anti`` with the orders side
-    pre-deduped per batch; the final per-nation aggregate reduces through
-    bounded per-batch partials."""
+    anti-join is the size-adaptive ``_anti_gate`` (broadcast key-set miss
+    test below the ceiling, hash-partitioned ``left_anti`` above) with the
+    orders side pre-deduped per batch; the final per-nation aggregate
+    reduces through bounded per-batch partials."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
 
     def bal_partial(t: pa.Table) -> pa.Table:
@@ -2462,13 +2497,7 @@ def q22_dormant_customers(sf_dir: str) -> pa.Table:
         .aggregate([]),
         batch_format="pyarrow",
     )
-    dormant = rich.join(
-        okeys,
-        join_type="left_anti",
-        num_partitions=JOIN_PARTITIONS,
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
+    dormant = _anti_gate(rich, okeys, "c_custkey", "o_custkey")
 
     def nation_partial(t: pa.Table) -> pa.Table:
         bal = t["c_acctbal"].to_numpy(zero_copy_only=False)

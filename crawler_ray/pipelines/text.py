@@ -1082,16 +1082,60 @@ def ccnet_buckets(sf_dir: str, parts: int = 16) -> rd.Dataset:
             }
         )
 
-    unioned = fam.map_batches(tag_fam, batch_format="pyarrow").union(
-        lang.map_batches(tag_lang, batch_format="pyarrow")
-    )
+    # adaptive attach: the lang side is one small string per doc, so below
+    # the cut it broadcasts once via ray.put as (sorted doc_id, factorized
+    # lang code) arrays and the join is a stateless searchsorted map over
+    # the fam stream — no doc-keyed exchange. Above the cut the tag-union
+    # co-group below (the repo's co-group idiom) handles corpus-sized
+    # sides; identical inner-join semantics either way (fam rows without a
+    # lang row drop, and vice versa).
+    import pandas as pd
+    import ray
 
-    def join_docs(g: pd.DataFrame) -> pd.DataFrame:
-        f = g[g["fam_avg_c"] >= 0][["doc_id", "fam_avg_c"]]
-        l = g[g["fam_avg_c"] < 0][["doc_id", "pred_lang"]]
-        return f.merge(l, on="doc_id")  # inner: sub-2-token docs drop
+    lang_mat = lang.materialize()
+    if lang_mat.count() <= 4_000_000:
+        lp = lang_mat.to_pandas()
+        codes, uniq = pd.factorize(lp["pred_lang"], sort=True)
+        lids = lp["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(lids, kind="stable")
+        lref = ray.put((lids[order], codes[order].astype(np.int32), uniq.to_numpy(dtype=object)))
 
-    joined = unioned.groupby("dpart").map_groups(join_docs, batch_format="pandas").materialize()
+        def attach(t: pa.Table, _ref=lref) -> pa.Table:
+            nd, cd, un = ray.get(_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(nd) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "fam_avg_c": pa.array([], pa.int64()),
+                        "pred_lang": pa.array([], pa.string()),
+                    }
+                )
+            idx = np.minimum(np.searchsorted(nd, ids), len(nd) - 1)
+            hit = nd[idx] == ids
+            kept = t.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "doc_id": kept["doc_id"],
+                    "fam_avg_c": pc.cast(kept["fam_avg_c"], pa.int64()),
+                    "pred_lang": pa.array(un[cd[idx[hit]]].astype(object), pa.string()),
+                }
+            )
+
+        joined = fam.map_batches(attach, batch_format="pyarrow").materialize()
+    else:
+        unioned = fam.map_batches(tag_fam, batch_format="pyarrow").union(
+            lang_mat.map_batches(tag_lang, batch_format="pyarrow")
+        )
+
+        def join_docs(g: pd.DataFrame) -> pd.DataFrame:
+            f = g[g["fam_avg_c"] >= 0][["doc_id", "fam_avg_c"]]
+            l = g[g["fam_avg_c"] < 0][["doc_id", "pred_lang"]]
+            return f.merge(l, on="doc_id")  # inner: sub-2-token docs drop
+
+        joined = (
+            unioned.groupby("dpart").map_groups(join_docs, batch_format="pandas").materialize()
+        )
 
     def lang_partial(t: pa.Table) -> pa.Table:
         gb = (
