@@ -45,7 +45,7 @@ def prep_training_corpus(sf_dir: str) -> rd.Dataset:
     survives the full prep chain."""
     from crawler_ray.pipelines.dedup import prefix_jaccard_pairs
     from crawler_ray.pipelines.graph import connected_components
-    from crawler_ray.pipelines.text import _CJK_PY, _MARKERS, _TOKEN_RE
+    from crawler_ray.pipelines.text import _CJK_PY, _MARKERS
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -64,14 +64,14 @@ def prep_training_corpus(sf_dir: str) -> rd.Dataset:
         is_en = (
             (c_zh == 0) & (m_en > 0) & (m_en >= m_de) & (m_en >= m_fr) & (m_en >= m_es)
         )
-        # --- quality (text.quality_score semantics) ---
+        # --- quality (text.quality_score semantics, vectorized twin) ---
+        from crawler_ray.pipelines.text import _doc_distinct_counts
+
         texts = t["text"].to_pylist()
-        n_tok = np.empty(len(texts), np.int64)
-        n_distinct = np.empty(len(texts), np.int64)
-        for i, s in enumerate(texts):
-            toks = _TOKEN_RE.findall(s)
-            n_tok[i] = len(toks)
-            n_distinct[i] = len(set(toks))
+        n_tok = pc.cast(
+            pc.count_substring_regex(txt, pattern=r"[A-Za-z0-9]+"), pa.int64()
+        ).to_numpy()
+        n_distinct = _doc_distinct_counts(txt)
         n_chars = pc.cast(pc.utf8_length(txt), pa.int64()).to_numpy()
         distinct_pct = np.where(n_tok > 0, (100 * n_distinct) // np.maximum(n_tok, 1), 0)
         keep = is_en & (n_chars >= 100) & (n_tok >= 20) & (distinct_pct >= 30)
@@ -114,9 +114,12 @@ def prep_training_corpus(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
-    return survivors.map_batches(lambda t: t, batch_format="pyarrow").join(
-        losers, join_type="left_anti", num_partitions=4, on=("doc_id",)
-    )
+    # loser set is pair-bounded (≤ 1 row per similarity-graph node), so the
+    # size-adaptive anti-gate broadcasts it and the final cut is a
+    # stateless filter; hash-shuffle left_anti fallback above the ceiling
+    from crawler_ray.pipelines.relational import _anti_gate
+
+    return _anti_gate(survivors, losers, "doc_id", "doc_id")
 
 
 

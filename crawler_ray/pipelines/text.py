@@ -75,6 +75,29 @@ def _doc_token_counts(
     return ids[p], vocab.take(pa.array(c, pa.int64())), counts.astype(np.int64)
 
 
+def _doc_distinct_counts(texts: pa.ChunkedArray | pa.Array) -> "np.ndarray":
+    """Distinct alnum-token count per row, vectorized — the Arrow/numpy
+    twin of ``len(set(_TOKEN_RE.findall(s)))`` (case-preserving, matching
+    ``quality_score``'s loop). Same split/encode/unique shape as
+    ``_doc_token_counts`` but only the per-row distinct cardinality comes
+    back."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern_regex(texts, pattern=r"[^A-Za-z0-9]+")
+    offs = lists.offsets.to_numpy(zero_copy_only=False)
+    n_rows = len(lists)
+    parent = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))
+    enc = pc.dictionary_encode(lists.flatten())
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    k = len(enc.dictionary)
+    empty_code = pc.index(enc.dictionary, "").as_py() if k else -1
+    if empty_code >= 0:
+        keep = codes != empty_code
+        codes, parent = codes[keep], parent[keep]
+    uniq = np.unique(parent * max(k, 1) + codes)
+    return np.bincount(uniq // max(k, 1), minlength=n_rows).astype(np.int64)
+
+
 def token_stats(sf_dir: str) -> rd.Dataset:
     """Token counting: whitespace words + a BPE-ish alnum-token regex, all
     pyarrow.compute kernels (no Python loop)."""
@@ -97,13 +120,10 @@ def quality_score(sf_dir: str) -> rd.Dataset:
     repetition signal) → integer score components + keep flag."""
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_tok = np.empty(len(texts), np.int64)
-        n_distinct = np.empty(len(texts), np.int64)
-        for i, s in enumerate(texts):
-            toks = _TOKEN_RE.findall(s)
-            n_tok[i] = len(toks)
-            n_distinct[i] = len(set(toks))
+        n_tok = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=r"[A-Za-z0-9]+"), pa.int64()
+        ).to_numpy()
+        n_distinct = _doc_distinct_counts(t["text"])
         n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy()
         distinct_pct = np.where(n_tok > 0, (100 * n_distinct) // np.maximum(n_tok, 1), 0)
         keep = (n_chars >= 100) & (n_tok >= 20) & (distinct_pct >= 30)
