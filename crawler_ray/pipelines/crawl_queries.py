@@ -33,7 +33,7 @@ import ray.data as rd
 from crawler_ray.pipelines.crawl import CrawlResult, run_crawl
 from crawler_ray.rules import SYNTH_TASK
 from crawler_ray.sources.pages import synth_corpus
-from crawler_ray.stages.extract import Extractor
+from crawler_ray.stages.extract import make_extract_fn
 
 _CACHE: dict[str, CrawlResult] = {}
 # sub-walls recorded by composed queries for bench attribution
@@ -107,21 +107,6 @@ def frontier_host_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
-# process-global Extractor cache for the corpus-scoped extract queries: the
-# state is just compiled rule regexes, so a plain task function with a
-# once-per-worker-process compile gets actor-pool semantics (setup once,
-# vectorized work per batch) without paying actor-pool spawn — measured
-# ~2 s of the link_graph wall at sf0.1 before any page was extracted.
-_EXTRACTOR_CACHE: dict = {}
-
-
-def _synth_extract(t: pa.Table) -> pa.Table:
-    ex = _EXTRACTOR_CACHE.get("synth")
-    if ex is None:
-        ex = _EXTRACTOR_CACHE["synth"] = Extractor(SYNTH_TASK)
-    return ex(t)
-
-
 def link_graph(sf_dir: str) -> rd.Dataset:
     """Pure full-corpus extract (no frontier): every (src, dst) link edge —
     the batch rule engine applied to the whole pages table in one streaming
@@ -155,7 +140,10 @@ def link_graph(sf_dir: str) -> rd.Dataset:
         )
 
     ds = pages.map_batches(prep, batch_format="pyarrow")
-    ex = ds.map_batches(_synth_extract, batch_format="pyarrow")
+    # cached task fn, not an actor pool: the Extractor's only state is
+    # compiled regexes, and actor-pool spawn cost ~2 s before the first
+    # page was extracted at sf0.1 (see stages.extract.make_extract_fn)
+    ex = ds.map_batches(make_extract_fn(SYNTH_TASK), batch_format="pyarrow")
     def edges_fn(t: pa.Table) -> pa.Table:
         # text rows hold src url + newline-joined extracted link targets;
         # vectorized explode: split_pattern → list lengths → repeat/flatten
@@ -408,7 +396,7 @@ def page_fields(sf_dir: str) -> rd.Dataset:
         )
 
     ex = pages.map_batches(prep, batch_format="pyarrow").map_batches(
-        _synth_extract, batch_format="pyarrow"
+        make_extract_fn(SYNTH_TASK), batch_format="pyarrow"
     )
 
     def fields(t: pa.Table) -> pa.Table:

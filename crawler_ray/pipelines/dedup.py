@@ -494,9 +494,12 @@ def minhash_lsh_dups(
     → exact shingle-Jaccard verification. Returns verified pairs
     (a_id, b_id, jacc_pct ≥ threshold).
 
-    Every stage is distributed (the r1 version collected candidate pairs
-    into a driver set and re-scanned the corpus into a driver dict — a
-    driver OOM at a real dup rate):
+    Shingle/band/bucket stages are always distributed; the TAIL (pair
+    dedup + verification) is size-adaptive — below a row- AND byte-guarded
+    cut it resolves on the driver (see the comment at the cut), above it
+    every stage is distributed (the r1 version unconditionally collected
+    candidate pairs into a driver set and re-scanned the corpus into a
+    driver dict — a driver OOM at a real dup rate):
 
     1. shingle once per doc into a ``list<uint64>`` column (materialized so
        banding AND verification reuse it without re-shingling);
@@ -625,11 +628,23 @@ def minhash_lsh_dups(
     # verification runs on the driver. This replaces one pair-dedup
     # exchange plus TWO hash-join exchanges, each a fixed ~0.5 s of
     # join-actor setup that dwarfed the candidate-sized work at bench
-    # scale. Above the cut the distributed path below is unchanged.
-    if cand_mat.count() <= 200_000:
+    # scale. The cut is guarded TWICE — pair rows (CRAWLER_RAY_CAND_CUT,
+    # default 200k; 0 forces distributed) AND estimated shingle BYTES the
+    # driver would collect (avg bytes/doc × candidate docs ≤ ~512 MB) —
+    # because a few pairs over huge documents is a driver-OOM shape the
+    # row count alone can't see. Above either bound the distributed path
+    # below is unchanged.
+    cand_cut = int(os.environ.get("CRAWLER_RAY_CAND_CUT", str(200_000)))
+    take_driver = cand_cut > 0 and cand_mat.count() <= cand_cut
+    cp = None
+    if take_driver:
         cp = cand_mat.to_pandas().drop_duplicates(["a_id", "b_id"])
         if cp.empty:
             return rd.from_arrow(empty)
+        n_need = cp[["a_id", "b_id"]].stack().nunique()
+        est_bytes = sh_ds.size_bytes() / max(1, sh_ds.count()) * n_need
+        take_driver = est_bytes <= 512 * 1024 * 1024
+    if take_driver:
         a_np = cp["a_id"].to_numpy(dtype=np.int64)
         b_np = cp["b_id"].to_numpy(dtype=np.int64)
         need_ref = ray.put(np.unique(np.concatenate([a_np, b_np])))
@@ -889,13 +904,21 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         )
 
     out = banded.groupby("part").map_groups(pairs, batch_format="pandas")
-    # the 4 bands can produce the same pair up to 4× (same hamming each
-    # time): distinct via min-aggregate. Below the adaptive cut the pair
-    # stream is driver-sized and one pandas groupby replaces the fine-key
-    # distributed aggregate's fixed sort-exchange cost (the `shuffle_cut`
-    # pattern); the distributed path handles an arbitrarily large pair set.
+    return pair_min_dedup(out)
+
+
+def pair_min_dedup(out: rd.Dataset) -> rd.Dataset:
+    """Cross-band (a_id, b_id) min-hamming dedup shared by the pigeonhole
+    near-dup ops (``simhash_dups``, ``multimodal.media_dedup_near``): the
+    bands can emit the same pair up to #bands times with equal hamming.
+    Below the adaptive cut (``CRAWLER_RAY_PAIR_CUT``, default 2M rows; 0
+    forces the distributed path) the pair stream is driver-sized and one
+    vectorized pandas groupby replaces the fine-key distributed
+    min-aggregate's fixed sort-exchange; above it the distributed
+    aggregate handles an arbitrarily large pair set."""
     out_mat = out.materialize()
-    if out_mat.count() <= 2_000_000:
+    cut = int(os.environ.get("CRAWLER_RAY_PAIR_CUT", str(2_000_000)))
+    if cut > 0 and out_mat.count() <= cut:
         dfp = out_mat.to_pandas()
         m = (
             dfp.groupby(["a_id", "b_id"], as_index=False)["hamming"].min()
@@ -919,8 +942,8 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         .map_batches(
             lambda t: pa.table(
                 {
-                    "a_id": t["a_id"],
-                    "b_id": t["b_id"],
+                    "a_id": pc.cast(t["a_id"], pa.int64()),
+                    "b_id": pc.cast(t["b_id"], pa.int64()),
                     "hamming": pc.cast(t["hamming"], pa.int64()),
                 }
             ),
@@ -1342,12 +1365,14 @@ def minhash_dedup_keep(sf_dir: str, threshold_pct: int = 50) -> rd.Dataset:
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     # adaptive resolve: component labels are pair-bounded (≤ 2 rows per
-    # verified pair), so below the cut they broadcast once via ray.put and
-    # the corpus-wide decision is a stateless searchsorted map — no
-    # doc-sized union, no partition exchange. Above the cut the
-    # co-partitioned resolve below handles an arbitrarily large label set.
+    # verified pair), so below the cut (CRAWLER_RAY_PAIR_CUT, 0 forces the
+    # distributed path) they broadcast once via ray.put and the corpus-wide
+    # decision is a stateless searchsorted map — no doc-sized union, no
+    # partition exchange. Above the cut the co-partitioned resolve below
+    # handles an arbitrarily large label set.
     comp_mat = comp.materialize()
-    if comp_mat.count() <= 2_000_000:
+    pair_cut = int(os.environ.get("CRAWLER_RAY_PAIR_CUT", str(2_000_000)))
+    if pair_cut > 0 and comp_mat.count() <= pair_cut:
         lab = comp_mat.to_pandas()
         nodes = lab["node"].to_numpy(dtype=np.int64)
         labels = lab["component"].to_numpy(dtype=np.int64)

@@ -492,8 +492,11 @@ def pagerank_edges(
                     pos = pd.Index(nodes).get_indexer(np.array(list(seeds), dtype=object))
                     w = np.array(list(seeds.values()), dtype=np.float64)
                     ok = pos >= 0
-                    if not ok.any():  # same loud failure as the BSP path
-                        raise ValueError("no pagerank seeds present in the edge set")
+                    # same loud failures as the BSP path: no matched seeds,
+                    # or matched seeds carrying zero total weight (a silent
+                    # 0/0 here would NaN every rank)
+                    if not ok.any() or w[ok].sum() <= 0.0:
+                        raise ValueError("no pagerank seed mass present in the edge set")
                     s = np.zeros(nn)
                     s[pos[ok]] = w[ok] / w[ok].sum()
                     r = s.copy()

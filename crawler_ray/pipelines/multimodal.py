@@ -560,8 +560,6 @@ def media_dedup_near(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     vectorized hamming verification, then a (a_id, b_id) Min-aggregate
     dedup of the ≤4 band hits per pair. Only (doc_id, 8-byte hash) rows
     ride the exchange — payloads never move after the decode pass."""
-    from ray.data.aggregate import Min
-
     NPARTS = 64
     path = synth_media(sf_dir)
     ds = rd.read_parquet(path, columns=["doc_id", "media_type", "media"])
@@ -626,41 +624,11 @@ def media_dedup_near(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         )
 
     out = banded.groupby("part").map_groups(pairs, batch_format="pandas")
-    # cross-band pair dedup: below the adaptive cut one driver pandas
-    # groupby replaces the fine-key distributed min-aggregate's fixed
-    # sort-exchange (the `shuffle_cut` pattern, same tail as
-    # dedup.simhash_dups); distributed fallback above it.
-    out_mat = out.materialize()
-    if out_mat.count() <= 2_000_000:
-        dfp = out_mat.to_pandas()
-        m = (
-            dfp.groupby(["a_id", "b_id"], as_index=False)["hamming"].min()
-            if len(dfp)
-            else dfp
-        )
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "a_id": pa.array(m["a_id"].to_numpy(dtype=np.int64)),
-                    "b_id": pa.array(m["b_id"].to_numpy(dtype=np.int64)),
-                    "hamming": pa.array(m["hamming"].to_numpy(dtype=np.int64)),
-                }
-            )
-        )
-    return (
-        out_mat.groupby(["a_id", "b_id"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "a_id": pc.cast(t["a_id"], pa.int64()),
-                    "b_id": pc.cast(t["b_id"], pa.int64()),
-                    "hamming": pc.cast(t["hamming"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    # cross-band pair dedup: shared adaptive tail (driver pandas groupby
+    # below CRAWLER_RAY_PAIR_CUT, fine-key distributed min-aggregate above)
+    from crawler_ray.pipelines.dedup import pair_min_dedup
+
+    return pair_min_dedup(out)
 
 
 def media_resize(sf_dir: str, max_dim: int = 16) -> rd.Dataset:

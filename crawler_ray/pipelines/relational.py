@@ -31,6 +31,8 @@ Scale patterns demonstrated (and the choices a 100 TB run would keep):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -115,9 +117,16 @@ def _driver_sum(ds: rd.Dataset, keys: list[str], cols: list[str]) -> pd.DataFram
 
 # adaptive-join broadcast ceiling: right sides at or below this many rows
 # ship once via ray.put (a few MB) instead of a hash-shuffle join. On a real
-# cluster this knob is bytes-per-worker-heap, not rows; both call sites
+# cluster this knob is bytes-per-worker-heap, not rows; all call sites
 # degrade gracefully to Dataset.join when the bound is exceeded.
+# CRAWLER_RAY_BCAST_ROWS overrides (0 forces the Dataset.join path — used
+# by the fallback-parity tests).
 _BROADCAST_JOIN_ROWS = 2_000_000
+
+
+def _bcast_rows() -> int:
+    v = int(os.environ.get("CRAWLER_RAY_BCAST_ROWS", str(_BROADCAST_JOIN_ROWS)))
+    return v if v > 0 else -1  # -1: every count() exceeds it → join path
 
 
 def _lookup_inner_join(
@@ -134,7 +143,7 @@ def _lookup_inner_join(
     too big to broadcast or has duplicate keys.
     """
     rm = right.materialize()
-    use_join = rm.count() > _BROADCAST_JOIN_ROWS
+    use_join = rm.count() > _bcast_rows()
     if not use_join:
         rt = pa.concat_tables(ray.get(rm.to_arrow_refs())).combine_chunks()
         keys = rt[right_key].to_numpy(zero_copy_only=False)
@@ -179,7 +188,7 @@ def _anti_gate(
     real cluster with a bigger key side than worker heap) the
     ``Dataset.join`` fallback runs unchanged."""
     rm = right_keys.materialize()
-    if rm.count() > _BROADCAST_JOIN_ROWS:
+    if rm.count() > _bcast_rows():
         return left.join(
             rm,
             join_type="left_anti",

@@ -48,15 +48,26 @@ def _doc_token_counts(
     of ``Counter(_TOKEN_RE.findall(s.lower()))`` per row (same (doc, token,
     count) multiset; within-doc token order is code order, not first-seen).
 
-    One ``utf8_lower`` + ``split_pattern_regex`` pass over the column, then
-    numpy: flatten with parent ids, dictionary-encode the flat tokens, and
-    count (parent, code) pairs via ``np.unique`` on a packed int64 key.
-    Returns (doc_ids, tokens, counts) sorted by (input row, token code) —
-    each doc's rows contiguous, preserving the block-contract callers rely on.
+    One lower + ``split_pattern_regex`` pass over the column, then numpy:
+    flatten with parent ids, dictionary-encode the flat tokens, and count
+    (parent, code) pairs via ``np.unique`` on a packed int64 key. Returns
+    (doc_ids, tokens, counts) sorted by (input row, token code) — each
+    doc's rows contiguous, preserving the block-contract callers rely on.
+
+    Case mapping: Arrow's ``utf8_lower`` is the SIMPLE Unicode mapping,
+    Python's ``str.lower()`` the FULL one — they differ on e.g. U+0130
+    ('İ' → 'i' vs 'i' + combining dot, which the splitter then cuts). An
+    all-ASCII batch (the hot path; the two mappings agree on ASCII) takes
+    the Arrow kernel; any batch with non-ASCII text falls back to Python
+    ``str.lower`` so the multiset stays the exact findall/Counter twin.
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    lists = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"[^A-Za-z0-9]+")
+    if len(texts) and not pc.all(pc.string_is_ascii(texts)).as_py():
+        low = pa.array([s.lower() for s in texts.to_pylist()], pa.string())
+    else:
+        low = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(low, pattern=r"[^A-Za-z0-9]+")
     flat = lists.flatten()
     offs = lists.offsets.to_numpy(zero_copy_only=False)
     parent = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
@@ -1112,8 +1123,11 @@ def ccnet_buckets(sf_dir: str, parts: int = 16) -> rd.Dataset:
     import pandas as pd
     import ray
 
+    import os
+
     lang_mat = lang.materialize()
-    if lang_mat.count() <= 4_000_000:
+    bcast_cut = int(os.environ.get("CRAWLER_RAY_BCAST_ROWS", str(4_000_000)))
+    if bcast_cut > 0 and lang_mat.count() <= bcast_cut:
         lp = lang_mat.to_pandas()
         codes, uniq = pd.factorize(lp["pred_lang"], sort=True)
         lids = lp["doc_id"].to_numpy(dtype=np.int64)

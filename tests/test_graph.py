@@ -73,10 +73,15 @@ def test_connected_components_matches_union_find(ray_session, monkeypatch, cc_cu
 
 
 @pytest.mark.parametrize("damping", [0.85])
-def test_pagerank_matches_dense_power_iteration(ray_session, damping):
+@pytest.mark.parametrize("pr_cut", ["0", "1000000"])
+def test_pagerank_matches_dense_power_iteration(ray_session, monkeypatch, damping, pr_cut):
+    """pr_cut='0' forces the BSP actor path; the default cut exercises the
+    driver bincount path — both must match the dense oracle."""
     import ray.data as rd
 
     from crawler_ray.pipelines.graph import pagerank_edges
+
+    monkeypatch.setenv("CRAWLER_RAY_PR_CUT", pr_cut)
 
     # hub-and-spoke + cycle + a dangling node (f has no outlinks)
     edges = [
@@ -413,7 +418,9 @@ def _numpy_ppr(
     return dict(zip(nodes, r))
 
 
-def test_personalized_pagerank_matches_dense_oracle(ray_session):
+@pytest.mark.parametrize("pr_cut", ["0", "1000000"])
+def test_personalized_pagerank_matches_dense_oracle(ray_session, monkeypatch, pr_cut):
+    monkeypatch.setenv("CRAWLER_RAY_PR_CUT", pr_cut)
     """Seeded teleport: restart + dangling mass both land on the seed
     distribution; seeds absent from the graph are dropped and the rest
     renormalized."""
