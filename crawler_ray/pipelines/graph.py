@@ -905,6 +905,52 @@ def hits_edges(edges: rd.Dataset, iters: int = 20) -> rd.Dataset:
     half-step, ~1.2 s fixed cost each regardless of CPUs). L2 norms ride
     as O(P) scalar partials and are applied lazily; fixed iteration count
     keeps it deterministic."""
+    # adaptive driver cut — same knob and rationale as pagerank_edges
+    # (CRAWLER_RAY_PR_CUT, 0 disables): below it two bincounts per round on
+    # the driver replace actor spawn + four barrier rounds per iteration;
+    # normalization is a scalar per half-step, so the value stream is the
+    # same math to float association order (dense oracle pins both paths).
+    cut = int(os.environ.get("CRAWLER_RAY_PR_CUT", str(1_000_000)))
+    if cut > 0:
+        edges = edges.materialize()
+        if edges.count() <= cut:
+            df = edges.select_columns(["src_url", "dst_url"]).to_pandas()
+            if len(df) == 0:
+                return rd.from_arrow(
+                    pa.table(
+                        {
+                            "url": pa.array([], pa.string()),
+                            "hub": pa.array([], pa.float64()),
+                            "auth": pa.array([], pa.float64()),
+                        }
+                    )
+                )
+            av = df["src_url"].to_numpy(dtype=object)
+            bv = df["dst_url"].to_numpy(dtype=object)
+            nodes, inv = np.unique(np.concatenate([av, bv]), return_inverse=True)
+            ai, bi = inv[: len(av)], inv[len(av) :]
+            nn = len(nodes)
+            h = np.ones(nn)
+            a = np.ones(nn)
+            for _ in range(iters):
+                a = np.bincount(bi, weights=h[ai], minlength=nn)
+                na = float(np.linalg.norm(a))
+                if na > 0:
+                    a /= na
+                h = np.bincount(ai, weights=a[bi], minlength=nn)
+                nh = float(np.linalg.norm(h))
+                if nh > 0:
+                    h /= nh
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "url": pa.array(nodes, pa.string()),
+                        "hub": pa.array(h),
+                        "auth": pa.array(a),
+                    }
+                )
+            )
+
     actors, plist, n, _P = _bsp_setup(edges)
     if n == 0:
         return rd.from_arrow(

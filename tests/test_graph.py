@@ -206,7 +206,9 @@ def test_ls_components_match_minlabel_and_long_path(ray_session, monkeypatch):
     assert all(lab[i] == 5000 for i in (5000, 5001, 5002))
 
 
-def test_hits_matches_dense_power_iteration(ray_session):
+@pytest.mark.parametrize("pr_cut", ["0", "1000000"])
+def test_hits_matches_dense_power_iteration(ray_session, monkeypatch, pr_cut):
+    monkeypatch.setenv("CRAWLER_RAY_PR_CUT", pr_cut)
     """Distributed HITS equals a dense numpy power iteration (same update
     order: a <- norm(A^T h), h <- norm(A a)) on a constructed graph."""
     import numpy as np
