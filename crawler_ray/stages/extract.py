@@ -412,6 +412,30 @@ class FetchExtract:
                     shards.append(None)
             self.ledger_shards = shards
 
+    def _ledger_same(self, url_bin: pa.Array, h64_np, ts_np) -> "np.ndarray":
+        """Vectorized ledger probe shared by the conditional-fetch fast path
+        and the post-fetch check: True where the url exists in the ledger
+        with exactly this capture ts (searchsorted per ledger shard,
+        h64 % nshards routing — the fetch index's S-width trick)."""
+        import numpy as np
+
+        raw = url_bin.to_numpy(zero_copy_only=False)
+        lens = pc.binary_length(url_bin).to_numpy()
+        sh = (h64_np % np.uint64(self.ledger_nshards)).astype(np.int64)
+        same = np.zeros(len(raw), dtype=bool)
+        for s in np.unique(sh):
+            shard = self.ledger_shards[int(s)]
+            if shard is None or not len(shard[0]):
+                continue
+            l_urls, l_ts = shard
+            sel = np.flatnonzero(sh == s)
+            width = l_urls.dtype.itemsize
+            probe = raw[sel].astype(f"S{width}")
+            pos = np.minimum(np.searchsorted(l_urls, probe), len(l_urls) - 1)
+            hit = (l_urls[pos] == probe) & (lens[sel] <= width)
+            same[sel] = hit & (l_ts[pos] == ts_np[sel])
+        return same
+
     def _fetch(self, batch: pa.Table) -> pa.Table:
         if self.fetchers is None:
             return self.fetcher(batch)
@@ -476,6 +500,50 @@ class FetchExtract:
                 if batch.num_rows == 0:
                     return pa.concat_tables(pre_parts)
 
+        if (
+            self.ledger_shards is not None
+            and self.fetchers is None
+            and getattr(self.fetcher, "deterministic", False)
+            and batch.num_rows
+        ):
+            # conditional fetch (the If-Modified-Since shape): probe
+            # membership + capture ts WITHOUT touching html; a url whose
+            # corpus ts equals its ledger entry is 'unchanged' — recorded,
+            # kept marked, never extracted — so decompressing its body was
+            # pure waste. The ledger holds only previously-ok urls, and the
+            # corpus is immutable, so a ts-equal hit cannot reclassify as
+            # banned/short: the emitted rows are byte-identical to a full
+            # refetch. A live fetcher (deterministic=False) skips this and
+            # relies on the post-fetch check below.
+            import numpy as np
+
+            exists_c, pos_c = self.fetcher.membership(batch)
+            if exists_c.any():
+                ts_probe = np.full(len(exists_c), -1, np.int64)
+                ts_probe[exists_c] = self.fetcher.timestamps_at(pos_c[exists_c])
+                url_bin = pc.cast(batch.column("url").combine_chunks(), pa.binary())
+                h64_np = batch.column("h64").combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                same_c = self._ledger_same(url_bin, h64_np, ts_probe) & exists_c
+                if same_c.any():
+                    unch = batch.filter(pa.array(same_c))
+                    ts_u = pa.array(ts_probe[same_c], pa.int64()).cast(
+                        pa.timestamp("us")
+                    )
+                    pre_parts.append(
+                        _rows_like(
+                            unch,
+                            None,
+                            "order",
+                            outcome=pa.array(["unchanged"] * unch.num_rows),
+                            ts=ts_u,
+                        )
+                    )
+                    batch = batch.filter(pa.array(~same_c))
+                    if batch.num_rows == 0:
+                        return pa.concat_tables(pre_parts)
+
         fetched = self._fetch(batch)
         html = fetched.column("html")
         # vectorized outcome classification (engine/crawler.go:95-120)
@@ -506,30 +574,15 @@ class FetchExtract:
             ok_mask = out_np == "ok"
             if ok_mask.any():
                 url_bin = pc.cast(fetched.column("url").combine_chunks(), pa.binary())
-                raw = url_bin.to_numpy(zero_copy_only=False)
-                lens = pc.binary_length(url_bin).to_numpy()
                 ts_np = (
                     fetched.column("warc_ts").combine_chunks()
                     .cast(pa.int64()).fill_null(-1)
                     .to_numpy(zero_copy_only=False)
                 )
-                sh = (
-                    fetched.column("h64").combine_chunks()
-                    .to_numpy(zero_copy_only=False)
-                    % np.uint64(self.ledger_nshards)
-                ).astype(np.int64)
-                same = np.zeros(len(out_np), dtype=bool)
-                for s in np.unique(sh[ok_mask]):
-                    shard = self.ledger_shards[int(s)]
-                    if shard is None or not len(shard[0]):
-                        continue
-                    l_urls, l_ts = shard
-                    sel = np.flatnonzero(ok_mask & (sh == s))
-                    width = l_urls.dtype.itemsize
-                    probe = raw[sel].astype(f"S{width}")
-                    pos = np.minimum(np.searchsorted(l_urls, probe), len(l_urls) - 1)
-                    hit = (l_urls[pos] == probe) & (lens[sel] <= width)
-                    same[sel] = hit & (l_ts[pos] == ts_np[sel])
+                h64_np = fetched.column("h64").combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                same = self._ledger_same(url_bin, h64_np, ts_np) & ok_mask
                 if same.any():
                     out_np = np.where(same, "unchanged", out_np)
                     # keep chunked so downstream combine_chunks() calls hold
