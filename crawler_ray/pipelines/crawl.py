@@ -537,6 +537,65 @@ def run_crawl(
             stage_rows.append(row)
         return t1
 
+    def _control_warm(hs, t0: float, it: int):
+        """Shared robots/sitemap cache warm for hosts newly present in a
+        generation's frontier (hs: deduped host/scheme pandas frame).
+        Mutates cfg / robots_checked / sitemap_checked; returns (t0,
+        sitemap locs to inject into THIS generation's frontier)."""
+        nonlocal cfg
+
+        locs: list[str] = []
+        if robots_from_corpus and len(hs):
+            new = hs[~hs["host"].isin(robots_checked)]
+            if len(new):
+                bodies = _fetch_control_bodies(
+                    corpus.pages, new, fetcher_factory, fetcher_key
+                )
+                robots_checked.update(new["host"])
+                if bodies:
+                    cfg = robots_config(
+                        bodies,
+                        window_seconds=robots_window_s,
+                        agent=robots_agent,
+                        base=cfg,
+                    )
+            t0 = _tick(f"it{it} robots warm", t0, stage="robots_warm")
+        if sitemaps_from_corpus and len(hs):
+            new = hs[~hs["host"].isin(sitemap_checked)]
+            if len(new):
+                bodies = _fetch_control_bodies(
+                    corpus.pages, new, fetcher_factory, fetcher_key,
+                    path="/sitemap.xml",
+                )
+                sitemap_checked.update(new["host"])
+                for h in sorted(bodies):
+                    locs.extend(_LOC_RE.findall(bodies[h]))
+            t0 = _tick(f"it{it} sitemap warm", t0, stage="sitemap_warm")
+        return t0, locs
+
+    def _sitemap_inj(locs: list[str]) -> pa.Table:
+        """Frontier rows for sitemap-discovered urls (seq = md5(url), so
+        the single-process oracle reproduces the ordering exactly)."""
+        return pa.Table.from_arrays(
+            [
+                pa.array(locs, pa.string()),
+                pa.array([""] * len(locs), pa.string()),
+                pa.array([""] * len(locs), pa.string()),
+                pa.array([0] * len(locs), pa.uint64()),
+                pa.array([sitemap_depth] * len(locs), pa.int32()),
+                pa.array([sitemap_priority] * len(locs), pa.int32()),
+                pa.array(
+                    [hashlib.md5(u.encode()).digest() for u in locs],
+                    pa.binary(),
+                ),
+                pa.array([0] * len(locs), pa.int32()),
+                pa.array([sitemap_task] * len(locs), pa.string()),
+                pa.array([sitemap_rule] * len(locs), pa.string()),
+                pa.array(["{}"] * len(locs), pa.string()),
+            ],
+            schema=FRONTIER_SCHEMA,
+        )
+
     for it in range(start_iter, max_iterations):
         ckdir = os.path.join(out_dir, f"iter_{it:04d}")
         # a mid-iteration crash leaves partial parquet behind, and Ray's
@@ -559,167 +618,218 @@ def run_crawl(
             )
             if not files:
                 break
-            fr = ray.data.read_parquet(frontier_path)
-        else:
-            fr = ray.data.from_arrow(frontier_tbl)
-        # batch_size coalesces the read's auto-split blocks (~7k rows each)
-        # into ~32k-row blocks: the admission groupby's sort-shuffle moves
-        # #blocks × #partitions object pieces, and 216×216 pieces of
-        # per-piece scheduling overhead cost more than the admission work
-        fr = fr.map_batches(
-            canonicalize_fn(canon_depth, default_task=primary.name),
-            batch_size=32768,
-            batch_format="pyarrow",
-        )
-        if robots_from_corpus or sitemaps_from_corpus:
-            # warm the robots/sitemap caches for hosts newly present in
-            # this generation's frontier BEFORE the robots gate: a host's
-            # Disallow / Crawl-delay apply from its first generation on,
-            # and its sitemap URLs compete in this generation's admission.
-            # The materialize is reused by the admission chain below.
-            fr = fr.materialize()
-            hs = fr.map_batches(_host_scheme_partial, batch_format="pyarrow").to_pandas()
-            if len(hs):
-                # deterministic scheme per host regardless of block order
-                hs = hs.sort_values(["host", "scheme"]).drop_duplicates("host")
-            if robots_from_corpus and len(hs):
-                new = hs[~hs["host"].isin(robots_checked)]
-                if len(new):
-                    bodies = _fetch_control_bodies(
-                        corpus.pages, new, fetcher_factory, fetcher_key
-                    )
-                    robots_checked.update(new["host"])
-                    if bodies:
-                        cfg = robots_config(
-                            bodies,
-                            window_seconds=robots_window_s,
-                            agent=robots_agent,
-                            base=cfg,
-                        )
-                t0 = _tick(f"it{it} robots warm", t0, stage="robots_warm")
-            if sitemaps_from_corpus and len(hs):
-                new = hs[~hs["host"].isin(sitemap_checked)]
-                if len(new):
-                    bodies = _fetch_control_bodies(
-                        corpus.pages, new, fetcher_factory, fetcher_key,
-                        path="/sitemap.xml",
-                    )
-                    sitemap_checked.update(new["host"])
-                    locs: list[str] = []
-                    for h in sorted(bodies):
-                        locs.extend(_LOC_RE.findall(bodies[h]))
-                    if locs:
-                        # sitemap URLs enter THIS generation's frontier and
-                        # ride the normal canonicalize → robots → seen →
-                        # admission path; seq = md5(url) is deterministic,
-                        # so the single-process oracle reproduces ordering
-                        inj = pa.Table.from_arrays(
-                            [
-                                pa.array(locs, pa.string()),
-                                pa.array([""] * len(locs), pa.string()),
-                                pa.array([""] * len(locs), pa.string()),
-                                pa.array([0] * len(locs), pa.uint64()),
-                                pa.array([sitemap_depth] * len(locs), pa.int32()),
-                                pa.array([sitemap_priority] * len(locs), pa.int32()),
-                                pa.array(
-                                    [hashlib.md5(u.encode()).digest() for u in locs],
-                                    pa.binary(),
-                                ),
-                                pa.array([0] * len(locs), pa.int32()),
-                                pa.array([sitemap_task] * len(locs), pa.string()),
-                                pa.array([sitemap_rule] * len(locs), pa.string()),
-                                pa.array(["{}"] * len(locs), pa.string()),
-                            ],
-                            schema=FRONTIER_SCHEMA,
-                        )
-                        fr = fr.union(
-                            ray.data.from_arrow(inj).map_batches(
-                                canonicalize_fn(canon_depth, default_task=primary.name),
-                                batch_format="pyarrow",
-                            )
-                        )
-                t0 = _tick(f"it{it} sitemap warm", t0, stage="sitemap_warm")
-        fr = fr.map_batches(robots_filter_fn(cfg), batch_format="pyarrow")
-        # Task.Reload bypasses the visited check entirely (the reference
-        # skips HasVisited when Reload is set, engine/crawler.go:85,
-        # collect/option.go:14) — a re-crawlable task must refetch. With
-        # mixed tasks the bypass is per row (seen_skip).
-        if not all_reload:
-            fr = fr.map_batches(
-                seen_filter_fn(seen, mark=False, skip_tasks=seen_skip),
-                batch_format="pyarrow",
-            )
-        # admission shuffle: one groupby per generation, keyed by a coarse
-        # host-hash partition (every host in exactly one partition — the
-        # politeness correctness requirement) rather than by host itself:
-        # a real frontier has ~10^6+ hosts and per-host pandas groups are
-        # pure overhead; within a partition admission is one vectorized pass.
-        # Partition count scales with the session's CPUs (admitted sets are
-        # invariant to it — a host never straddles parts): the sort-shuffle
-        # moves #blocks × #parts pieces, and a fixed 64 cost ~2 s/generation
-        # of pure piece scheduling on an 8-core run
-        usage: dict[str, int] | None = None
-        if track_window and window:
-            usage = {}
-            for counts in window:
-                for h, n in counts.items():
-                    usage[h] = usage.get(h, 0) + n
-        n_parts = int(os.environ.get("CRAWLER_RAY_ADMIT_PARTS", "0")) or max(
-            16, 2 * int(ray.cluster_resources().get("CPU", 8))
-        )
-        fr = fr.map_batches(
-            lambda t, _np=n_parts: t.append_column(
-                "part", pa.array(host_partition_of(t["host"], _np))
-            ),
-            batch_format="pyarrow",
-        )
-        # materialize-cut before the sort-based groupby: fused with the
-        # Sort, the streaming executor's sort reservation throttles the
-        # canonicalize/seen map chain to ~1 concurrent task (same effect
-        # measured on the dedup pipelines); the sort is a barrier anyway
-        if os.environ.get("CRAWLER_RAY_ADMIT_CUT", "1") != "0":
-            fr = fr.materialize()
-        fr = fr.groupby("part").map_groups(
-            admit_partition_fn(cfg, usage, penalty if ban_backoff else None),
-            batch_format="pandas",
-        )
-        frontier_mat = fr.materialize()
-        t0 = _tick(f"it{it} admission", t0, stage="admission",
-                   rows_out=frontier_mat.count(),
-                   shuffle_bytes=frontier_mat.size_bytes())
-        if timing and os.environ.get("CRAWLER_RAY_STATS") == "1":
-            print(f"[admission-stats it{it}]\n{frontier_mat.stats()}", flush=True)
 
-        # route + cast fused, with batch_size coalescing: the admission
-        # shuffle materializes many small blocks, and every stage fed tiny
-        # blocks pays per-task overhead that grows with core count (the
-        # frontier write was measurably SLOWER at 8 cores than 2 before
-        # this) — one streaming re-bundle here keeps downstream block
-        # counts ∝ rows/65536, not ∝ shuffle partitions
-        deferred = frontier_mat.map_batches(
-            _route("admitted", False), batch_size=65536, batch_format="pyarrow"
+        # ---- adaptive driver admission for small frontiers ----
+        # Below CRAWLER_RAY_ADMIT_DRIVER_CUT rows (default 65536; 0
+        # disables) the whole admission chain — canonicalize, control-file
+        # warm, robots gate, seen pre-filter, host-partitioned politeness
+        # admission, seen mark, url sort — runs as the SAME batch fns
+        # applied once to a driver-held table: a generation this small pays
+        # more in exchange fixed costs (two materializations, one
+        # sort-shuffle, one range exchange, ~0.4-1.8 s/generation measured)
+        # than the admission computes. Admitted sets are identical: every
+        # fn is row-local, partition routing is the same host_partition_of,
+        # and per-part admission is the same admit_partition_fn applied per
+        # pandas group. The distributed chain in the else-branch is the
+        # 10^10-frontier path and the engine-vs-oracle pytest pins both
+        # (env-parametrized).
+        driver_cut = int(os.environ.get("CRAWLER_RAY_ADMIT_DRIVER_CUT", "65536"))
+        n_front = (
+            _parquet_rows(frontier_path)
+            if frontier_path is not None
+            else frontier_tbl.num_rows
         )
-        admitted = frontier_mat.map_batches(
-            _route("admitted", True), batch_size=65536, batch_format="pyarrow"
-        )
-        if not all_reload:
-            admitted = admitted.map_batches(
-                seen_filter_fn(seen, mark=True, skip_tasks=seen_skip),
+        if 0 < driver_cut and n_front <= driver_cut:
+            import pandas as pd
+
+            tb = (
+                pq.read_table(frontier_path)
+                if frontier_path is not None
+                else frontier_tbl
+            )
+            tb = canonicalize_fn(canon_depth, default_task=primary.name)(tb)
+            if robots_from_corpus or sitemaps_from_corpus:
+                hs = _host_scheme_partial(tb).to_pandas()
+                if len(hs):
+                    hs = hs.sort_values(["host", "scheme"]).drop_duplicates("host")
+                t0, locs = _control_warm(hs, t0, it)
+                if locs:
+                    tb = pa.concat_tables(
+                        [
+                            tb,
+                            canonicalize_fn(canon_depth, default_task=primary.name)(
+                                _sitemap_inj(locs)
+                            ),
+                        ]
+                    )
+            tb = robots_filter_fn(cfg)(tb)
+            if not all_reload:
+                tb = seen_filter_fn(seen, mark=False, skip_tasks=seen_skip)(tb)
+            usage = None
+            if track_window and window:
+                usage = {}
+                for counts in window:
+                    for h, n in counts.items():
+                        usage[h] = usage.get(h, 0) + n
+            n_parts = int(os.environ.get("CRAWLER_RAY_ADMIT_PARTS", "0")) or max(
+                16, 2 * int(ray.cluster_resources().get("CPU", 8))
+            )
+            adfn = admit_partition_fn(cfg, usage, penalty if ban_backoff else None)
+            df = tb.append_column(
+                "part", pa.array(host_partition_of(tb["host"], n_parts))
+            ).to_pandas()
+            if len(df):
+                out_tbl = pa.Table.from_pandas(
+                    pd.concat(
+                        [adfn(g) for _, g in df.groupby("part", sort=True)],
+                        ignore_index=True,
+                    ),
+                    preserve_index=False,
+                )
+                adm_tbl = _cast_frontier(
+                    out_tbl.filter(pc.equal(out_tbl["admitted"], True))
+                )
+                def_tbl = _cast_frontier(
+                    out_tbl.filter(pc.equal(out_tbl["admitted"], False))
+                )
+            else:
+                adm_tbl = def_tbl = _cast_frontier(tb)
+            if not all_reload and adm_tbl.num_rows:
+                adm_tbl = seen_filter_fn(seen, mark=True, skip_tasks=seen_skip)(adm_tbl)
+            if adm_tbl.num_rows:
+                # same locality contract as the distributed sort("url"):
+                # fetch batches walk the url-sorted pages layout
+                adm_tbl = adm_tbl.sort_by([("url", "ascending")])
+            t0 = _tick(
+                f"it{it} admission (driver)",
+                t0,
+                stage="admission",
+                rows_out=int(adm_tbl.num_rows + def_tbl.num_rows),
+                # no exchange ran — report the admitted/deferred payload as
+                # bytes_out instead of a fictitious shuffle_bytes
+                bytes_out=int(adm_tbl.nbytes + def_tbl.nbytes),
+            )
+            deferred = ray.data.from_arrow(def_tbl)
+            admitted = ray.data.from_arrow(adm_tbl).repartition(
+                target_num_rows_per_block=batch_size
+            )
+        else:
+            fr = (
+                ray.data.read_parquet(frontier_path)
+                if frontier_path is not None
+                else ray.data.from_arrow(frontier_tbl)
+            )
+            # batch_size coalesces the read's auto-split blocks (~7k rows each)
+            # into ~32k-row blocks: the admission groupby's sort-shuffle moves
+            # #blocks × #partitions object pieces, and 216×216 pieces of
+            # per-piece scheduling overhead cost more than the admission work
+            fr = fr.map_batches(
+                canonicalize_fn(canon_depth, default_task=primary.name),
+                batch_size=32768,
                 batch_format="pyarrow",
             )
-        # Align the fetch probe with the pages layout: admission blocks are
-        # in (priority, seq) order, so without this sort every fetch batch
-        # sprays across the host's whole row-group range and thrashes the
-        # per-worker group cache (measured 8× slowdown on the mega-host
-        # block). A range exchange keyed like the storage (url) makes each
-        # row group decompress ~once per iteration and splits hot hosts
-        # across workers — the same trick a 256-node run needs.
-        admitted = admitted.sort("url")
-        # a map_batches task consumes whole blocks: the 64k-row coalesced
-        # blocks above would run the (expensive) fetch stage as one task
-        # per 64k urls — split back to fetch-task-sized blocks, order
-        # preserved (streaming split, no shuffle)
-        admitted = admitted.repartition(target_num_rows_per_block=batch_size)
+            if robots_from_corpus or sitemaps_from_corpus:
+                # warm the robots/sitemap caches for hosts newly present in
+                # this generation's frontier BEFORE the robots gate (shared
+                # _control_warm closure; the materialize is reused below)
+                fr = fr.materialize()
+                hs = fr.map_batches(_host_scheme_partial, batch_format="pyarrow").to_pandas()
+                if len(hs):
+                    # deterministic scheme per host regardless of block order
+                    hs = hs.sort_values(["host", "scheme"]).drop_duplicates("host")
+                t0, locs = _control_warm(hs, t0, it)
+                if locs:
+                    # sitemap URLs enter THIS generation's frontier and ride the
+                    # normal canonicalize → robots → seen → admission path;
+                    # seq = md5(url) is deterministic, so the single-process
+                    # oracle reproduces ordering
+                    fr = fr.union(
+                        ray.data.from_arrow(_sitemap_inj(locs)).map_batches(
+                            canonicalize_fn(canon_depth, default_task=primary.name),
+                            batch_format="pyarrow",
+                        )
+                    )
+            fr = fr.map_batches(robots_filter_fn(cfg), batch_format="pyarrow")
+            # Task.Reload bypasses the visited check entirely (the reference
+            # skips HasVisited when Reload is set, engine/crawler.go:85,
+            # collect/option.go:14) — a re-crawlable task must refetch. With
+            # mixed tasks the bypass is per row (seen_skip).
+            if not all_reload:
+                fr = fr.map_batches(
+                    seen_filter_fn(seen, mark=False, skip_tasks=seen_skip),
+                    batch_format="pyarrow",
+                )
+            # admission shuffle: one groupby per generation, keyed by a coarse
+            # host-hash partition (every host in exactly one partition — the
+            # politeness correctness requirement) rather than by host itself:
+            # a real frontier has ~10^6+ hosts and per-host pandas groups are
+            # pure overhead; within a partition admission is one vectorized pass.
+            # Partition count scales with the session's CPUs (admitted sets are
+            # invariant to it — a host never straddles parts): the sort-shuffle
+            # moves #blocks × #parts pieces, and a fixed 64 cost ~2 s/generation
+            # of pure piece scheduling on an 8-core run
+            usage: dict[str, int] | None = None
+            if track_window and window:
+                usage = {}
+                for counts in window:
+                    for h, n in counts.items():
+                        usage[h] = usage.get(h, 0) + n
+            n_parts = int(os.environ.get("CRAWLER_RAY_ADMIT_PARTS", "0")) or max(
+                16, 2 * int(ray.cluster_resources().get("CPU", 8))
+            )
+            fr = fr.map_batches(
+                lambda t, _np=n_parts: t.append_column(
+                    "part", pa.array(host_partition_of(t["host"], _np))
+                ),
+                batch_format="pyarrow",
+            )
+            # materialize-cut before the sort-based groupby: fused with the
+            # Sort, the streaming executor's sort reservation throttles the
+            # canonicalize/seen map chain to ~1 concurrent task (same effect
+            # measured on the dedup pipelines); the sort is a barrier anyway
+            if os.environ.get("CRAWLER_RAY_ADMIT_CUT", "1") != "0":
+                fr = fr.materialize()
+            fr = fr.groupby("part").map_groups(
+                admit_partition_fn(cfg, usage, penalty if ban_backoff else None),
+                batch_format="pandas",
+            )
+            frontier_mat = fr.materialize()
+            t0 = _tick(f"it{it} admission", t0, stage="admission",
+                       rows_out=frontier_mat.count(),
+                       shuffle_bytes=frontier_mat.size_bytes())
+            if timing and os.environ.get("CRAWLER_RAY_STATS") == "1":
+                print(f"[admission-stats it{it}]\n{frontier_mat.stats()}", flush=True)
+
+            # route + cast fused, with batch_size coalescing: the admission
+            # shuffle materializes many small blocks, and every stage fed tiny
+            # blocks pays per-task overhead that grows with core count (the
+            # frontier write was measurably SLOWER at 8 cores than 2 before
+            # this) — one streaming re-bundle here keeps downstream block
+            # counts ∝ rows/65536, not ∝ shuffle partitions
+            deferred = frontier_mat.map_batches(
+                _route("admitted", False), batch_size=65536, batch_format="pyarrow"
+            )
+            admitted = frontier_mat.map_batches(
+                _route("admitted", True), batch_size=65536, batch_format="pyarrow"
+            )
+            if not all_reload:
+                admitted = admitted.map_batches(
+                    seen_filter_fn(seen, mark=True, skip_tasks=seen_skip),
+                    batch_format="pyarrow",
+                )
+            # Align the fetch probe with the pages layout: admission blocks are
+            # in (priority, seq) order, so without this sort every fetch batch
+            # sprays across the host's whole row-group range and thrashes the
+            # per-worker group cache (measured 8× slowdown on the mega-host
+            # block). A range exchange keyed like the storage (url) makes each
+            # row group decompress ~once per iteration and splits hot hosts
+            # across workers — the same trick a 256-node run needs.
+            admitted = admitted.sort("url")
+            # a map_batches task consumes whole blocks: the 64k-row coalesced
+            # blocks above would run the (expensive) fetch stage as one task
+            # per 64k urls — split back to fetch-task-sized blocks, order
+            # preserved (streaming split, no shuffle)
+            admitted = admitted.repartition(target_num_rows_per_block=batch_size)
         # Fused fetch→classify→extract (FetchExtract): one map stage per
         # generation, cached per worker process; raw html never enters the
         # object store — only derived rows (order/failed/frontier/item/text)

@@ -21,10 +21,26 @@ from crawler_ray.pipelines.crawl import run_crawl
 from crawler_ray.pipelines.oracle import run_oracle
 
 
-@pytest.fixture(scope="module")
-def crawl_pair(ray_session, corpus_small, tmp_path_factory):
+@pytest.fixture(scope="module", params=["driver", "distributed"])
+def crawl_pair(request, ray_session, corpus_small, tmp_path_factory):
+    """Engine-vs-oracle pair, run once per admission path: the adaptive
+    driver admission (default at test frontiers) AND the distributed
+    exchange chain (CRAWLER_RAY_ADMIT_DRIVER_CUT=0) — the whole downstream
+    assertion surface (schedule, items, text) pins both to the oracle."""
+    import os
+
     out = str(tmp_path_factory.mktemp("crawl"))
-    engine = run_crawl(corpus_small, out_dir=out, max_iterations=30)
+    old = os.environ.get("CRAWLER_RAY_ADMIT_DRIVER_CUT")
+    if request.param == "distributed":
+        os.environ["CRAWLER_RAY_ADMIT_DRIVER_CUT"] = "0"
+    try:
+        engine = run_crawl(corpus_small, out_dir=out, max_iterations=30)
+    finally:
+        if request.param == "distributed":
+            if old is None:
+                os.environ.pop("CRAWLER_RAY_ADMIT_DRIVER_CUT", None)
+            else:
+                os.environ["CRAWLER_RAY_ADMIT_DRIVER_CUT"] = old
     oracle = run_oracle(corpus_small, max_iterations=30)
     return engine, oracle
 
@@ -69,7 +85,10 @@ def test_manifest_stage_metrics(crawl_pair):
         by = {r["stage"]: r for r in stages}
         assert by["order_write"]["rows_out"] == st["scheduled"]
         assert by["frontier_write"]["rows_out"] == st["next_frontier"]
-        assert by["admission"]["shuffle_bytes"] > 0
+        # distributed admission reports the exchange's shuffle_bytes; the
+        # adaptive driver path reports its payload as bytes_out instead
+        adm = by["admission"]
+        assert adm.get("shuffle_bytes", adm.get("bytes_out", 0)) > 0
         assert by["fetch_extract"]["bytes_out"] > 0
     # the manifest on disk matches what the result object reports
     with open(os.path.join(engine.out_dir, "iter_0000", "manifest.json")) as fh:
