@@ -609,7 +609,31 @@ def main() -> None:
         "crawl": crawl_stats,
     }
     out.update(LAST_WALLS)
-    print(json.dumps(out))
+    # The harness that records this line keeps only the last ~2000 chars of
+    # stdout; a final line longer than that truncates mid-JSON and parses as
+    # nothing (this bit round 4). Always write the full result to a sidecar
+    # file, and if the one-line form would overflow, emit a compact line that
+    # keeps the slowest per-query walls and points at the sidecar for the rest.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full_local.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(out, separators=(",", ":"))
+    budget = 1800
+    if len(line) > budget:
+        kept: dict[str, float] = {}
+        compact = {**out, "queries": kept, "queries_file": os.path.basename(full_path),
+                   "queries_n": len(timings), "queries_elided": 0}
+        for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+            kept[k] = v
+            if len(json.dumps(compact, separators=(",", ":"))) > budget:
+                del kept[k]
+                break
+        compact["queries_elided"] = len(timings) - len(kept)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     import ray
 
     ray.shutdown()
