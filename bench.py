@@ -43,6 +43,30 @@ SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "320"))
 # reproduce the headline 2→8 = 0.866 run recorded in BASELINE.md
 SCALING_SKEW = os.environ.get("GRAFT_SCALING_SKEW", "0") == "1"
 
+def summary_line(out: dict, timings: dict, sidecar: str, budget: int = 1800) -> str:
+    """One-line JSON summary guaranteed ≤ ``budget`` bytes.
+
+    The recorder keeps only the last ~2000 chars of stdout, so an oversized
+    line truncates mid-JSON and parses as nothing. When the full form
+    overflows, per-query walls are kept slowest-first until the line fits,
+    with ``queries_elided`` counting the dropped (fastest) entries and
+    ``queries_file`` naming the sidecar that holds the complete result.
+    """
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    kept: dict[str, float] = {}
+    compact = {**out, "queries": kept, "queries_file": sidecar,
+               "queries_n": len(timings), "queries_elided": 0}
+    for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        kept[k] = v
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del kept[k]
+            break
+    compact["queries_elided"] = len(timings) - len(kept)
+    return json.dumps(compact, separators=(",", ":"))
+
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -620,20 +644,7 @@ def main() -> None:
             json.dump(out, f, indent=1)
     except OSError:
         pass
-    line = json.dumps(out, separators=(",", ":"))
-    budget = 1800
-    if len(line) > budget:
-        kept: dict[str, float] = {}
-        compact = {**out, "queries": kept, "queries_file": os.path.basename(full_path),
-                   "queries_n": len(timings), "queries_elided": 0}
-        for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
-            kept[k] = v
-            if len(json.dumps(compact, separators=(",", ":"))) > budget:
-                del kept[k]
-                break
-        compact["queries_elided"] = len(timings) - len(kept)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(summary_line(out, timings, sidecar=os.path.basename(full_path)))
     import ray
 
     ray.shutdown()
