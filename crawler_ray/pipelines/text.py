@@ -800,27 +800,54 @@ def bigram_familiarity(sf_dir: str, parts: int = 16) -> rd.Dataset:
     import pandas as pd
 
     def grams(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids: list[int] = []
-        gs: list[str] = []
-        cs: list[int] = []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = _TOKEN_RE.findall(s.lower())
-            if len(toks) < 2:
-                continue
-            cnt = Counter(
-                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
-            )
-            ids.extend([did] * len(cnt))
-            gs.extend(cnt.keys())
-            cs.extend(cnt.values())
-        h = pd.util.hash_array(np.asarray(gs, dtype=object))
+        # Arrow-kernel tokenize: [A-Za-z0-9]+ findall over the lowered text
+        # ≡ non-empty pieces of a split on [^a-z0-9]+ (the regex eats each
+        # separator run whole, so empties only appear at string edges and
+        # dropping them preserves token adjacency). Bigrams are the
+        # consecutive-token join masked at doc boundaries; per-(doc, gram)
+        # counts come from one np.unique over (doc index, dictionary code)
+        # packed keys — byte-identical rows to the Counter-loop original
+        # (pinned by tests/test_text_vectorized.py).
+        txt = pc.utf8_lower(t["text"].combine_chunks())
+        toks = pc.split_pattern_regex(txt, "[^a-z0-9]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        dix = np.repeat(np.arange(len(docs)), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        dix = dix[keep]
+        n = len(dix)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
+            }
+        )
+        if n < 2:
+            return empty
+        same = dix[1:] == dix[:-1]
+        if not same.any():
+            return empty
+        left = flat.slice(0, n - 1).filter(pa.array(same))
+        right = flat.slice(1, n - 1).filter(pa.array(same))
+        gram = pc.binary_join_element_wise(left, right, " ")
+        gdix = dix[:-1][same]
+        de = gram.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = len(de.dictionary)
+        key = gdix.astype(np.int64) * nc + codes
+        uk, counts = np.unique(key, return_counts=True)
+        odix = (uk // nc).astype(np.int64)
+        gcol = de.dictionary.take(pa.array(uk % nc))
+        h = pd.util.hash_array(gcol.to_numpy(zero_copy_only=False))
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "gram": pa.array(gs, pa.string()),
-                "cnt": pa.array(cs, pa.int64()),
+                "doc_id": pa.array(docs[odix], pa.int64()),
+                "gram": gcol,
+                "cnt": pa.array(counts, pa.int64()),
                 "part": pa.array((h % np.uint64(parts)).astype(np.int32)),
             }
         )
