@@ -548,17 +548,15 @@ class FetchExtract:
         html = fetched.column("html")
         # vectorized outcome classification (engine/crawler.go:95-120)
         missing = pc.is_null(html)
-        filled = pc.fill_null(html, b"")
         # binary-direct match (UTF-8 bytes of the ban string): a cast to
         # pa.string() raises ArrowInvalid on any non-UTF-8 body, and a live
-        # fetcher's transcode can legitimately fall back to raw bytes
-        banned = pc.and_(
-            pc.invert(missing),
-            pc.match_substring(filled, self.ban),
-        )
+        # fetcher's transcode can legitimately fall back to raw bytes.
+        # match/length run on the nullable column and fill AFTER, so the
+        # classify path never materializes a filled copy of the body bytes.
+        banned = pc.fill_null(pc.match_substring(html, self.ban), False)
         short = pc.and_(
             pc.invert(pc.or_(missing, banned)),
-            pc.less(pc.binary_length(filled), self.min_bytes),
+            pc.less(pc.fill_null(pc.binary_length(html), 0), self.min_bytes),
         )
         outcome = pc.if_else(
             missing, pa.scalar("missing"),
