@@ -56,8 +56,11 @@ def summary_line(out: dict, timings: dict, sidecar: str, budget: int = 1800) -> 
     if len(line) <= budget:
         return line
     kept: dict[str, float] = {}
+    # size the budget check with the WIDEST possible elided count (its
+    # final value is ≤ len(timings)) so swapping in the real count at the
+    # end can never push the line back over the budget
     compact = {**out, "queries": kept, "queries_file": sidecar,
-               "queries_n": len(timings), "queries_elided": 0}
+               "queries_n": len(timings), "queries_elided": len(timings)}
     for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
         kept[k] = v
         if len(json.dumps(compact, separators=(",", ":"))) > budget:

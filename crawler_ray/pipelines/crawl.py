@@ -639,6 +639,17 @@ def run_crawl(
             if frontier_path is not None
             else frontier_tbl.num_rows
         )
+        # shared by both admission paths (branch-independent): trailing
+        # politeness-window usage and the host-hash partition count
+        usage: dict[str, int] | None = None
+        if track_window and window:
+            usage = {}
+            for counts in window:
+                for h, n in counts.items():
+                    usage[h] = usage.get(h, 0) + n
+        n_parts = int(os.environ.get("CRAWLER_RAY_ADMIT_PARTS", "0")) or max(
+            16, 2 * int(ray.cluster_resources().get("CPU", 8))
+        )
         if 0 < driver_cut and n_front <= driver_cut:
             import pandas as pd
 
@@ -665,15 +676,6 @@ def run_crawl(
             tb = robots_filter_fn(cfg)(tb)
             if not all_reload:
                 tb = seen_filter_fn(seen, mark=False, skip_tasks=seen_skip)(tb)
-            usage = None
-            if track_window and window:
-                usage = {}
-                for counts in window:
-                    for h, n in counts.items():
-                        usage[h] = usage.get(h, 0) + n
-            n_parts = int(os.environ.get("CRAWLER_RAY_ADMIT_PARTS", "0")) or max(
-                16, 2 * int(ray.cluster_resources().get("CPU", 8))
-            )
             adfn = admit_partition_fn(cfg, usage, penalty if ban_backoff else None)
             df = tb.append_column(
                 "part", pa.array(host_partition_of(tb["host"], n_parts))
@@ -768,15 +770,6 @@ def run_crawl(
             # invariant to it — a host never straddles parts): the sort-shuffle
             # moves #blocks × #parts pieces, and a fixed 64 cost ~2 s/generation
             # of pure piece scheduling on an 8-core run
-            usage: dict[str, int] | None = None
-            if track_window and window:
-                usage = {}
-                for counts in window:
-                    for h, n in counts.items():
-                        usage[h] = usage.get(h, 0) + n
-            n_parts = int(os.environ.get("CRAWLER_RAY_ADMIT_PARTS", "0")) or max(
-                16, 2 * int(ray.cluster_resources().get("CPU", 8))
-            )
             fr = fr.map_batches(
                 lambda t, _np=n_parts: t.append_column(
                     "part", pa.array(host_partition_of(t["host"], _np))

@@ -445,11 +445,11 @@ def host_page_stats(sf_dir: str) -> rd.Dataset:
                     "short": pc.cast(
                         pc.less(pc.binary_length(html), MIN_BODY_BYTES), pa.int64()
                     ),
+                    # binary-direct prefix match: a cast to pa.string()
+                    # raises ArrowInvalid on any non-UTF-8 body (same
+                    # rationale as the ban check in stages/extract.py)
                     "redirect": pc.cast(
-                        pc.starts_with(
-                            pc.cast(html, pa.string()), REDIRECT_PREFIX
-                        ),
-                        pa.int64(),
+                        pc.starts_with(html, REDIRECT_PREFIX), pa.int64()
                     ),
                 }
             )

@@ -917,14 +917,21 @@ def pair_min_dedup(out: rd.Dataset) -> rd.Dataset:
     min-aggregate's fixed sort-exchange; above it the distributed
     aggregate handles an arbitrarily large pair set."""
     out_mat = out.materialize()
+    empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
     cut = int(os.environ.get("CRAWLER_RAY_PAIR_CUT", str(2_000_000)))
     if cut > 0 and out_mat.count() <= cut:
         dfp = out_mat.to_pandas()
-        m = (
-            dfp.groupby(["a_id", "b_id"], as_index=False)["hamming"].min()
-            if len(dfp)
-            else dfp
-        )
+        # a zero-BLOCK stream (empty corpus) yields a DataFrame with no
+        # columns at all, not just no rows — column access would KeyError
+        if dfp.empty:
+            return rd.from_arrow(empty)
+        m = dfp.groupby(["a_id", "b_id"], as_index=False)["hamming"].min()
         return rd.from_arrow(
             pa.table(
                 {
@@ -1175,6 +1182,12 @@ def strip_dup_spans(
         # assert keeps a pathological mega-doc loud, not silently wrong)
         ids, pos, wh = _window_occurrences(t, k)
         assert len(pos) == 0 or int(pos.max()) < (1 << 24), "doc exceeds 2^24 tokens"
+        # the doc side of the packed key gets the same loud guard: an id
+        # ≥ 2^39 (or negative) would overflow the shift and silently group
+        # dup positions under the wrong documents
+        assert len(ids) == 0 or (
+            int(ids.min()) >= 0 and int(ids.max()) < (1 << 39)
+        ), "doc_id outside [0, 2^39) breaks the packed (doc_id << 24 | pos) key"
         key = (ids.astype(np.int64) << 24) | pos.astype(np.int64)
         return pa.table(
             {
@@ -1374,8 +1387,14 @@ def minhash_dedup_keep(sf_dir: str, threshold_pct: int = 50) -> rd.Dataset:
     pair_cut = int(os.environ.get("CRAWLER_RAY_PAIR_CUT", str(2_000_000)))
     if pair_cut > 0 and comp_mat.count() <= pair_cut:
         lab = comp_mat.to_pandas()
-        nodes = lab["node"].to_numpy(dtype=np.int64)
-        labels = lab["component"].to_numpy(dtype=np.int64)
+        if lab.empty:
+            # zero-BLOCK label stream (no dup components at all): to_pandas
+            # has no columns, so skip straight to the all-self labeling
+            nodes = np.empty(0, np.int64)
+            labels = np.empty(0, np.int64)
+        else:
+            nodes = lab["node"].to_numpy(dtype=np.int64)
+            labels = lab["component"].to_numpy(dtype=np.int64)
         order = np.argsort(nodes, kind="stable")
         lab_ref = ray.put((nodes[order], labels[order]))
 

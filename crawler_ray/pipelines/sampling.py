@@ -252,8 +252,11 @@ def temperature_mix_docs(sf_dir: str) -> rd.Dataset:
         return gb.rename_columns(["source", "n"])
 
     parts = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
-    agg = parts.groupby("source", as_index=False)["n"].sum()
-    counts = {s: int(n) for s, n in zip(agg["source"], agg["n"])}
+    if parts.empty:  # zero-block stream (empty corpus): no columns at all
+        counts: dict = {}
+    else:
+        agg = parts.groupby("source", as_index=False)["n"].sum()
+        counts = {s: int(n) for s, n in zip(agg["source"], agg["n"])}
     total = sum(counts.values())
     n_target = total // 2
     # the oracle's FLOOR(SQRT(double)) equals isqrt only below ~2^52; fail

@@ -41,6 +41,20 @@ def _docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _exact_lower(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Lowercase that is the exact ``str.lower()`` twin: Arrow's
+    ``utf8_lower`` is the SIMPLE Unicode mapping, Python's the FULL one —
+    they differ on e.g. U+0130 ('İ' → 'i' vs 'i' + combining dot, which a
+    token splitter then cuts differently). An all-ASCII batch (the hot
+    path; the mappings agree on ASCII) takes the Arrow kernel; any batch
+    with non-ASCII text falls back to per-row ``str.lower``."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if len(texts) and not pc.all(pc.string_is_ascii(texts)).as_py():
+        return pa.array([s.lower() for s in texts.to_pylist()], pa.string())
+    return pc.utf8_lower(texts)
+
+
 def _doc_token_counts(
     ids: "np.ndarray", texts: pa.ChunkedArray | pa.Array
 ) -> tuple["np.ndarray", pa.Array, "np.ndarray"]:
@@ -61,12 +75,7 @@ def _doc_token_counts(
     the Arrow kernel; any batch with non-ASCII text falls back to Python
     ``str.lower`` so the multiset stays the exact findall/Counter twin.
     """
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    if len(texts) and not pc.all(pc.string_is_ascii(texts)).as_py():
-        low = pa.array([s.lower() for s in texts.to_pylist()], pa.string())
-    else:
-        low = pc.utf8_lower(texts)
+    low = _exact_lower(texts)
     lists = pc.split_pattern_regex(low, pattern=r"[^A-Za-z0-9]+")
     flat = lists.flatten()
     offs = lists.offsets.to_numpy(zero_copy_only=False)
@@ -401,6 +410,11 @@ def top_terms(sf_dir: str, k: int = 50) -> rd.Dataset:
     # distributed groupby+sort+limit version paid two fixed-cost exchanges
     # to produce k rows
     parts = _docs(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pa.table(
+        {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+    )
+    if parts.empty:  # zero-block stream (empty corpus): no columns at all
+        return rd.from_arrow(empty)
     agg = (
         parts.groupby("token", as_index=False)["df"]
         .sum()
@@ -469,6 +483,18 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3, parts: int = 16) -> rd.Dataset:
     # without the cut the tokenize map re-executes per consumer, and fused
     # with the DF groupby it is Sort-reservation-throttled too
     tf = _docs(sf_dir).map_batches(doc_tf, batch_format="pyarrow").materialize()
+    if tf.count() == 0:
+        # empty corpus: the zero-block partial streams below have
+        # column-less to_pandas() frames — return the canonical empty
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tfidf_c": pa.array([], pa.int64()),
+                }
+            )
+        )
     # DF from the same tf rows: one row per (doc, token) already, so a
     # count per token IS count-distinct-doc. Per-block dictionary partials
     # merge on the DRIVER (pandas groupby over block-vocab-sized rows) —
@@ -807,8 +833,9 @@ def bigram_familiarity(sf_dir: str, parts: int = 16) -> rd.Dataset:
         # consecutive-token join masked at doc boundaries; per-(doc, gram)
         # counts come from one np.unique over (doc index, dictionary code)
         # packed keys — byte-identical rows to the Counter-loop original
-        # (pinned by tests/test_text_vectorized.py).
-        txt = pc.utf8_lower(t["text"].combine_chunks())
+        # (pinned by tests/test_text_vectorized.py; _exact_lower keeps the
+        # full-vs-simple Unicode case-mapping parity).
+        txt = _exact_lower(t["text"])
         toks = pc.split_pattern_regex(txt, "[^a-z0-9]+")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(toks)
@@ -1153,6 +1180,19 @@ def ccnet_buckets(sf_dir: str, parts: int = 16) -> rd.Dataset:
     import os
 
     lang_mat = lang.materialize()
+    if lang_mat.count() == 0:
+        # empty corpus: zero-block streams downstream have column-less
+        # to_pandas() frames — return the canonical empty table directly
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pred_lang": pa.array([], pa.string()),
+                    "fam_avg_c": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.string()),
+                }
+            )
+        )
     bcast_cut = int(os.environ.get("CRAWLER_RAY_BCAST_ROWS", str(4_000_000)))
     if bcast_cut > 0 and lang_mat.count() <= bcast_cut:
         lp = lang_mat.to_pandas()

@@ -563,11 +563,16 @@ class FetchExtract:
             pc.if_else(banned, pa.scalar("banned"),
                        pc.if_else(short, pa.scalar("short"), pa.scalar("ok"))),
         )
-        if self.ledger_shards is not None:
-            # incremental recrawl: an ok body whose warc_ts equals the
-            # previous run's ledger entry is "unchanged" — vectorized
-            # searchsorted probes grouped by ledger shard (h64 % nshards,
-            # the same S-width trick as the fetch index)
+        if self.ledger_shards is not None and not (
+            self.fetchers is None and getattr(self.fetcher, "deterministic", False)
+        ):
+            # incremental recrawl for LIVE fetchers: an ok body whose
+            # warc_ts equals the previous run's ledger entry is "unchanged"
+            # — vectorized searchsorted probes grouped by ledger shard
+            # (h64 % nshards, the same S-width trick as the fetch index).
+            # Deterministic fetchers skip this: their conditional-fetch
+            # fast path above already removed every ts-equal row, so this
+            # probe is provably all-False for them.
             out_np = np.asarray(outcome.combine_chunks(), dtype=object)
             ok_mask = out_np == "ok"
             if ok_mask.any():

@@ -73,7 +73,7 @@ def test_bigram_familiarity_matches_counter_loop_on_sf0001(ray_session):
 def test_bigram_familiarity_edge_shapes(ray_session):
     t = pa.table(
         {
-            "doc_id": pa.array([1, 2, 3, 4, 5, 5, 7], pa.int64()),
+            "doc_id": pa.array([1, 2, 3, 4, 5, 5, 7, 8], pa.int64()),
             "text": pa.array(
                 [
                     "",  # empty -> no rows
@@ -83,6 +83,7 @@ def test_bigram_familiarity_edge_shapes(ray_session):
                     "dup doc row one",  # duplicate doc_id across rows
                     "dup doc row two",
                     "café touché naïve 42",  # unicode separators
+                    "Aİb c İ d",  # U+0130: full vs simple case mapping diverge
                 ]
             ),
         }
