@@ -189,46 +189,42 @@ def _parquet_rows(path: str) -> int:
     )
 
 
-def _iter_host_outcomes(ckdir: str) -> tuple[set, set]:
-    """(scheduled hosts, hosts that served ≥1 ban page) for one generation,
-    from the local order parquet — the adaptive-backoff signal."""
-    from crawler_ray.functions.url import host_of
-
-    odir = os.path.join(ckdir, "order")
-    sched: set[str] = set()
-    banned: set[str] = set()
-    if not os.path.isdir(odir):
-        return sched, banned
-    for f in os.listdir(odir):
-        if f.endswith(".parquet"):
-            t = pq.read_table(os.path.join(odir, f), columns=["url", "outcome"])
-            hosts = np.asarray(host_of(t.column("url").combine_chunks()))
-            sched.update(map(str, np.unique(hosts)))
-            bmask = np.asarray(pc.equal(t.column("outcome"), "banned").combine_chunks())
-            if bmask.any():
-                banned.update(map(str, np.unique(hosts[bmask])))
-    return sched, banned
-
-
-def _iter_host_counts(ckdir: str) -> dict[str, int]:
-    """Per-host scheduled counts of one checkpointed generation, read from
-    the local order parquet (attempted fetches = admissions — the limiter
-    consumes a token whether or not the fetch succeeds)."""
+def _iter_host_stats(
+    ckdir: str, with_outcomes: bool
+) -> tuple[dict[str, int], set, set]:
+    """ONE pass over a generation's order parquet: per-host scheduled
+    counts (attempted fetches = admissions — the limiter consumes a token
+    whether or not the fetch succeeds) plus, when ``with_outcomes``, the
+    (scheduled hosts, hosts that served ≥1 ban page) backoff signal.
+    Combined so a run with both the sustained window AND ban_backoff on
+    reads and host-hashes each order file once, not twice."""
     from crawler_ray.functions.url import host_of
 
     odir = os.path.join(ckdir, "order")
     counts: dict[str, int] = {}
+    sched: set[str] = set()
+    banned: set[str] = set()
     if not os.path.isdir(odir):
-        return counts
+        return counts, sched, banned
+    cols = ["url", "outcome"] if with_outcomes else ["url"]
     for f in os.listdir(odir):
-        if f.endswith(".parquet"):
-            urls = pq.read_table(os.path.join(odir, f), columns=["url"]).column("url")
-            hosts, n = np.unique(
-                np.asarray(host_of(urls.combine_chunks())), return_counts=True
-            )
-            for h, c in zip(hosts, n):
-                counts[str(h)] = counts.get(str(h), 0) + int(c)
-    return counts
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(odir, f), columns=cols)
+        hosts = np.asarray(host_of(t.column("url").combine_chunks()))
+        uh, n = np.unique(hosts, return_counts=True)
+        for h, c in zip(uh, n):
+            counts[str(h)] = counts.get(str(h), 0) + int(c)
+        if with_outcomes:
+            sched.update(map(str, uh))
+            bmask = np.asarray(pc.equal(t.column("outcome"), "banned").combine_chunks())
+            if bmask.any():
+                banned.update(map(str, np.unique(hosts[bmask])))
+    return counts, sched, banned
+
+
+def _iter_host_counts(ckdir: str) -> dict[str, int]:
+    return _iter_host_stats(ckdir, with_outcomes=False)[0]
 
 
 def _latest_complete_iter(out_dir: str) -> int | None:
@@ -263,6 +259,13 @@ def _host_scheme_partial(t: pa.Table) -> pa.Table:
     host-cardinality-bounded, never row-bounded. ALL distinct pairs are
     emitted (not a per-block first occurrence) so the driver's min-scheme
     pick is block-layout-independent — the oracle reproduces it exactly."""
+    if t.num_rows == 0:
+        # np.char.partition of an empty array loses its column axis and
+        # the [:, 1] below IndexErrors — a depth-capped last generation
+        # can legitimately canonicalize every row away
+        return pa.table(
+            {"host": pa.array([], pa.string()), "scheme": pa.array([], pa.string())}
+        )
     hosts = t["host"].to_numpy(zero_copy_only=False).astype(str)
     urls = t["url"].to_numpy(zero_copy_only=False).astype(str)
     part = np.char.partition(urls, "://")
@@ -299,10 +302,17 @@ def _fetch_control_bodies(
     if fetcher_factory is None:
         fn = make_fetch_fn(pages_dir)
     else:
-        def fn(batch: pa.Table, _cache=[None]) -> pa.Table:
-            if _cache[0] is None:
-                _cache[0] = fetcher_factory()
-            return _cache[0](batch)
+        # worker-level cache keyed by fetcher_key (the same persistence
+        # trick as make_fetch_fn): a per-call closure cache built a fresh
+        # live fetcher — thread pool, openers — every generation that
+        # warmed new hosts, and never shut the old ones down
+        def fn(batch: pa.Table, _key=f"control:{fetcher_key}", _ff=fetcher_factory) -> pa.Table:
+            from crawler_ray.stages.fetch import _FETCHER_CACHE
+
+            f = _FETCHER_CACHE.get(_key)
+            if f is None:
+                f = _FETCHER_CACHE[_key] = _ff()
+            return f(batch)
 
     fetched = (
         ray.data.from_arrow(tbl).map_batches(fn, batch_format="pyarrow").to_pandas()
@@ -861,11 +871,14 @@ def run_crawl(
         )
         order.write_parquet(os.path.join(ckdir, "order"))
         n_sched = _parquet_rows(os.path.join(ckdir, "order"))
+        if track_window or ban_backoff:
+            it_counts, sched_hosts, banned_hosts = _iter_host_stats(
+                ckdir, with_outcomes=ban_backoff
+            )
         if track_window:
-            window.append(_iter_host_counts(ckdir))
+            window.append(it_counts)
             del window[: -(cfg.sustained_window - 1)]
         if ban_backoff:
-            sched_hosts, banned_hosts = _iter_host_outcomes(ckdir)
             apply_backoff_updates(penalty, sched_hosts, banned_hosts)
             with open(os.path.join(ckdir, "backoff.json"), "w") as fh:
                 json.dump({"penalty": penalty}, fh)
@@ -1091,12 +1104,24 @@ def build_ts_ledger(out_dir: str, num_shards: int = 16) -> str:
     files = []
     for d in sorted(os.listdir(out_dir)):
         odir = os.path.join(out_dir, d, "order")
-        if d.startswith("iter_") and os.path.isdir(odir):
-            files.extend(
-                os.path.join(odir, f)
-                for f in sorted(os.listdir(odir))
-                if f.endswith(".parquet")
-            )
+        if not (d.startswith("iter_") and os.path.isdir(odir)):
+            continue
+        # only COMPLETE iterations feed the ledger: a crash-orphaned iter
+        # can hold order rows whose items/text were never written — marking
+        # those urls "unchanged" on recrawl would skip extraction of pages
+        # no run ever extracted (the same manifest gate resume uses)
+        mpath = os.path.join(out_dir, d, "manifest.json")
+        try:
+            with open(mpath) as fh:
+                if not json.load(fh).get("complete"):
+                    continue
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            continue
+        files.extend(
+            os.path.join(odir, f)
+            for f in sorted(os.listdir(odir))
+            if f.endswith(".parquet")
+        )
     if not files:
         raise ValueError(
             f"{out_dir!r} has no iter_*/order checkpoints — not a completed "
@@ -1116,7 +1141,17 @@ def build_ts_ledger(out_dir: str, num_shards: int = 16) -> str:
     cols = ["url", "outcome", "warc_ts", "rule", "h64"] + (["task"] if has_task else [])
 
     def shard_of(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t["outcome"], value_set=pa.array(["ok", "unchanged"])))
+        # null warc_ts rows (a live fetch without Date/Last-Modified) are
+        # EXCLUDED: pandas would float them to NaN, the keep-last lexsort
+        # would prefer the NaN over a real ts, and astype(int64) writes
+        # INT64_MIN garbage — an url with no known capture time must simply
+        # refetch on recrawl
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t["outcome"], value_set=pa.array(["ok", "unchanged"])),
+                pc.is_valid(t["warc_ts"]),
+            )
+        )
         s = (t["h64"].to_numpy(zero_copy_only=False) % np.uint64(num_shards)).astype(
             np.int32
         )

@@ -201,7 +201,9 @@ def run_oracle(
                 if host in robots_checked:
                     continue
                 robots_checked.add(host)
-                page = page_map.get(f"{scheme}://{host}/robots.txt")
+                # through the same redirect-following fetch semantics as the engine
+                # (a corpus MAY place a redirect at a control path)
+                page = _follow_redirects(page_map, f"{scheme}://{host}/robots.txt")
                 if page is not None:
                     bodies[host] = page[0].decode("utf-8", errors="replace")
             if bodies:
@@ -226,7 +228,9 @@ def run_oracle(
                 if host in sitemap_checked:
                     continue
                 sitemap_checked.add(host)
-                page = page_map.get(f"{pairs[host]}://{host}/sitemap.xml")
+                page = _follow_redirects(
+                    page_map, f"{pairs[host]}://{host}/sitemap.xml"
+                )
                 if page is None:
                     continue
                 for loc in loc_re.findall(page[0].decode("utf-8", errors="replace")):

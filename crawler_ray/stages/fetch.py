@@ -181,13 +181,18 @@ class SimulatedFetcher:
 
         cache = getattr(self, "_ts_groups", None)
         if cache is None:
-            cache = self._ts_groups = {}
+            # LRU with the same bound as the html cache: workers persist
+            # across generations, and an uncapped dict would pin every
+            # touched group's ts column forever (8 B/row × corpus)
+            cache = self._ts_groups = OrderedDict()
         out = np.empty(len(pos), np.int64)
         gpos = np.searchsorted(self.offsets, pos, side="right")
         for g in np.unique(gpos):
             gi = int(g)
             ts = cache.get(gi)
-            if ts is None:
+            if ts is not None:
+                cache.move_to_end(gi)
+            else:
                 path, rg = self.groups[gi]
                 pf = self.files.get(path)
                 if pf is None:
@@ -198,6 +203,8 @@ class SimulatedFetcher:
                     .cast(pa.int64())
                     .to_numpy()
                 )
+                while len(cache) > self.lru_groups:
+                    cache.popitem(last=False)
             sel = gpos == g
             g_start = int(self.offsets[gi - 1]) if gi > 0 else 0
             out[sel] = ts[pos[sel] - g_start]

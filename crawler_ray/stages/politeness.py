@@ -115,6 +115,13 @@ def parse_robots_txt(body: str, agent: str = "*") -> tuple[tuple[str, ...], floa
             continue
         in_group = False
         if key == "disallow" and val:
+            # RFC 9309 path values are absolute; a value without a leading
+            # '/' can never match an URL path (the oracle's
+            # path.startswith(p) is False for every '/'-rooted path, and
+            # the engine's host-then-prefix regex would otherwise match the
+            # prefix INSIDE the hostname and over-block the whole host)
+            if not val.startswith("/"):
+                continue
             for a in current:
                 groups[a][0].append(val)
         elif key == "crawl-delay":
@@ -186,7 +193,14 @@ def robots_filter_fn(config: PolitenessConfig):
             for p in ps:
                 prefixes.setdefault(p, set()).add(h)
         for prefix, scope in prefixes.items():
-            # path starts with prefix ⇔ url starts with "https://{host}{prefix}"
+            # path starts with prefix ⇔ url starts with "https://{host}{prefix}".
+            # The equivalence NEEDS the leading '/': without it [^/]* may
+            # stop mid-hostname and the regex matches the prefix inside the
+            # host itself, while the oracle's path.startswith(p) is False
+            # for every '/'-rooted path — skip such config entries on both
+            # sides (parse_robots_txt already drops them at parse time)
+            if not prefix.startswith("/"):
+                continue
             path_hit = pc.match_substring_regex(
                 urls, r"^[a-z][a-z0-9+.-]*://[^/]*" + _re_escape(prefix)
             )

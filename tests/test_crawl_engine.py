@@ -564,10 +564,16 @@ def test_ts_ledger_keeps_last_capture_per_url(ray_session, tmp_path):
 
     from crawler_ray.pipelines.crawl import build_ts_ledger
 
+    import json as _json
+
     out = tmp_path / "run"
     for it, ts in enumerate([100, 200, 150]):
         odir = out / f"iter_{it:04d}" / "order"
         odir.mkdir(parents=True)
+        # the ledger only ingests COMPLETE iterations (crash-orphaned order
+        # rows must not mark never-extracted pages 'unchanged')
+        with open(out / f"iter_{it:04d}" / "manifest.json", "w") as fh:
+            _json.dump({"iteration": it, "complete": True}, fh)
         pq.write_table(
             pa.table(
                 {
@@ -598,3 +604,63 @@ def test_ts_ledger_keeps_last_capture_per_url(ray_session, tmp_path):
     tss = np.load(f"{ldir}/ts_{s}.npy")
     assert len(urls) == 1 and len(tss) == 1
     assert int(tss[0]) == 200  # the max, not the first or last written
+
+
+def test_ts_ledger_skips_incomplete_iterations(ray_session, tmp_path):
+    """Order rows from a crash-orphaned (manifest-less or incomplete)
+    iteration must NOT enter the ledger: their items/text were never
+    written, and an 'unchanged' mark on recrawl would skip extracting
+    pages no run ever extracted."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.crawl import build_ts_ledger
+
+    out = tmp_path / "run"
+
+    def _iter(it, url, ts, complete, manifest=True):
+        odir = out / f"iter_{it:04d}" / "order"
+        odir.mkdir(parents=True)
+        if manifest:
+            with open(out / f"iter_{it:04d}" / "manifest.json", "w") as fh:
+                _json.dump({"iteration": it, "complete": complete}, fh)
+        pq.write_table(
+            pa.table(
+                {
+                    "iteration": pa.array([it], pa.int32()),
+                    "url": pa.array([url]),
+                    "priority": pa.array([0], pa.int32()),
+                    "seq": pa.array([b"\x00"], pa.binary()),
+                    "attempt": pa.array([0], pa.int32()),
+                    "outcome": pa.array(["ok"]),
+                    "h64": pa.array([7], pa.uint64()),
+                    "warc_ts": pa.array([ts], pa.timestamp("us")),
+                    "task": pa.array(["t"]),
+                    "rule": pa.array(["r"]),
+                }
+            ),
+            odir / "order_0.parquet",
+        )
+
+    _iter(0, "http://h0.example.com/a", 100, complete=True)
+    _iter(1, "http://h0.example.com/crashed", 200, complete=False)
+    _iter(2, "http://h0.example.com/orphan", 300, complete=True, manifest=False)
+    # write iter_2 without manifest: emulate crash before manifest write
+    import os
+
+    os.remove(out / "iter_0002" / "manifest.json") if (
+        out / "iter_0002" / "manifest.json"
+    ).exists() else None
+
+    ldir = build_ts_ledger(str(out), num_shards=2)
+    meta = _json.load(open(f"{ldir}/meta.json"))
+    assert meta["n_urls"] == 1  # only the complete iteration's url
+    import glob as g
+
+    all_urls = []
+    for f in g.glob(f"{ldir}/urls_*.npy"):
+        all_urls.extend(np.load(f).tolist())
+    assert all_urls == [b"http://h0.example.com/a"]
