@@ -194,9 +194,16 @@ def ann_lsh_topk(
     # probe set per (table, query): the bucket itself + hamming-<=multiprobe
     # neighbors, as a (ntables, Q, n_probes) array
     probes = [qbuckets]
-    if multiprobe >= 1:
-        for b in range(nbits):
-            probes.append(qbuckets ^ (1 << b))
+    # all bucket codes within hamming-<=multiprobe (the old loop only ever
+    # flipped single bits, so multiprobe=2 silently behaved as 1)
+    import itertools
+
+    for d in range(1, multiprobe + 1):
+        for bits in itertools.combinations(range(nbits), d):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.append(qbuckets ^ mask)
     qprobes = np.stack(probes, axis=2)  # (ntables, Q, P)
     qnorm = np.linalg.norm(qmat, axis=1)
     q_ref = ray.put((qids, qmat, qnorm, qprobes))
@@ -279,9 +286,21 @@ def ann_ivf_topk(
     import pyarrow.parquet as pq
 
     qids, qmat = _load_queries(sf_dir)
-    pf = pq.ParquetFile(_emb_paths(sf_dir)[0])
-    batch = next(pf.iter_batches(batch_size=train_rows, columns=["embedding"]))
-    sample = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+    # iter_batches' batch_size is a MAX (a row-group boundary can hand back
+    # fewer) — accumulate until train_rows rows, same as kmeans_fit, so the
+    # k-means sample never silently shrinks below n_centroids
+    chunks = []
+    got = 0
+    for path in _emb_paths(sf_dir):
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(batch_size=train_rows, columns=["embedding"]):
+            chunks.append(np.vstack(batch.column("embedding").to_pylist()))
+            got += len(chunks[-1])
+            if got >= train_rows:
+                break
+        if got >= train_rows:
+            break
+    sample = np.concatenate(chunks)[:train_rows].astype(np.float64)
     cent = _spherical_kmeans(sample, n_centroids)
 
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -343,7 +362,7 @@ def _knn_block(ta: pa.Table, block_refs: list, k: int) -> pa.Table:
     ordering is bit-stable across engines — a float rank would be at the
     mercy of summation order."""
     ids_a = ta["vec_id"].to_numpy()
-    mat_a = np.vstack(ta["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    mat_a = emb_matrix(ta["embedding"]).astype(np.float64)
     norm_a = np.linalg.norm(mat_a, axis=1)
     src_l, nbr_l, cos_l = [], [], []
     for ref in block_refs:  # nested refs: fetched one at a time, not all at once
@@ -351,16 +370,18 @@ def _knn_block(ta: pa.Table, block_refs: list, k: int) -> pa.Table:
         if tb.num_rows == 0:
             continue
         ids_b = tb["vec_id"].to_numpy()
-        mat_b = np.vstack(tb["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat_b = emb_matrix(tb["embedding"]).astype(np.float64)
         cos = (mat_a @ mat_b.T) / np.outer(norm_a, np.linalg.norm(mat_b, axis=1))
         # sentinel -2e6 (below any real e6-cosine, which is >= -1e6) marks
         # self-pairs and zero-norm NaN cosines; INT64_MIN here was a bug —
         # argpartition(-cos_e6) overflows -INT64_MIN back to INT64_MIN, so
         # the sentinel entered every local top-k and the keep-filter then
-        # silently dropped the block's k-th best real candidate
+        # silently dropped the block's k-th best real candidate.
+        # _cos_e6: DuckDB ROUND (half-away) semantics, same as every other
+        # ANN path — np.round here was half-to-even, a latent oracle
+        # divergence on an exactly-.5 micro-cosine
         SENT = -2_000_000
-        cos = np.where(np.isfinite(cos), cos, -2.0)
-        cos_e6 = np.round(cos * 1e6).astype(np.int64)
+        cos_e6 = _cos_e6(cos)
         cos_e6[ids_a[:, None] == ids_b[None, :]] = SENT  # self
         kk = min(k, len(ids_b))
         part = np.argpartition(-cos_e6, kk - 1, axis=1)[:, :kk]  # local top-k

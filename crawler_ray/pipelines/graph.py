@@ -684,6 +684,10 @@ def pagerank_seeded(sf_dir: str, iters: int = 10, damping: float = 0.85) -> rd.D
     )
 
 
+# nullable-int64 avoidance sentinel for the CC supersteps (see gather)
+_CC_SENT = np.iinfo(np.int64).max
+
+
 def _cc_small_cut(
     edges: rd.Dataset, src: str, dst: str, cut_rows: int | None = None
 ) -> "tuple[rd.Dataset, rd.Dataset | None]":
@@ -825,13 +829,18 @@ def connected_components(
         )
 
     def gather(g: pd.DataFrame) -> pd.DataFrame:
-        is_lab = g["nbr"].isna() if "nbr" in g else pd.Series(True, index=g.index)
+        # INT64_MAX sentinels, not nulls: a nullable int64 arrow column
+        # becomes float64 in pandas, and min() through float64 silently
+        # corrupts node ids above 2^53 (hashed-url id range). The sentinel
+        # keeps every array int64 end-to-end; min() against the sentinel
+        # is the identity, matching the old null semantics exactly.
+        is_lab = g["nbr"] == _CC_SENT if "nbr" in g else pd.Series(True, index=g.index)
         lab = g[is_lab]
         inc = g[~is_lab]
         m = inc.groupby("u", sort=False)["nbr"].min()
-        got = lab["u"].map(m)
+        got = m.reindex(lab["u"].to_numpy(), fill_value=_CC_SENT).to_numpy()
         old = lab["label"].to_numpy()
-        new = np.minimum(old, got.fillna(np.inf).to_numpy()).astype(np.int64)
+        new = np.minimum(old, got)
         return pd.DataFrame(
             {
                 "u": lab["u"].to_numpy(),
@@ -849,7 +858,9 @@ def connected_components(
                 lambda t: pa.table(
                     {
                         "u": t["u"],
-                        "label": pa.nulls(t.num_rows, pa.int64()),
+                        "label": pa.array(
+                            np.full(t.num_rows, _CC_SENT, np.int64)
+                        ),
                         "nbr": t["nbr"],
                         "part": pc.cast(t["part"], pa.int32()),
                     }
@@ -862,7 +873,7 @@ def connected_components(
                 {
                     "u": t["u"],
                     "label": t["label"],
-                    "nbr": pa.nulls(t.num_rows, pa.int64()),
+                    "nbr": pa.array(np.full(t.num_rows, _CC_SENT, np.int64)),
                     "part": t["part"],
                 }
             ),
@@ -1103,8 +1114,21 @@ def connected_components_ls(
         h = (a * np.uint64(0xFF51AFD7ED558CCD)) ^ (b * np.uint64(0xC4CEB9FE1A85EC53))
         return float((h & np.uint64(0xFFFFFF)).sum())
 
+    def selfloop_rows(t: pa.Table) -> pa.Table:
+        # parity with the small cut and with connected_components: a node
+        # whose only edge is a self-loop is still IN the graph and labels
+        # as its own singleton component. Routed through the same label
+        # partitions; dedup's groupby-min prefers a real component label
+        # when the node also has proper edges.
+        u = t[src].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[dst].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = np.unique(u[u == v])
+        return pa.table({"node": n, "comp": n, "part": pa.array(_ipart(n, P))})
+
+    sloops = edges.map_batches(selfloop_rows, batch_format="pyarrow").materialize()
+
     cur = edges.map_batches(seed, batch_format="pyarrow").materialize()
-    if cur.count() == 0:
+    if cur.count() == 0 and sloops.count() == 0:
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
         )
@@ -1143,11 +1167,12 @@ def connected_components_ls(
             {"node": "int64", "component": "int64"}
         )
 
-    return (
-        cur.map_batches(labels, batch_size=65536, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(dedup, batch_format="pandas")
-    )
+    lab_stream = cur.map_batches(labels, batch_size=65536, batch_format="pyarrow")
+    if sloops.count():
+        # self-loop singleton rows ride the same partitions; groupby-min
+        # keeps the real component for nodes that also have proper edges
+        lab_stream = lab_stream.union(sloops)
+    return lab_stream.groupby("part").map_groups(dedup, batch_format="pandas")
 
 
 def dedup_clusters(sf_dir: str, min_jacc: int = 50, method: str = "minlabel") -> rd.Dataset:

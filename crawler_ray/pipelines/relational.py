@@ -52,7 +52,13 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
-    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+    # half_towards_infinity = DuckDB ROUND (half-away-from-zero); pc.round's
+    # default is half-to-even, which diverges from every oracle on an
+    # exactly-.5 sub-cent value (e.g. 0.125*100)
+    return pc.cast(
+        pc.round(pc.multiply(arr, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
 
 
 def _row_cents(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
@@ -356,8 +362,20 @@ def q3_top_orders(sf_dir: str) -> rd.Dataset:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     def filt_orders(t: pa.Table, ref=ckeys_ref) -> pa.Table:
+        # sorted-searchsorted gate (the file's broadcast semi-join idiom):
+        # keys stay a shared numpy array — an is_in(value_set=pa.array(keys))
+        # here rebuilt the full key set as a fresh arrow array per 64k batch
         keys = ray.get(ref)
-        t = t.filter(pc.is_in(t["o_custkey"], value_set=pa.array(keys)))
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate_s": pa.array([], pa.string()),
+                }
+            )
+        idx = np.minimum(np.searchsorted(keys, ck), len(keys) - 1)
+        t = t.filter(pa.array(keys[idx] == ck))
         return pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
@@ -999,6 +1017,11 @@ def price_quantiles(sf_dir: str) -> pa.Table:
         ),
         batch_format="pyarrow",
     ).to_pandas()
+    if mm.empty or int(mm.n.sum()) == 0:
+        # empty lineitem table: no quantiles (int(NaN) would TypeError)
+        return pa.table(
+            {"q_pct": pa.array([], pa.int64()), "value_c": pa.array([], pa.int64())}
+        )
     lo = int(mm.lo.min())
     hi = int(mm.hi.max())
     n = int(mm.n.sum())
@@ -2282,6 +2305,17 @@ def q15_top_supplier(
         .map_groups(exact, batch_format="pandas")
         .materialize()  # supplier-sized
     )
+    if per_supp.count() == 0:
+        # empty date window (no lineitem ships in the quarter): a typed
+        # empty result, matching the module's other empty-input guards —
+        # Dataset.max on an empty column would TypeError through int()
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue_c": pa.array([], pa.int64()),
+            }
+        )
     best = int(per_supp.max("rev"))
     winners = per_supp.map_batches(
         lambda t, _m=best: t.filter(pc.equal(t["rev"], _m)), batch_format="pyarrow"

@@ -477,3 +477,32 @@ def test_rank_weighted_frontier_buckets(ray_session):
     from crawler_ray.pipelines.graph import pagerank
 
     assert len(df) == pagerank("/root/testdata/sf0.001", iters=5).count()
+
+
+@pytest.mark.parametrize("cut", ["driver", "distributed"])
+def test_components_selfloops_and_past_2_53_ids(ray_session, monkeypatch, cut):
+    """Parity pins for the two distributed-path bugs: (1) a node whose only
+    edge is a self-loop must label as its own singleton on BOTH paths;
+    (2) node ids above 2^53 must survive exactly (the superstep union used
+    nullable int64 columns that pandas promoted to float64 — min() through
+    float64 returned a component id that is no node's id)."""
+    import ray.data as rd
+
+    from crawler_ray.pipelines.graph import (
+        connected_components,
+        connected_components_ls,
+    )
+
+    if cut == "distributed":
+        monkeypatch.setenv("CRAWLER_RAY_CC_CUT", "0")
+    BIG = 2**53
+    edges = pa.table(
+        {
+            "u": pa.array([BIG + 5, BIG + 3, 5, 7, 7], pa.int64()),
+            "v": pa.array([BIG + 3, BIG + 1, 5, 8, 7], pa.int64()),
+        }
+    )
+    want = {BIG + 1: BIG + 1, BIG + 3: BIG + 1, BIG + 5: BIG + 1, 5: 5, 7: 7, 8: 7}
+    for fn in (connected_components, connected_components_ls):
+        out = fn(rd.from_arrow(edges)).to_pandas()
+        assert dict(zip(out.node, out.component)) == want, fn.__name__
