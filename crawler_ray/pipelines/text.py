@@ -41,6 +41,18 @@ def _docs(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+# canonical empty output of bigram_familiarity's grams stage (module-level
+# so the per-batch fast paths don't rebuild it)
+_GRAMS_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "gram": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64()),
+        "part": pa.array([], pa.int32()),
+    }
+)
+
+
 def _exact_lower(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Lowercase that is the exact ``str.lower()`` twin: Arrow's
     ``utf8_lower`` is the SIMPLE Unicode mapping, Python's the FULL one —
@@ -845,19 +857,11 @@ def bigram_familiarity(sf_dir: str, parts: int = 16) -> rd.Dataset:
         flat = flat.filter(pa.array(keep))
         dix = dix[keep]
         n = len(dix)
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "gram": pa.array([], pa.string()),
-                "cnt": pa.array([], pa.int64()),
-                "part": pa.array([], pa.int32()),
-            }
-        )
         if n < 2:
-            return empty
+            return _GRAMS_EMPTY
         same = dix[1:] == dix[:-1]
         if not same.any():
-            return empty
+            return _GRAMS_EMPTY
         left = flat.slice(0, n - 1).filter(pa.array(same))
         right = flat.slice(1, n - 1).filter(pa.array(same))
         gram = pc.binary_join_element_wise(left, right, " ")
@@ -1236,6 +1240,22 @@ def ccnet_buckets(sf_dir: str, parts: int = 16) -> rd.Dataset:
 
         joined = (
             unioned.groupby("dpart").map_groups(join_docs, batch_format="pandas").materialize()
+        )
+
+    if joined.count() == 0:
+        # zero-block JOINED stream: a non-empty corpus where no document
+        # has >= 2 tokens leaves fam (and so the broadcast-attach output)
+        # with zero blocks even though lang_id emitted rows — the lang_mat
+        # guard above cannot see this case
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pred_lang": pa.array([], pa.string()),
+                    "fam_avg_c": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.string()),
+                }
+            )
         )
 
     def lang_partial(t: pa.Table) -> pa.Table:

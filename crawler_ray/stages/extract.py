@@ -450,11 +450,14 @@ class FetchExtract:
         import numpy as np
 
         pre_parts: list[pa.Table] = []
-        if (
-            self.fetchers is None
-            and getattr(self.fetcher, "deterministic", False)
-            and batch.num_rows
-        ):
+        # single deterministic-single-fetcher gate shared by the retry fast
+        # path, the conditional-fetch fast path and the post-fetch ledger
+        # probe skip: the skip is only provably all-False because the fast
+        # path ran under the SAME predicate — keep it one expression
+        det_single = self.fetchers is None and getattr(
+            self.fetcher, "deterministic", False
+        )
+        if det_single and batch.num_rows:
             # Retry rows (attempt > 0) under a deterministic fetcher resolve
             # from the membership probe alone: a retry exists only for a
             # prior *missing* or *banned* outcome, and an immutable corpus
@@ -500,12 +503,7 @@ class FetchExtract:
                 if batch.num_rows == 0:
                     return pa.concat_tables(pre_parts)
 
-        if (
-            self.ledger_shards is not None
-            and self.fetchers is None
-            and getattr(self.fetcher, "deterministic", False)
-            and batch.num_rows
-        ):
+        if self.ledger_shards is not None and det_single and batch.num_rows:
             # conditional fetch (the If-Modified-Since shape): probe
             # membership + capture ts WITHOUT touching html; a url whose
             # corpus ts equals its ledger entry is 'unchanged' — recorded,
@@ -563,9 +561,7 @@ class FetchExtract:
             pc.if_else(banned, pa.scalar("banned"),
                        pc.if_else(short, pa.scalar("short"), pa.scalar("ok"))),
         )
-        if self.ledger_shards is not None and not (
-            self.fetchers is None and getattr(self.fetcher, "deterministic", False)
-        ):
+        if self.ledger_shards is not None and not det_single:
             # incremental recrawl for LIVE fetchers: an ok body whose
             # warc_ts equals the previous run's ledger entry is "unchanged"
             # — vectorized searchsorted probes grouped by ledger shard
