@@ -69,8 +69,17 @@ class _BpePart:
 
     def __init__(self) -> None:
         self._wc: Counter = Counter()
+        self._seen_keys: set = set()
 
-    def accept(self, words: list, counts: list) -> None:
+    def accept(self, key: str, words: list, counts: list) -> None:
+        # idempotent by batch key: a Ray task retry (worker death mid-push,
+        # or lineage re-execution) re-sends the same batches — without the
+        # guard the side effect double-counts and the merge table silently
+        # diverges. Keys are deterministic (doc-id range of the batch), so
+        # the retry maps to the same key and is dropped here.
+        if key in self._seen_keys:
+            return
+        self._seen_keys.add(key)
         for w, c in zip(words, counts):
             self._wc[w] += c
 
@@ -150,19 +159,27 @@ def train_bpe(sf_dir: str, n_merges: int = 64, nparts: int | None = None) -> pd.
         words = np.asarray(vc.field("values").to_pylist(), dtype=object)
         counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
         if len(words):
+            # deterministic batch identity for the actors' retry guard:
+            # doc_ids are unique per row, so the (min, max, n) triple pins
+            # this block across task retries but never collides between
+            # distinct blocks (even on a corpus of identical texts)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            bkey = f"{int(ids.min())}:{int(ids.max())}:{len(ids)}"
             part = (pd.util.hash_array(words) % np.uint64(_P)).astype(np.int32)
             pending = [
                 _actors[int(q)].accept.remote(
-                    list(words[part == q]), [int(x) for x in counts[part == q]]
+                    f"{bkey}:{int(q)}",
+                    list(words[part == q]),
+                    [int(x) for x in counts[part == q]],
                 )
                 for q in np.unique(part)
             ]
             ray.get(pending)  # backpressure
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
-    rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]).map_batches(
-        push, batch_size=4096, batch_format="pyarrow"
-    ).materialize()
+    rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(push, batch_size=4096, batch_format="pyarrow").materialize()
 
     chars = sorted(set().union(*ray.get([a.chars.remote() for a in actors])))
     char_to_id = {ch: i for i, ch in enumerate(chars)}

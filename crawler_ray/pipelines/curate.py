@@ -77,7 +77,15 @@ def pii_scrub(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
-def chunk_documents(sf_dir: str, chunk_tokens: int = 64) -> rd.Dataset:
+# defaults shared by the queries() entries AND their ORACLE_SQL twins — the
+# SQL below is generated from these same constants, so a default change can
+# never silently diverge the two sides (a NON-default call still has no
+# oracle: the registered SQL always checks the default configuration)
+CHUNK_TOKENS_DEFAULT = 64
+VOCAB_SIZE_DEFAULT = 256
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS_DEFAULT) -> rd.Dataset:
     """Split each document into consecutive ``chunk_tokens``-token chunks
     (space tokenization, last chunk ragged).  Fully vectorized 1→N
     explode: chunk boundaries are a refinement of the split-token
@@ -130,7 +138,7 @@ def _token_explode(t: pa.Table):
     return rows, pos, toks.values
 
 
-def encode_tokens(sf_dir: str, vocab_size: int = 256) -> rd.Dataset:
+def encode_tokens(sf_dir: str, vocab_size: int = VOCAB_SIZE_DEFAULT) -> rd.Dataset:
     """Top-V vocabulary (count desc, token asc) + per-token id encoding.
     Output is the exploded (doc_id, pos, token_id) table (pos 1-based,
     OOV = -1) so the hash gate checks every token id."""
@@ -217,25 +225,25 @@ ORACLE_SQL = {
               FROM p)
         SELECT doc_id, n_email, n_phone, n_ip, s AS clean_text FROM i
     """,
-    "chunk_documents": """
+    "chunk_documents": f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         c AS (SELECT doc_id, toks,
-                     UNNEST(range(0, GREATEST((LEN(toks) + 63) // 64, 1))) AS chunk_id
+                     UNNEST(range(0, GREATEST((LEN(toks) + {CHUNK_TOKENS_DEFAULT - 1}) // {CHUNK_TOKENS_DEFAULT}, 1))) AS chunk_id
               FROM t)
         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-               array_to_string(toks[chunk_id * 64 + 1 : LEAST((chunk_id + 1) * 64, LEN(toks))], ' ')
+               array_to_string(toks[chunk_id * {CHUNK_TOKENS_DEFAULT} + 1 : LEAST((chunk_id + 1) * {CHUNK_TOKENS_DEFAULT}, LEN(toks))], ' ')
                    AS chunk_text,
-               CAST(LEAST((chunk_id + 1) * 64, LEN(toks)) - chunk_id * 64 AS BIGINT) AS n_tokens
+               CAST(LEAST((chunk_id + 1) * {CHUNK_TOKENS_DEFAULT}, LEN(toks)) - chunk_id * {CHUNK_TOKENS_DEFAULT} AS BIGINT) AS n_tokens
         FROM c
     """,
-    "encode_tokens": """
+    "encode_tokens": f"""
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         fl AS (SELECT doc_id, UNNEST(toks) AS token,
                       generate_subscripts(toks, 1) AS pos
                FROM tok),
         cnt AS (SELECT token, COUNT(*) AS c FROM fl GROUP BY 1),
         vocab AS (SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token) - 1 AS tid
-                  FROM cnt QUALIFY tid < 256)
+                  FROM cnt QUALIFY tid < {VOCAB_SIZE_DEFAULT})
         SELECT fl.doc_id, CAST(fl.pos AS BIGINT) AS pos,
                CAST(COALESCE(v.tid, -1) AS BIGINT) AS token_id
         FROM fl LEFT JOIN vocab v USING (token)

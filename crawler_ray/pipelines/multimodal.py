@@ -414,7 +414,10 @@ class MediaDecoder:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         kinds, ws, hs, nf, mb = [], [], [], [], []
-        for blob in t["media"].to_pylist():
+        # one to_pylist: this stage is the memory-bound one (heavy
+        # payloads), so never hold two Python copies of every blob
+        blobs = t["media"].to_pylist()
+        for blob in blobs:
             k, w, h, n, m = self._decode(blob)
             kinds.append(k)
             ws.append(w)
@@ -430,7 +433,7 @@ class MediaDecoder:
                 "height": pa.array(hs, pa.int32()),
                 "n_frames": pa.array(nf, pa.int32()),
                 "mean_byte_m": pa.array(mb, pa.int64()),
-                "n_bytes": pa.array([len(b) for b in t["media"].to_pylist()], pa.int64()),
+                "n_bytes": pa.array([len(b) for b in blobs], pa.int64()),
             }
         )
 
@@ -466,7 +469,14 @@ class MediaResizer:
     def __call__(self, t: pa.Table) -> pa.Table:
         blobs, ws, hs, flags = [], [], [], []
         for blob in t["media"].to_pylist():
-            px = decode_bmp24(blob)
+            # same magic pre-dispatch as _decode_numpy: a BMPV1 container
+            # (or legacy stub) also starts with bytes that can parse as a
+            # plausible BMP header — resizing would replace the video
+            # payload with re-encoded garbage marked resized=True
+            if blob.startswith(VIDEO_MAGIC) or blob.startswith(MEDIA_MAGIC):
+                px = None
+            else:
+                px = decode_bmp24(blob)
             if px is None or max(px.shape[:2]) <= self.max_dim:
                 blobs.append(blob)
                 h, w = (px.shape[:2]) if px is not None else (0, 0)
@@ -606,6 +616,11 @@ def media_dedup_near(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         multi = ends - starts >= 2
         a_ids, b_ids, ham = [], [], []
         for s, e in zip(starts[multi], ends[multi]):
+            # block cap (the prefix_jaccard_pairs convention): a boilerplate
+            # image reposted n times shares every band, and an uncapped run
+            # allocates O(n^2) pair indices in one task; the first cap
+            # members by doc_id (deterministic) stand in for the cluster
+            e = min(e, s + 256)
             run_h = hs[s:e]
             run_i = ids[s:e]
             iu, ju = np.triu_indices(e - s, k=1)

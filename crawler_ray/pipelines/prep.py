@@ -67,7 +67,6 @@ def prep_training_corpus(sf_dir: str) -> rd.Dataset:
         # --- quality (text.quality_score semantics, vectorized twin) ---
         from crawler_ray.pipelines.text import _doc_distinct_counts
 
-        texts = t["text"].to_pylist()
         n_tok = pc.cast(
             pc.count_substring_regex(txt, pattern=r"[A-Za-z0-9]+"), pa.int64()
         ).to_numpy()
@@ -76,8 +75,12 @@ def prep_training_corpus(sf_dir: str) -> rd.Dataset:
         distinct_pct = np.where(n_tok > 0, (100 * n_distinct) // np.maximum(n_tok, 1), 0)
         keep = is_en & (n_chars >= 100) & (n_tok >= 20) & (distinct_pct >= 30)
         # --- fingerprint (dedup.dedup_exact semantics: raw-text md5) ---
+        # convert ONLY gate survivors to Python strings: on web text most
+        # rows fail the gate, and a whole-batch to_pylist materialized
+        # every dropped row's text just to ignore it
         idx = np.nonzero(keep)[0]
-        fps = [hashlib.md5(texts[i].encode()).hexdigest() for i in idx]
+        texts = txt.combine_chunks().take(pa.array(idx)).to_pylist()
+        fps = [hashlib.md5(s.encode()).hexdigest() for s in texts]
         h = pd.util.hash_array(np.asarray(fps, dtype=object))
         return pa.table(
             {

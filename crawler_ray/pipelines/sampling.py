@@ -77,11 +77,16 @@ def stratified_sample_events(sf_dir: str) -> rd.Dataset:
         # dictionary-encode the type column so the rate lookup runs once per
         # distinct type, then gathers — O(uniques + rows)
         enc = pc.dictionary_encode(t["event_type"]).combine_chunks()
+        # trailing slot = the default rate, indexed by null-filled codes: a
+        # NULL event_type otherwise yields a null dictionary index whose
+        # to_numpy floats to NaN and IndexErrors the gather — the oracle's
+        # CASE falls to ELSE (default) for NULL, so the engine must too
         rates = np.array(
             [
                 _EVENT_RATES_PCT.get(v, _EVENT_DEFAULT_PCT)
                 for v in enc.dictionary.to_pylist()
-            ],
+            ]
+            + [_EVENT_DEFAULT_PCT],
             dtype=np.uint64,
         )
         # rate 100 means keep-all: 100 * (2^32 // 100) = 4294967200 < 2^32
@@ -89,7 +94,10 @@ def stratified_sample_events(sf_dir: str) -> rd.Dataset:
         per_type = np.where(
             rates == 100, np.uint64(_M32), rates * np.uint64(_M32 // 100)
         )
-        thresholds = per_type[enc.indices.to_numpy(zero_copy_only=False)]
+        codes = pc.fill_null(enc.indices, len(enc.dictionary)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        thresholds = per_type[codes]
         kept = t.filter(pa.array(_h32(ids) < thresholds))
         # doubles don't hash stably across engines — cents convention
         return pa.table(
@@ -196,9 +204,11 @@ def balanced_sample_docs(sf_dir: str) -> pa.Table:
         import pandas as pd
 
         df = pd.DataFrame({"doc_id": ids, "source": src, "h": h})
-        df = df.sort_values(["source", "h", "doc_id"]).groupby("source", sort=False).head(
-            _PER_SOURCE_K
-        )
+        # dropna=False: the oracle's PARTITION BY source keeps a NULL
+        # partition; pandas' default groupby would silently drop it
+        df = df.sort_values(["source", "h", "doc_id"]).groupby(
+            "source", sort=False, dropna=False
+        ).head(_PER_SOURCE_K)
         return pa.table(
             {
                 "doc_id": pa.array(df.doc_id.to_numpy(), pa.int64()),
@@ -207,12 +217,10 @@ def balanced_sample_docs(sf_dir: str) -> pa.Table:
             }
         )
 
-    import pandas as pd
-
     parts = ds.map_batches(partial, batch_size=65536, batch_format="pyarrow").to_pandas()
     keep = (
         parts.sort_values(["source", "h", "doc_id"])
-        .groupby("source", sort=False)
+        .groupby("source", sort=False, dropna=False)
         .head(_PER_SOURCE_K)
         .sort_values(["source", "doc_id"])
     )
@@ -306,28 +314,28 @@ ORACLE_SQL = {
                 FROM w)
         SELECT d.doc_id, d.source
         FROM documents d JOIN thr USING (source)
-        WHERE (d.doc_id * {_KNUTH}) % {_M32} < thr.lim
+        WHERE (CAST(d.doc_id AS HUGEINT) * {_KNUTH}) % {_M32} < thr.lim
     """,
     "balanced_sample_docs": f"""
         SELECT doc_id, source FROM documents
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY source
-            ORDER BY (doc_id * {_KNUTH}) % {_M32}, doc_id) <= {_PER_SOURCE_K}
+            ORDER BY (CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_M32}, doc_id) <= {_PER_SOURCE_K}
     """,
     "weighted_sample_docs": f"""
         SELECT doc_id, n_chars
         FROM documents
-        WHERE (doc_id * {_KNUTH}) % {_M32} * {_PPS_PIVOT_CHARS} < n_chars * {_M32}
+        WHERE (CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_M32} * {_PPS_PIVOT_CHARS} < n_chars * {_M32}
     """,
     "hash_sample_docs": f"""
         SELECT doc_id, source, n_chars
         FROM documents
-        WHERE (doc_id * {_KNUTH}) % {_M32} < {_DOC_THRESHOLD}
+        WHERE (CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_M32} < {_DOC_THRESHOLD}
     """,
     "stratified_sample_events": f"""
         SELECT event_id, event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_c
         FROM events
-        WHERE (event_id * {_KNUTH}) % {_M32} <
+        WHERE (CAST(event_id AS HUGEINT) * {_KNUTH}) % {_M32} <
               CASE event_type
                    WHEN 'purchase' THEN {_M32}  -- rate 100: keep-all, exactly
                    ELSE CAST(CASE event_type
@@ -340,7 +348,7 @@ ORACLE_SQL = {
                     WHEN b < {_VALID_END} THEN 'valid' ELSE 'test' END AS split,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        FROM (SELECT n_chars, (doc_id * {_KNUTH}) % {_M32} % 100 AS b
+        FROM (SELECT n_chars, (CAST(doc_id AS HUGEINT) * {_KNUTH}) % {_M32} % 100 AS b
               FROM documents)
         GROUP BY 1
     """,
